@@ -1,0 +1,425 @@
+"""Spatial join operators: tile/cell encode, broadcast + shuffle PIP, kNN.
+
+The engine's re-expression of GDAL's spatial-join surface
+(SURVEY.md §2.3):
+
+* layer-algebra Intersection over point inputs (``ogr/ogrsf_frmts/generic/
+  ogrlayer.cpp:1954``) → point-in-polygon join, in two physical plans that
+  must emit identical rows:
+    - **broadcast** (method layer small — mirrors the reference's own advice
+      to copy the method layer to memory, ogrlayer.cpp:1915-1916): prepared
+      polygons + grid index broadcast, ``mapInPandas`` over points;
+    - **shuffle** (method layer large): both sides exploded to covering
+      mercator tiles at an index zoom, equi-join on the cell id — the
+      cell-prefix pruning the north star requires — then exact vectorized
+      refine; optional hot-cell salting.
+* ``GDALGridNearestNeighbor``'s quadtree-accelerated kNN
+  (``alg/gdalgrid.cpp:675,691``) → cell-ring expansion join with
+  sorted-merge (window top-k) refinement; rings grow per-round for
+  unsatisfied queries only.
+
+All heavy math is numpy inside Arrow-batched pandas UDFs; all matching is
+JVM-side equi-joins.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import geom, tiles
+
+
+# ---------------------------------------------------------------------------
+# Cell encoding (the H3/S2-style multi-resolution index of the north star,
+# realized as web-mercator tiles + quadkey prefixes — gdal2tiles.py:205-318)
+# ---------------------------------------------------------------------------
+
+
+def with_tile(
+    df: DataFrame,
+    zoom: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    prefix: str = "",
+) -> DataFrame:
+    """Append TMS tile coords + quadkey at ``zoom`` (vectorized pandas UDF).
+
+    Columns: ``{prefix}tx {prefix}ty {prefix}quadkey``.  The quadkey is the
+    multi-resolution cell id: its z-length prefixes are the coarser cells.
+    """
+    out_schema = StructType(
+        [
+            StructField(prefix + "tx", LongType()),
+            StructField(prefix + "ty", LongType()),
+            StructField(prefix + "quadkey", StringType()),
+        ]
+    )
+
+    @F.pandas_udf(out_schema)
+    def _encode(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        tx, ty = tiles.lonlat_to_tile(lon.to_numpy(np.float64), lat.to_numpy(np.float64), zoom)
+        qk = tiles.quadkey(tx, ty, zoom)
+        return pd.DataFrame({prefix + "tx": tx, prefix + "ty": ty, prefix + "quadkey": qk})
+
+    enc = _encode(F.col(lon_col), F.col(lat_col))
+    return df.withColumn("_enc", enc).select("*", "_enc.*").drop("_enc")
+
+
+def with_cell(df: DataFrame, zoom: int, lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Append a single packed int64 cell id ``(tx << zoom+1) | ty`` at zoom —
+    a cheaper join key than the quadkey string for fixed-zoom equi-joins."""
+    out = with_tile(df, zoom, lon_col, lat_col, prefix="_c_")
+    return out.withColumn(
+        "cell", (F.col("_c_tx") * F.lit(np.int64(2 ** (zoom + 1))) + F.col("_c_ty")).cast("long")
+    ).drop("_c_tx", "_c_ty", "_c_quadkey")
+
+
+# ---------------------------------------------------------------------------
+# Broadcast PIP join
+# ---------------------------------------------------------------------------
+
+
+class _PolyGridIndex:
+    """Driver-built uniform grid index over polygon bboxes (the analog of the
+    reference's CPLQuadTree, port/cpl_quad_tree.h).  Broadcast once; lookup
+    is integer arithmetic, candidate sets are per-cell python lists."""
+
+    def __init__(self, pid_wkb: list, cells: int = 64):
+        self.prepared = geom.prepare_polygons(pid_wkb)
+        self.cells = cells
+        self.step_x = 360.0 / cells
+        self.step_y = 180.0 / cells
+        self.index: dict = {}
+        for i, (_pid, prep) in enumerate(self.prepared):
+            cx0 = int((prep.minx + 180.0) // self.step_x)
+            cx1 = int((prep.maxx + 180.0) // self.step_x)
+            cy0 = int((prep.miny + 90.0) // self.step_y)
+            cy1 = int((prep.maxy + 90.0) // self.step_y)
+            for cx in range(max(cx0, 0), min(cx1, self.cells - 1) + 1):
+                for cy in range(max(cy0, 0), min(cy1, self.cells - 1) + 1):
+                    self.index.setdefault((cx, cy), []).append(i)
+
+    def candidates(self, cx: int, cy: int) -> list:
+        return self.index.get((cx, cy), ())
+
+
+def pip_join_broadcast(
+    points: DataFrame,
+    polygons_pdf: pd.DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    keep_cols: tuple = ("url",),
+) -> DataFrame:
+    """Broadcast point-in-polygon join.
+
+    ``polygons_pdf``: pandas (polygon_id, geom_wkb, ...) — the method layer,
+    collected and broadcast (small side).  Output: ``keep_cols`` + lon/lat +
+    ``polygon_id``; one row per matching polygon (overlaps → multiple rows,
+    no match → row dropped = inner Intersection semantics,
+    ogrlayer.cpp:2038-2054).
+    """
+    spark = points.sparkSession
+    pid_wkb = list(zip(polygons_pdf["polygon_id"].tolist(), polygons_pdf["geom_wkb"].tolist()))
+    bc = spark.sparkContext.broadcast(pid_wkb)
+
+    in_cols = list(keep_cols) + [lon_col, lat_col]
+    out_fields = [f for f in points.select(*in_cols).schema.fields]
+    out_schema = StructType(out_fields + [StructField("polygon_id", IntegerType())])
+
+    def _match(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        index = _PolyGridIndex(bc.value)
+        for pdf in batches:
+            lon = pdf[lon_col].to_numpy(np.float64)
+            lat = pdf[lat_col].to_numpy(np.float64)
+            cx = np.clip(((lon + 180.0) // index.step_x).astype(np.int64), 0, index.cells - 1)
+            cy = np.clip(((lat + 90.0) // index.step_y).astype(np.int64), 0, index.cells - 1)
+            cell = cx * index.cells + cy
+            order = np.argsort(cell, kind="stable")
+            out_idx: list = []
+            out_pid: list = []
+            ucell, starts = np.unique(cell[order], return_index=True)
+            bounds = list(starts) + [len(order)]
+            for u, s, e in zip(ucell, bounds[:-1], bounds[1:]):
+                rows = order[s:e]
+                cands = index.candidates(int(u // index.cells), int(u % index.cells))
+                for ci in cands:
+                    pid, prep = index.prepared[ci]
+                    hit = prep.contains(lon[rows], lat[rows])
+                    sel = rows[hit]
+                    if sel.size:
+                        out_idx.append(sel)
+                        out_pid.append(np.full(sel.size, pid, dtype=np.int32))
+            if not out_idx:
+                empty = pdf.iloc[0:0][in_cols].copy()
+                empty["polygon_id"] = pd.Series(dtype="int32")
+                yield empty
+                continue
+            idx = np.concatenate(out_idx)
+            res = pdf.iloc[idx][in_cols].reset_index(drop=True)
+            res["polygon_id"] = np.concatenate(out_pid)
+            yield res
+
+    return points.select(*in_cols).mapInPandas(_match, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Shuffle (cell-partitioned) PIP join
+# ---------------------------------------------------------------------------
+
+
+def polygon_cover_cells(polygons: DataFrame, zoom: int) -> DataFrame:
+    """Explode each polygon to the mercator tiles covering its bbox at
+    ``zoom`` → (polygon_id, geom_wkb, cell).  The cell-side of the shuffle
+    PIP join; bbox cover (not exact cover) keeps the UDF trivial — exactness
+    is restored by the refine step."""
+    out_schema = StructType(
+        [
+            StructField("polygon_id", IntegerType()),
+            StructField("geom_wkb", polygons.schema["geom_wkb"].dataType),
+            StructField("cell", LongType()),
+        ]
+    )
+    shift = np.int64(2 ** (zoom + 1))
+
+    def _explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            minx = pdf["minx"].to_numpy(np.float64)
+            miny = pdf["miny"].to_numpy(np.float64)
+            maxx = pdf["maxx"].to_numpy(np.float64)
+            maxy = pdf["maxy"].to_numpy(np.float64)
+            # clamp to the mercator world; tile of each bbox corner
+            lat_lim = tiles.MERCATOR_LAT_MAX
+            tx0, ty0 = tiles.lonlat_to_tile(
+                np.clip(minx, -180.0, 180.0), np.clip(miny, -lat_lim, lat_lim), zoom
+            )
+            tx1, ty1 = tiles.lonlat_to_tile(
+                np.clip(maxx, -180.0, 180.0), np.clip(maxy, -lat_lim, lat_lim), zoom
+            )
+            pids, wkbs, cells = [], [], []
+            for i in range(len(pdf)):
+                txs = np.arange(tx0[i], tx1[i] + 1, dtype=np.int64)
+                tys = np.arange(ty0[i], ty1[i] + 1, dtype=np.int64)
+                gx, gy = np.meshgrid(txs, tys)
+                c = (gx.ravel() * shift + gy.ravel())
+                pids.append(np.full(c.size, pdf["polygon_id"].iat[i], dtype=np.int32))
+                wkbs.extend([pdf["geom_wkb"].iat[i]] * c.size)
+                cells.append(c)
+            if not pids:
+                yield pd.DataFrame({"polygon_id": [], "geom_wkb": [], "cell": []})
+                continue
+            yield pd.DataFrame(
+                {
+                    "polygon_id": np.concatenate(pids),
+                    "geom_wkb": wkbs,
+                    "cell": np.concatenate(cells),
+                }
+            )
+
+    return polygons.select("polygon_id", "geom_wkb", "minx", "miny", "maxx", "maxy").mapInPandas(
+        _explode, out_schema
+    )
+
+
+def pip_join_shuffle(
+    points: DataFrame,
+    polygons: DataFrame,
+    zoom: int = 8,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    keep_cols: tuple = ("url",),
+    n_salt: int | None = None,
+) -> DataFrame:
+    """Shuffle point-in-polygon join for large method layers.
+
+    Plan: points → cell at ``zoom``; polygons → covering cells (replicated);
+    equi-join on cell (both sides shuffle-partitioned by cell — the
+    cell-prefix co-location); exact vectorized refine inside ``mapInPandas``
+    (per-batch group by polygon, parse WKB once, ray-cast all its candidate
+    points).  ``n_salt`` replicates every polygon-cell n ways and salts
+    points by hash — the explicit hot-cell skew remedy (SURVEY.md §4 skew).
+
+    Emits the same rows as :func:`pip_join_broadcast` (A/B parity test).
+    """
+    pts = with_cell(points.select(*keep_cols, lon_col, lat_col), zoom, lon_col, lat_col)
+    polys = polygon_cover_cells(polygons, zoom)
+    if n_salt:
+        polys = polys.withColumn("salt", F.explode(F.array([F.lit(i) for i in range(n_salt)])))
+        pts = pts.withColumn("salt", F.pmod(F.xxhash64(*[F.col(c) for c in keep_cols]), F.lit(n_salt)).cast("int"))
+        join_keys = ["cell", "salt"]
+    else:
+        join_keys = ["cell"]
+    cand = pts.join(polys, on=join_keys, how="inner").drop("cell", *(["salt"] if n_salt else []))
+
+    in_cols = list(keep_cols) + [lon_col, lat_col]
+    out_fields = [f for f in points.select(*in_cols).schema.fields]
+    out_schema = StructType(out_fields + [StructField("polygon_id", IntegerType())])
+
+    def _refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            if pdf.empty:
+                empty = pdf[in_cols].copy()
+                empty["polygon_id"] = pd.Series(dtype="int32")
+                yield empty
+                continue
+            lon = pdf[lon_col].to_numpy(np.float64)
+            lat = pdf[lat_col].to_numpy(np.float64)
+            keep_parts = []
+            for pid, grp in pdf.groupby("polygon_id", sort=False):
+                prep = geom.PreparedPolygon(grp["geom_wkb"].iat[0])
+                pos = grp.index.to_numpy()
+                hit = prep.contains(lon[pos], lat[pos])
+                if hit.any():
+                    sub = grp.loc[pos[hit], in_cols].copy()
+                    sub["polygon_id"] = np.int32(pid)
+                    keep_parts.append(sub)
+            if keep_parts:
+                yield pd.concat(keep_parts, ignore_index=True)
+            else:
+                empty = pdf[in_cols].iloc[0:0].copy()
+                empty["polygon_id"] = pd.Series(dtype="int32")
+                yield empty
+
+    # distinct because a polygon may cover a point's cell via several salted
+    # replicas — never happens without salt (one (pid, cell) row per pair),
+    # but dedupe is cheap insurance and pins exactly-once pair semantics.
+    out = cand.mapInPandas(_refine, out_schema)
+    return out.dropDuplicates(list(keep_cols) + ["polygon_id"]) if n_salt else out
+
+
+# ---------------------------------------------------------------------------
+# kNN via cell-ring expansion (alg/gdalgrid.cpp:675 GDALGridNearestNeighbor)
+# ---------------------------------------------------------------------------
+
+
+def _ring_cells_udf(zoom: int, ring: int):
+    """pandas UDF: (lon,lat) → struct(cells array, guarantee double).
+
+    ``cells`` are the packed ids of the (2r+1)² box (clipped at world edges —
+    the euclidean lon/lat metric does not wrap).  ``guarantee`` is the exact
+    degree distance from the query point to the nearest edge of the explored
+    tile box: every unexplored point is at least that far away, so having k
+    neighbors within it proves the kNN answer final.
+    """
+    shift = np.int64(2 ** (zoom + 1))
+    nmax = 2**zoom
+
+    @F.pandas_udf("struct<cells: array<long>, guarantee: double>")
+    def _cells(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        lo = lon.to_numpy(np.float64)
+        la = lat.to_numpy(np.float64)
+        tx, ty = tiles.lonlat_to_tile(lo, la, zoom)
+        x0 = np.clip(tx - ring, 0, nmax - 1)
+        x1 = np.clip(tx + ring, 0, nmax - 1)
+        y0 = np.clip(ty - ring, 0, nmax - 1)
+        y1 = np.clip(ty + ring, 0, nmax - 1)
+        # box edges: lon edges are exact rationals; lat edges via mercator
+        lon_lo = -180.0 + x0 * (360.0 / nmax)
+        lon_hi = -180.0 + (x1 + 1) * (360.0 / nmax)
+        _, lat_lo_e = tiles.meters_to_lonlat(np.zeros_like(lo), (y0 * 256.0) * tiles.resolution(zoom) - tiles.ORIGIN_SHIFT)
+        _, lat_hi_e = tiles.meters_to_lonlat(np.zeros_like(lo), ((y1 + 1) * 256.0) * tiles.resolution(zoom) - tiles.ORIGIN_SHIFT)
+        inf = np.inf
+        g = np.minimum.reduce(
+            [
+                np.where(x0 == 0, inf, lo - lon_lo),
+                np.where(x1 == nmax - 1, inf, lon_hi - lo),
+                np.where(y0 == 0, inf, la - lat_lo_e),
+                np.where(y1 == nmax - 1, inf, lat_hi_e - la),
+            ]
+        )
+        cells = []
+        for i in range(lo.shape[0]):
+            txs = np.arange(x0[i], x1[i] + 1, dtype=np.int64)
+            tys = np.arange(y0[i], y1[i] + 1, dtype=np.int64)
+            gx, gy = np.meshgrid(txs, tys)
+            cells.append((gx.ravel() * shift + gy.ravel()).tolist())
+        return pd.DataFrame({"cells": cells, "guarantee": g})
+
+    return _cells
+
+
+def knn_join(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int = 5,
+    zoom: int = 6,
+    max_ring: int = 4,
+    query_id: str = "qid",
+    point_id: str = "name",
+) -> DataFrame:
+    """k nearest neighbors (euclidean in lon/lat degrees, ties by point id).
+
+    Plan per round r (ring radius r): unsatisfied queries explode to the
+    (2r+1)² candidate cells → equi-join points on cell → window top-k.  A
+    query is final when it has ≥k neighbors no farther than the exact
+    distance to the explored box edge (see _ring_cells_udf) — mirrors the
+    radius-bounded search loop of GDALGridNearestNeighbor
+    (alg/gdalgrid.cpp:675-775) with the quadtree (port/cpl_quad_tree.h)
+    replaced by the multi-resolution cell grid.  At ``max_ring`` the search
+    is accepted as-is (MAXDIST-bounded semantics, alg/gdalgrid.cpp:691-730).
+
+    Output: (qid, neighbor, nbr_lon, nbr_lat, dist, rank).
+    """
+    pts = with_cell(points, zoom, "lon", "lat").select(
+        F.col(point_id).alias("_nbr"), F.col("lon").alias("_nlon"), F.col("lat").alias("_nlat"), "cell"
+    )
+
+    remaining = queries.select(query_id, "lon", "lat")
+    results = None
+    for ring in range(max_ring + 1):
+        if remaining.isEmpty():
+            break
+        last = ring >= max_ring
+        cells_udf = _ring_cells_udf(zoom, ring)
+        ringed = remaining.withColumn("_r", cells_udf(F.col("lon"), F.col("lat")))
+        cand = (
+            ringed.select(
+                query_id, "lon", "lat", F.col("_r.guarantee").alias("_g"), F.explode("_r.cells").alias("cell")
+            )
+            .join(pts, on="cell", how="inner")
+            .drop("cell")
+            .dropDuplicates([query_id, "_nbr"])
+        )
+        dist = F.sqrt(
+            (F.col("lon") - F.col("_nlon")) ** 2 + (F.col("lat") - F.col("_nlat")) ** 2
+        )
+        w = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col("_nbr").asc())
+        topk = (
+            cand.withColumn("dist", dist)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+        if last:
+            satisfied = topk.select(query_id).distinct()
+        else:
+            satisfied = (
+                topk.groupBy(query_id, "_g")
+                .agg(F.count("*").alias("_n"), F.max("dist").alias("_dmax"))
+                .where((F.col("_n") >= k) & (F.col("_dmax") <= F.col("_g")))
+                .select(query_id)
+            )
+        done = topk.join(satisfied, on=query_id, how="left_semi").select(
+            query_id,
+            F.col("_nbr").alias("neighbor"),
+            F.col("_nlon").alias("nbr_lon"),
+            F.col("_nlat").alias("nbr_lat"),
+            "dist",
+            "rank",
+        )
+        results = done if results is None else results.unionByName(done)
+        if last:
+            break
+        remaining = remaining.join(satisfied, on=query_id, how="left_anti")
+    return results

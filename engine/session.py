@@ -1,0 +1,50 @@
+"""SparkSession builder tuned for this engine.
+
+Local-mode defaults mirror the intended cluster profile: AQE on (runtime
+re-plan + skew-join handling), Arrow on (all engine UDFs are pandas UDFs),
+shuffle partitions sized to cores (overridden per-job at scale).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "spark-geotile",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    # Executor python workers must be able to import the `engine` package
+    # (pandas UDFs are defined in it).  Local mode: export PYTHONPATH before
+    # the JVM starts.  Cluster mode: ship via spark-submit --py-files of the
+    # packaged zip instead (BASELINE.md protocol).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = repo_root + (os.pathsep + pp if pp else "")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cores}]"
+    if shuffle_partitions is None:
+        # local mode: one shuffle partition per core keeps every stage's tasks
+        # in a single wave; at cluster scale this is set per-job instead.
+        shuffle_partitions = int(master[6:-1]) if master.startswith("local[") and master[6:-1].isdigit() else 200
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
