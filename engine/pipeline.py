@@ -1,0 +1,146 @@
+"""Stage runner: checkpointed tile pyramid with lineage/metrics + resume.
+
+The engine's analog of gdal2tiles' base-then-overview generation with
+``--resume`` (gdal2tiles.py:1154 generate_base_tiles, :1314
+generate_overview_tiles, :1202-1207 resume skips existing tiles) and of
+gdaltindex's per-file manifest (apps/gdaltindex.c:96-561): every stage writes
+
+* its output as parquet partitioned by ``zoom`` (partition pruning on zoom =
+  the overview-level selection of gcore/rasterio.cpp:2117), and
+* a **manifest** row per completed zoom level with lineage + row-count
+  metrics: stage name, input/output row counts, tile extents (the
+  GetExtent fast path, ogrlayer.cpp:212), total page count, xor-of-checksums,
+  wall seconds, and the spark conf that produced it.
+
+``run_tiling(..., resume=True)`` consults the manifest and skips every level
+already marked complete — re-running a killed job recomputes only missing
+levels (FIXTURES.md §8 resume invariant).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import raster
+
+MANIFEST_DIR = "_manifest"
+
+
+def _manifest_path(base: str) -> str:
+    return os.path.join(base, MANIFEST_DIR)
+
+
+def read_manifest(spark: SparkSession, base: str) -> DataFrame | None:
+    path = _manifest_path(base)
+    try:
+        return spark.read.json(path)
+    except Exception:
+        return None
+
+
+def completed_levels(spark: SparkSession, base: str) -> set:
+    mf = read_manifest(spark, base)
+    if mf is None or "zoom" not in mf.columns:
+        return set()
+    return {r.zoom for r in mf.select("zoom").distinct().collect()}
+
+
+def _append_manifest(spark: SparkSession, base: str, record: dict) -> None:
+    path = _manifest_path(base)
+    os.makedirs(path, exist_ok=True)
+    # one json file per completed stage — append-only commit log; written
+    # AFTER the level's parquet commit, so a crash between the two re-runs
+    # the level (idempotent overwrite) rather than trusting a torn write
+    fname = os.path.join(path, f"zoom_{record['zoom']}_{int(record['ts'])}.json")
+    with open(fname, "w") as f:
+        f.write(json.dumps(record) + "\n")
+
+
+def _level_stats(tile_df: DataFrame) -> dict:
+    row = (
+        raster.tile_checksums(tile_df)
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.min("tx").alias("min_tx"),
+            F.max("tx").alias("max_tx"),
+            F.min("ty").alias("min_ty"),
+            F.max("ty").alias("max_ty"),
+            F.sum("page_count").alias("total_count"),
+            # order-insensitive combined checksum: xor fold
+            F.expr("aggregate(collect_list(checksum), 0, (a, x) -> int(a ^ x))").alias("ck_xor"),
+        )
+        .collect()[0]
+    )
+    return {k: (int(v) if v is not None else None) for k, v in row.asDict().items()}
+
+
+def run_tiling(
+    spark: SparkSession,
+    points: DataFrame,
+    base: str,
+    base_zoom: int,
+    min_zoom: int,
+    resume: bool = False,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Materialize the density-tile pyramid [min_zoom..base_zoom] under
+    ``base`` with per-level manifest records; returns the full tile table.
+
+    Levels are checkpointed bottom-up (base zoom first); each reduce reads
+    the PERSISTED parquet of the level above, so resume restarts from the
+    first missing level with no recomputation of completed ones.
+    """
+    done = completed_levels(spark, base) if resume else set()
+    n_input = None
+
+    for z in range(base_zoom, min_zoom - 1, -1):
+        lvl_path = os.path.join(base, f"zoom={z}")
+        if z in done:
+            continue
+        t0 = time.time()
+        if z == base_zoom:
+            if n_input is None:
+                n_input = points.count()
+            level = raster.burn_base_tiles(points, z, lon_col, lat_col)
+            in_rows = n_input
+            stage = "burn_base"
+        else:
+            parent_src = spark.read.parquet(os.path.join(base, f"zoom={z + 1}"))
+            parent_src = parent_src.withColumn("zoom", F.lit(z + 1))
+            in_rows = parent_src.count()
+            level = raster.pyramid_reduce(parent_src)
+            stage = "pyramid_reduce"
+        level.drop("zoom").write.mode("overwrite").parquet(lvl_path)
+        persisted = spark.read.parquet(lvl_path).withColumn("zoom", F.lit(z))
+        stats = _level_stats(persisted)
+        _append_manifest(
+            spark,
+            base,
+            {
+                "zoom": z,
+                "stage": stage,
+                "in_rows": int(in_rows),
+                "out_rows": stats["n_tiles"],
+                "ts": time.time(),
+                "wall_s": round(time.time() - t0, 3),
+                "master": spark.sparkContext.master,
+                "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+                **stats,
+            },
+        )
+
+    parts = []
+    for z in range(min_zoom, base_zoom + 1):
+        parts.append(
+            spark.read.parquet(os.path.join(base, f"zoom={z}")).withColumn("zoom", F.lit(z))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("zoom", "tx", "ty", "data")

@@ -1,0 +1,220 @@
+"""Raster/tiling operators: density burn, pyramid reduce, GDAL checksum.
+
+Re-expresses the gdal_rasterize / gdal2tiles / gdaladdo family
+(SURVEY.md §2.9) as DataFrame dataflow over a tile table
+``(zoom:int, tx:long, ty:long, data:binary)`` — the MBTiles layout GDAL
+itself uses as a driver (frmts/mbtiles/mbtilesdataset.cpp:180-181).
+``data`` is a little-endian int32 256×256 grid, row 0 = top of the tile
+(raster convention; TMS ty axis points up, gdal2tiles.py:254-258).
+
+* :func:`burn_base_tiles` — MERGE_ALG=ADD point burn
+  (alg/gdalrasterize.cpp:485-498): each page adds 1 to its pixel.  Scale
+  design: pixel counts are pre-aggregated JVM-side
+  (``groupBy(tile, pixel).count()`` → map-side partial aggregation), so the
+  shuffle carries at most 65536 rows per tile no matter how many input rows —
+  the engine's answer to the reference's Y-chunked burn loop
+  (alg/gdalrasterize.cpp:626-660).
+* :func:`pyramid_reduce` — one 4:1 AVERAGE level
+  (gcore/overview.cpp:1582-1590 AVERAGE; child mosaic gdal2tiles.py:1369-1387).
+  Integer average = floor(sum/4 + 0.5) (round half up).
+* :func:`gdal_checksum` / :func:`tile_checksums` — the 16-bit rolling
+  prime-modulo checksum (alg/gdalchecksum.cpp:57-171), the golden-output
+  function for all tile parity tests.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from . import tiles
+
+TILE_SIZE = tiles.TILE_SIZE
+_PRIMES = np.array([7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43], dtype=np.int64)
+
+TILE_SCHEMA = StructType(
+    [
+        StructField("zoom", IntegerType()),
+        StructField("tx", LongType()),
+        StructField("ty", LongType()),
+        StructField("data", BinaryType()),
+    ]
+)
+
+
+def tile_to_bytes(grid: np.ndarray) -> bytes:
+    return np.ascontiguousarray(grid, dtype="<i4").tobytes()
+
+
+def bytes_to_tile(buf: bytes) -> np.ndarray:
+    return np.frombuffer(buf, dtype="<i4").reshape(TILE_SIZE, TILE_SIZE)
+
+
+def gdal_checksum(grid: np.ndarray) -> int:
+    """Vectorized GDALChecksumImage, integer path (alg/gdalchecksum.cpp:146-165).
+
+    C ``%`` truncates toward zero → ``np.fmod``; the running ``&= 0xffff``
+    commutes with addition mod 2^16, so one masked sum is exact.
+    """
+    flat = np.asarray(grid, dtype=np.int64).ravel()
+    primes = np.resize(_PRIMES, flat.shape[0])
+    return int(np.fmod(flat, primes).sum()) & 0xFFFF
+
+
+def gdal_checksum_float(grid: np.ndarray) -> int:
+    """Float path (alg/gdalchecksum.cpp:97-127): +0.5, clamp ±2147483647,
+    floor, NaN/Inf → int(0x80000000) = -2147483648."""
+    flat = np.asarray(grid, dtype=np.float64).ravel()
+    bad = ~np.isfinite(flat)
+    v = flat + 0.5
+    nval = np.empty(flat.shape, dtype=np.int64)
+    nval[~bad] = np.floor(np.clip(v[~bad], -2147483647.0, 2147483647.0)).astype(np.int64)
+    nval[bad] = -2147483648
+    primes = np.resize(_PRIMES, flat.shape[0])
+    return int(np.fmod(nval, primes).sum()) & 0xFFFF
+
+
+def with_pixel(points: DataFrame, zoom: int, lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Append (tx, ty, ix, iy): tile + in-tile pixel (raster row from top).
+
+    Pixel index = floor(global px) − tx·256, clamped to [0,255] (points on a
+    tile's max edge burn into its last pixel, matching the oracle and the
+    inverse-geotransform floor of apps/gdallocationinfo.cpp:379-384);
+    iy is flipped to raster (top-origin) rows.
+    """
+    out_schema = StructType(
+        [
+            StructField("tx", LongType()),
+            StructField("ty", LongType()),
+            StructField("ix", IntegerType()),
+            StructField("iy", IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(out_schema)
+    def _pix(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        lo = lon.to_numpy(np.float64)
+        la = lat.to_numpy(np.float64)
+        px, py = tiles.lonlat_to_pixels(lo, la, zoom)
+        tx, ty = tiles.pixels_to_tile(px, py)
+        ix = np.clip(np.floor(px).astype(np.int64) - tx * TILE_SIZE, 0, TILE_SIZE - 1)
+        iy = np.clip(np.floor(py).astype(np.int64) - ty * TILE_SIZE, 0, TILE_SIZE - 1)
+        row = TILE_SIZE - 1 - iy
+        return pd.DataFrame({"tx": tx, "ty": ty, "ix": ix.astype(np.int32), "iy": row.astype(np.int32)})
+
+    return points.withColumn("_p", _pix(F.col(lon_col), F.col(lat_col))).select("*", "_p.*").drop("_p")
+
+
+def burn_base_tiles(points: DataFrame, zoom: int, lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Points → base-zoom density tile table (MERGE_ALG=ADD).
+
+    Plan: pixel-encode (pandas UDF) → ``groupBy(tx,ty,ix,iy).count()``
+    (JVM hash agg with map-side combine — the hot path never touches
+    Python per point) → ``groupBy(tx,ty)`` grouped-map UDF that scatters
+    ≤65536 (pixel,count) rows into the 256×256 grid.
+    """
+    counts = (
+        with_pixel(points.select(lon_col, lat_col), zoom, lon_col, lat_col)
+        .groupBy("tx", "ty", "ix", "iy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        grid = np.zeros((TILE_SIZE, TILE_SIZE), dtype=np.int64)
+        np.add.at(grid, (pdf["iy"].to_numpy(), pdf["ix"].to_numpy()), pdf["cnt"].to_numpy())
+        return pd.DataFrame(
+            {
+                "zoom": [np.int32(zoom)],
+                "tx": [pdf["tx"].iat[0]],
+                "ty": [pdf["ty"].iat[0]],
+                "data": [tile_to_bytes(grid)],
+            }
+        )
+
+    return counts.groupBy("tx", "ty").applyInPandas(_assemble, TILE_SCHEMA)
+
+
+def pyramid_reduce(tile_df: DataFrame) -> DataFrame:
+    """Tile table at zoom z → zoom z−1 by 2×2 AVERAGE reduce.
+
+    Each parent mosaics its ≤4 children (missing child = zeros,
+    gdal2tiles.py:1369-1387) and downsamples 2×: avg = floor(sum/4 + 0.5)
+    (AVERAGE resampling, gcore/overview.cpp:1582-1590).  Child (cx,cy):
+    cy=1 (higher ty = north) lands in the TOP half of the parent raster.
+    """
+
+    def _reduce(pdf: pd.DataFrame) -> pd.DataFrame:
+        zoom = int(pdf["zoom"].iat[0]) - 1
+        big = np.zeros((2 * TILE_SIZE, 2 * TILE_SIZE), dtype=np.int64)
+        ptx = int(pdf["tx"].iat[0]) >> 1
+        pty = int(pdf["ty"].iat[0]) >> 1
+        for r in pdf.itertuples():
+            cx, cy = int(r.tx) & 1, int(r.ty) & 1
+            r0 = (1 - cy) * TILE_SIZE
+            c0 = cx * TILE_SIZE
+            big[r0 : r0 + TILE_SIZE, c0 : c0 + TILE_SIZE] = bytes_to_tile(r.data)
+        s = big[0::2, 0::2] + big[0::2, 1::2] + big[1::2, 0::2] + big[1::2, 1::2]
+        avg = (s + 2) // 4  # floor(s/4 + 0.5)
+        return pd.DataFrame(
+            {"zoom": [np.int32(zoom)], "tx": [ptx], "ty": [pty], "data": [tile_to_bytes(avg)]}
+        )
+
+    return tile_df.groupBy(F.shiftright("tx", 1), F.shiftright("ty", 1)).applyInPandas(
+        _reduce, TILE_SCHEMA
+    )
+
+
+def tile_checksums(tile_df: DataFrame) -> DataFrame:
+    """(zoom, tx, ty) → GDAL 16-bit checksum — the golden-output verifier."""
+    out_schema = StructType(
+        [
+            StructField("zoom", IntegerType()),
+            StructField("tx", LongType()),
+            StructField("ty", LongType()),
+            StructField("checksum", IntegerType()),
+            StructField("page_count", LongType()),
+        ]
+    )
+
+    def _ck(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cks = [np.int32(gdal_checksum(bytes_to_tile(b))) for b in pdf["data"]]
+            # page_count only meaningful at base zoom (pre-average); at upper
+            # levels it is the sum of averaged pixels, still a useful invariant
+            tot = [int(bytes_to_tile(b).sum()) for b in pdf["data"]]
+            yield pd.DataFrame(
+                {
+                    "zoom": pdf["zoom"],
+                    "tx": pdf["tx"],
+                    "ty": pdf["ty"],
+                    "checksum": cks,
+                    "page_count": tot,
+                }
+            )
+
+    return tile_df.mapInPandas(_ck, out_schema)
+
+
+def build_pyramid(points: DataFrame, base_zoom: int, min_zoom: int, lon_col: str = "lon", lat_col: str = "lat") -> dict:
+    """Burn base tiles then reduce level by level down to min_zoom.
+
+    Returns {zoom: DataFrame}.  Callers that need checkpointed levels (the
+    resume path) should use engine.pipeline.run_tiling instead, which
+    persists each level before reducing the next — exactly gdal2tiles'
+    base-then-overviews order (gdal2tiles.py:1154,1314).
+    """
+    levels = {base_zoom: burn_base_tiles(points, base_zoom, lon_col, lat_col)}
+    for z in range(base_zoom - 1, min_zoom - 1, -1):
+        levels[z] = pyramid_reduce(levels[z + 1])
+    return levels

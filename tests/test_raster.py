@@ -1,0 +1,139 @@
+"""Tiling stage vs the single-process oracle: burn, pyramid, checksum,
+manifest/resume, determinism across parallelism (FIXTURES.md §5/§8)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from engine import oracle, raster
+from engine.fixtures import make_gazetteer, make_pages
+from engine.geotag import geotag_first
+from engine.oracle import (
+    burn_tiles_oracle,
+    gdal_checksum_oracle,
+    pyramid_reduce_oracle,
+)
+
+
+def test_checksum_matches_oracle_scalar():
+    rng = np.random.default_rng(1)
+    grid = rng.integers(0, 1000, (64, 64)).astype(np.int64)
+    assert raster.gdal_checksum(grid) == gdal_checksum_oracle(grid.tolist())
+    # negative values: C truncating modulo
+    grid2 = rng.integers(-500, 500, (32, 32)).astype(np.int64)
+    assert raster.gdal_checksum(grid2) == gdal_checksum_oracle(grid2.tolist())
+
+
+def test_checksum_float_semantics():
+    # NaN/Inf → 0x80000000; +0.5 floor; clamp (alg/gdalchecksum.cpp:101-119)
+    g = np.array([[1.4, 2.5], [np.nan, np.inf]])
+    v = raster.gdal_checksum_float(g)
+    # manual: 1.9->1, 3.0->3, nan->-2147483648, inf->-2147483648
+    vals = [1, 3, -2147483648, -2147483648]
+    primes = [7, 11, 13, 17]
+    expect = sum(int(np.fmod(x, p)) for x, p in zip(vals, primes)) & 0xFFFF
+    assert v == expect
+
+
+@pytest.fixture(scope="module")
+def geo_points(spark):
+    gaz = make_gazetteer(n=300, n_countries=30)
+    pages = make_pages(n=1000, gazetteer=gaz, seed=31)
+    tagged = geotag_first(spark.createDataFrame(pages), spark.createDataFrame(gaz)).cache()
+    pts = [(r.lon, r.lat) for r in tagged.select("lon", "lat").collect()]
+    return tagged, pts
+
+
+@pytest.mark.parametrize("zoom", [4, 6])
+def test_burn_matches_oracle(spark, geo_points, zoom):
+    tagged, pts = geo_points
+    got = {
+        (r.tx, r.ty): raster.bytes_to_tile(r.data)
+        for r in raster.burn_base_tiles(tagged, zoom).collect()
+    }
+    expect = burn_tiles_oracle(pts, zoom)
+    assert set(got) == set(expect)
+    for key in expect:
+        assert np.array_equal(got[key], np.array(expect[key])), f"tile {key} differs"
+
+
+def test_pyramid_matches_oracle(spark, geo_points):
+    tagged, pts = geo_points
+    z = 5
+    base = raster.burn_base_tiles(tagged, z)
+    reduced = {
+        (r.tx, r.ty): raster.bytes_to_tile(r.data)
+        for r in raster.pyramid_reduce(base).collect()
+    }
+    expect = pyramid_reduce_oracle(burn_tiles_oracle(pts, z))
+    assert set(reduced) == set(expect)
+    for key in expect:
+        assert np.array_equal(reduced[key], np.array(expect[key]))
+
+
+def test_tile_checksums_and_counts(spark, geo_points):
+    tagged, pts = geo_points
+    z = 5
+    cks = {
+        (r.tx, r.ty): (r.checksum, r.page_count)
+        for r in raster.tile_checksums(raster.burn_base_tiles(tagged, z)).collect()
+    }
+    expect = burn_tiles_oracle(pts, z)
+    assert sum(c for _, (_, c) in cks.items()) == len(pts)  # every point lands once
+    for key, grid in expect.items():
+        assert cks[key][0] == gdal_checksum_oracle(grid)
+
+
+def test_determinism_across_parallelism(spark, geo_points):
+    """Same tile checksums at different repartitionings (the local analog of
+    the reference's multithread-identical-output tests, SURVEY.md §5.3)."""
+    tagged, _ = geo_points
+    z = 6
+
+    def run(nparts):
+        df = tagged.repartition(nparts)
+        return sorted(
+            (r.tx, r.ty, r.checksum)
+            for r in raster.tile_checksums(raster.burn_base_tiles(df, z)).collect()
+        )
+
+    assert run(1) == run(7) == run(32)
+
+
+def test_pipeline_resume(spark, geo_points, tmp_path):
+    from engine import pipeline
+
+    tagged, pts = geo_points
+    base = str(tmp_path / "tiles")
+    out1 = pipeline.run_tiling(spark, tagged, base, base_zoom=6, min_zoom=4)
+    n1 = {(r.zoom, r.tx, r.ty): r.data for r in out1.collect()}
+    assert pipeline.completed_levels(spark, base) == {4, 5, 6}
+
+    # simulate a crash after base level: delete upper levels + their manifest
+    import shutil
+
+    for z in (4, 5):
+        shutil.rmtree(os.path.join(base, f"zoom={z}"))
+    for f in os.listdir(os.path.join(base, pipeline.MANIFEST_DIR)):
+        if f.startswith("zoom_4") or f.startswith("zoom_5"):
+            os.remove(os.path.join(base, pipeline.MANIFEST_DIR, f))
+    assert pipeline.completed_levels(spark, base) == {6}
+
+    # resume: must NOT recompute level 6 (mtime unchanged) and must rebuild 4,5
+    import pathlib
+
+    z6_mtime = max(p.stat().st_mtime for p in pathlib.Path(base, "zoom=6").glob("*.parquet"))
+    out2 = pipeline.run_tiling(spark, tagged, base, base_zoom=6, min_zoom=4, resume=True)
+    n2 = {(r.zoom, r.tx, r.ty): r.data for r in out2.collect()}
+    z6_mtime2 = max(p.stat().st_mtime for p in pathlib.Path(base, "zoom=6").glob("*.parquet"))
+    assert z6_mtime == z6_mtime2  # completed partition untouched
+    assert set(n1) == set(n2)
+    assert all(bytes(n1[k]) == bytes(n2[k]) for k in n1)  # identical tables
+
+    # manifest lineage: row counts present for every level
+    mf = pipeline.read_manifest(spark, base)
+    rows = {r.zoom: r for r in mf.collect()}
+    assert rows[6].stage == "burn_base" and rows[6].in_rows == len(pts)
+    assert rows[5].stage == "pyramid_reduce"
+    assert rows[5].in_rows == rows[6].out_rows  # lineage chains
