@@ -1,38 +1,659 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface (SURVEY.md §2) over the
+driver-provided parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent
+ANSI SQL for each.  Geospatial queries derive deterministic (lon, lat) from
+``events.event_id`` with exact integer/IEEE arithmetic so both engines see
+bit-identical coordinates; the mercator tile math in SQL mirrors the engine's
+formula (gdal2tiles.py:213-252 transcription) operation-for-operation.
 """
 
 from __future__ import annotations
 
+import math
+import os
+import sys
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from engine import joins, sqlcompat, tiles  # noqa: E402
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# -- deterministic point derivation (same in Spark + DuckDB) ----------------
+# lon = (event_id % 36000) / 100.0 - 180.0 + 0.005   ∈ [-179.995, 179.995]
+# lat = ((event_id * 7919) % 16000) / 100.0 - 80.0 + 0.005 ∈ [-79.995, 79.995]
+_LON_SQL = "((event_id % 36000) / 100.0 - 180.0 + 0.005)"
+_LAT_SQL = "(((event_id * 7919) % 16000) / 100.0 - 80.0 + 0.005)"
+
+PI = repr(math.pi)
+ORIGIN_SHIFT = repr(tiles.ORIGIN_SHIFT)
+DEG = repr(math.pi / 180.0)  # the (pi/180) constant as the engine computes it
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        ((F.col("event_id") % 36000) / 100.0 - 180.0 + 0.005).alias("lon"),
+        (((F.col("event_id") * 7919) % 16000) / 100.0 - 80.0 + 0.005).alias("lat"),
+    )
+
+
+def _merc_tile_sql(zoom: int, lon_expr: str = "lon", lat_expr: str = "lat") -> str:
+    """SQL fragments computing (tx, ty) exactly as engine.tiles does.
+
+    Mirrors lonlat_to_meters → meters_to_pixels → pixels_to_tile with the
+    same operation order and the same float64 constants (repr round-trip).
+    """
+    res = repr(tiles.resolution(zoom))
+    mx = f"(({lon_expr}) * {ORIGIN_SHIFT} / 180.0)"
+    my0 = f"(ln(tan((90.0 + ({lat_expr})) * {PI} / 360.0)) / {DEG})"
+    my = f"({my0} * {ORIGIN_SHIFT} / 180.0)"
+    px = f"(({mx} + {ORIGIN_SHIFT}) / {res})"
+    py = f"(({my} + {ORIGIN_SHIFT}) / {res})"
+    tx = f"CAST(ceil({px} / 256.0) - 1 AS BIGINT)"
+    ty = f"CAST(ceil({py} / 256.0) - 1 AS BIGINT)"
+    return tx, ty, px, py
+
+
+def _quadkey_sql(tx_expr: str, ty_expr: str, zoom: int) -> str:
+    """Quadkey as SQL string concat (gdal2tiles.py:304-318 semantics)."""
+    gy = f"(({2**zoom} - 1) - ({ty_expr}))"
+    parts = []
+    for i in range(zoom, 0, -1):
+        mask = 1 << (i - 1)
+        d = f"(((({tx_expr}) // {mask}) % 2) + 2 * ((({gy}) // {mask}) % 2))"
+        parts.append(f"CAST({d} AS VARCHAR)")
+    return " || ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+
+def _q_tile_assign_merc_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    out = joins.with_tile(pts, zoom=8)
+    gx, gy = F.col("tx"), (F.lit(2**8 - 1) - F.col("ty"))
+    return out.select(
+        "event_id",
+        F.col("tx").alias("tx"),
+        F.col("ty").alias("ty"),
+        gy.cast("long").alias("google_ty"),
+        F.col("quadkey").alias("quadkey"),
+    )
+
+
+def _sql_tile_assign_merc_z8() -> str:
+    tx, ty, _, _ = _merc_tile_sql(8)
+    qk = _quadkey_sql("tx", "ty", 8)
+    return f"""
+        WITH pts AS (
+            SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+        ), t AS (
+            SELECT event_id, {tx} AS tx, {ty} AS ty FROM pts
+        )
+        SELECT event_id, tx, ty, CAST((255 - ty) AS BIGINT) AS google_ty,
+               {qk} AS quadkey
+        FROM t
+    """
+
+
+def _q_tile_assign_geodetic_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    pts = _points(spark, sf_dir)
+    schema = StructType([StructField("gtx", LongType()), StructField("gty", LongType())])
+
+    @F.pandas_udf(schema)
+    def _enc(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        tx, ty = tiles.geodetic_lonlat_to_tile(
+            lon.to_numpy(np.float64), lat.to_numpy(np.float64), 6
+        )
+        return pd.DataFrame({"gtx": tx, "gty": ty})
+
+    return (
+        pts.withColumn("_t", _enc(F.col("lon"), F.col("lat")))
+        .select("event_id", F.col("_t.gtx").alias("gtx"), F.col("_t.gty").alias("gty"))
+    )
+
+
+def _sql_tile_assign_geodetic_z6() -> str:
+    # GlobalGeodetic (tmscompatible): res = (180/256)/2^6; px=(180+lon)/res
+    res = repr(tiles.geodetic_resolution(6))
+    return f"""
+        WITH pts AS (
+            SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+        )
+        SELECT event_id,
+               CAST(ceil(((180.0 + lon) / {res}) / 256.0) - 1 AS BIGINT) AS gtx,
+               CAST(ceil(((90.0 + lat) / {res}) / 256.0) - 1 AS BIGINT) AS gty
+        FROM pts
+    """
+
+
+def _q_tile_density_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    return (
+        joins.with_tile(pts, zoom=5)
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("page_count"))
+    )
+
+
+def _sql_tile_density_z5() -> str:
+    tx, ty, _, _ = _merc_tile_sql(5)
+    return f"""
+        WITH pts AS (
+            SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+        )
+        SELECT {tx} AS tx, {ty} AS ty, COUNT(*) AS page_count
+        FROM pts GROUP BY 1, 2
+    """
+
+
+def _q_pyramid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational pyramid consistency: z8 → z5 rollup by 3-level parent key
+    (the 4:1 reduce chain, gdal2tiles.py:1369-1387, counts not averaged)."""
+    pts = _points(spark, sf_dir)
+    z8 = joins.with_tile(pts, zoom=8)
+    return (
+        z8.groupBy(
+            F.shiftright("tx", 3).alias("tx5"), F.shiftright("ty", 3).alias("ty5")
+        )
+        .agg(F.count(F.lit(1)).alias("page_count"))
+    )
+
+
+def _sql_pyramid_rollup() -> str:
+    tx, ty, _, _ = _merc_tile_sql(8)
+    return f"""
+        WITH pts AS (
+            SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+        ), t AS (SELECT {tx} AS tx, {ty} AS ty FROM pts)
+        SELECT tx // 8 AS tx5, ty // 8 AS ty5, COUNT(*) AS page_count
+        FROM t GROUP BY 1, 2
+    """
+
+
+def _grid_polygons_pdf():
+    """36×18 grid of 10° cells — the arithmetic polygon layer whose PIP
+    result is exactly floor arithmetic (SQL-checkable)."""
+    import pandas as pd
+
+    from engine import geom
+
+    rows = []
+    for row in range(18):
+        for col in range(36):
+            x0, y0 = -180.0 + col * 10.0, -90.0 + row * 10.0
+            rows.append(
+                (
+                    row * 36 + col,
+                    geom.wkb_polygon(
+                        [[(x0, y0), (x0 + 10, y0), (x0 + 10, y0 + 10), (x0, y0 + 10)]]
+                    ),
+                )
+            )
+    pdf = pd.DataFrame(rows, columns=["polygon_id", "geom_wkb"])
+    pdf["polygon_id"] = pdf["polygon_id"].astype("int32")
+    return pdf
+
+
+def _q_pip_tile_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: points → z8 tile assign + PIP join against the 10° grid."""
+    pts = _points(spark, sf_dir)
+    tiled = joins.with_tile(pts, zoom=8)
+    matched = joins.pip_join_broadcast(
+        tiled.select("event_id", "lon", "lat", "tx", "ty", "quadkey"),
+        _grid_polygons_pdf(),
+        keep_cols=("event_id", "tx", "ty", "quadkey"),
+    )
+    return matched.select(
+        "event_id",
+        F.col("polygon_id").cast("int").alias("polygon_id"),
+        "tx",
+        "ty",
+        "quadkey",
+    )
+
+
+def _sql_pip_tile_join() -> str:
+    tx, ty, _, _ = _merc_tile_sql(8)
+    qk = _quadkey_sql("tx", "ty", 8)
+    # interior points only (offsets .005 keep them off 10° boundaries), so
+    # point-in-cell == floor arithmetic
+    return f"""
+        WITH pts AS (
+            SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+        ), t AS (
+            SELECT event_id, lon, lat, {tx} AS tx, {ty} AS ty FROM pts
+        )
+        SELECT event_id,
+               CAST(CAST(floor((lat + 90.0) / 10.0) AS BIGINT) * 36
+                    + CAST(floor((lon + 180.0) / 10.0) AS BIGINT) AS INT) AS polygon_id,
+               tx, ty, {qk} AS quadkey
+        FROM t
+    """
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    queries = pts.where(F.col("event_id") % 200 == 0).select(
+        F.col("event_id").alias("qid"), "lon", "lat"
+    )
+    out = joins.knn_join(queries, pts, k=10, zoom=4, max_ring=6, query_id="qid", point_id="event_id")
+    return out.select("qid", F.col("neighbor").cast("long").alias("neighbor"), F.col("rank").cast("int").alias("rank"))
+
+
+def _sql_knn() -> str:
+    return f"""
+        WITH pts AS (
+            SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+        ), q AS (
+            SELECT event_id AS qid, lon, lat FROM pts WHERE event_id % 200 = 0
+        ), pairs AS (
+            SELECT q.qid, p.event_id AS neighbor,
+                   (q.lon - p.lon) * (q.lon - p.lon)
+                   + (q.lat - p.lat) * (q.lat - p.lat) AS d2
+            FROM q CROSS JOIN pts p
+        ), ranked AS (
+            SELECT qid, neighbor,
+                   row_number() OVER (PARTITION BY qid ORDER BY d2, neighbor) AS rank
+            FROM pairs
+        )
+        SELECT qid, neighbor, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+    """
+
+
+def _q_point_pixel_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdallocationinfo analog (apps/gdallocationinfo.cpp:355-384): query
+    point → (tile, pixel) → density value at that pixel (0 if empty)."""
+    from engine import raster
+
+    pts = _points(spark, sf_dir)
+    px = raster.with_pixel(pts, zoom=8)
+    density = px.groupBy("tx", "ty", "ix", "iy").agg(F.count(F.lit(1)).alias("value"))
+    queries = px.where(F.col("event_id") % 97 == 0).select("event_id", "tx", "ty", "ix", "iy")
+    return (
+        queries.join(density, on=["tx", "ty", "ix", "iy"], how="left")
+        .select(
+            F.col("event_id").alias("qid"),
+            "tx",
+            "ty",
+            F.col("ix").cast("int").alias("ix"),
+            F.col("iy").cast("int").alias("iy"),
+            F.coalesce(F.col("value"), F.lit(0)).cast("long").alias("value"),
+        )
+    )
+
+
+def _sql_point_pixel_lookup() -> str:
+    tx, ty, px, py = _merc_tile_sql(8)
+    return f"""
+        WITH pts AS (
+            SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+        ), pix AS (
+            SELECT event_id, {tx} AS tx, {ty} AS ty,
+                   CAST(greatest(0, least(255, CAST(floor({px}) AS BIGINT) - {tx} * 256)) AS INT) AS ix,
+                   CAST(255 - greatest(0, least(255, CAST(floor({py}) AS BIGINT) - {ty} * 256)) AS INT) AS iy
+            FROM pts
+        ), density AS (
+            SELECT tx, ty, ix, iy, COUNT(*) AS value FROM pix GROUP BY 1, 2, 3, 4
+        )
+        SELECT q.event_id AS qid, q.tx, q.ty, q.ix, q.iy,
+               CAST(coalesce(d.value, 0) AS BIGINT) AS value
+        FROM pix q LEFT JOIN density d USING (tx, ty, ix, iy)
+        WHERE q.event_id % 97 = 0
+    """
+
+
+# -- OGR SQL compat layer over TPC-H tables ---------------------------------
+
+
+def _q_summary_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # float SUM/AVG accumulate in decimal (exact, order-independent — the
+    # distributed answer to the reference's single-pass string accumulators,
+    # ogr/swq.cpp:285-462) and convert to double only at the end
+    li = _read(spark, sf_dir, "lineitem")
+    dec_price = F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+    dec_disc = F.sum(F.col("l_discount").cast("decimal(28,6)"))
+    return li.agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        (dec_price.cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_price"),
+        dec_disc.cast("double").alias("sum_disc"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+def _sql_summary_lineitem() -> str:
+    return """
+        SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS avg_price,
+               CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc,
+               count(*) AS n_rows, count(DISTINCT l_partkey) AS n_parts
+        FROM lineitem
+    """
+
+
+def _q_distinct_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return sqlcompat.distinct_list(li, "l_returnflag")
+
+
+def _sql_distinct_returnflag() -> str:
+    return "SELECT DISTINCT l_returnflag FROM lineitem ORDER BY l_returnflag NULLS FIRST"
+
+
+def _q_first_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _read(spark, sf_dir, "supplier")
+    cust = _read(spark, sf_dir, "customer")
+    out = sqlcompat.first_match_left_join(
+        sup, cust, "s_nationkey", "c_nationkey", "c_custkey"
+    )
+    return out.select("s_suppkey", "s_name", "c_custkey", "c_name")
+
+
+def _sql_first_match_join() -> str:
+    return """
+        SELECT s.s_suppkey, s.s_name, c.c_custkey, c.c_name
+        FROM supplier s LEFT JOIN (
+            SELECT * FROM (
+                SELECT c_custkey, c_name, c_nationkey,
+                       row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+                FROM customer
+            ) WHERE rn = 1
+        ) c ON s.s_nationkey = c.c_nationkey
+    """
+
+
+def _q_ogr_quirks_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive '=' + div/mod-by-zero → INT_MAX quirks in one query."""
+    part = _read(spark, sf_dir, "part")
+    return (
+        part.where(sqlcompat.ogr_eq(F.col("p_brand"), F.lit("BRAND#13")))
+        .select(
+            "p_partkey",
+            "p_brand",
+            sqlcompat.ogr_mod(F.col("p_partkey"), F.col("p_size") - 25)
+            .cast("long")
+            .alias("mod_quirk"),
+        )
+    )
+
+
+def _sql_ogr_quirks_filter() -> str:
+    return """
+        SELECT p_partkey, p_brand,
+               CAST(CASE WHEN (p_size - 25) = 0 THEN 2147483647
+                    ELSE p_partkey % (p_size - 25) END AS BIGINT) AS mod_quirk
+        FROM part WHERE lower(p_brand) = lower('BRAND#13')
+    """
+
+
+def _q_substr_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _read(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        sqlcompat.ogr_substr(F.col("p_name"), -5).alias("tail5"),
+        sqlcompat.ogr_substr(F.col("p_name"), 3, 4).alias("mid"),
+        sqlcompat.ogr_concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("label"),
+    )
+
+
+def _sql_substr_concat() -> str:
+    # OGR SUBSTR(s, -5) = last 5 chars (ogr/ogr_sql.dox:151-153)
+    return """
+        SELECT p_partkey,
+               CASE WHEN length(p_name) >= 5 THEN substr(p_name, length(p_name) - 4)
+                    ELSE p_name END AS tail5,
+               substr(p_name, 3, 4) AS mid,
+               p_brand || '/' || p_type AS label
+        FROM part
+    """
+
+
+def _q_union_all_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"), F.col("o_totalprice").alias("total")
+    )
+    events = _read(spark, sf_dir, "events").select(
+        F.col("event_id").alias("key"), F.col("event_type").alias("etype")
+    )
+    return sqlcompat.union_all_layers([orders, events])
+
+
+def _sql_union_all_layers() -> str:
+    return """
+        SELECT o_orderkey AS key, o_totalprice AS total, NULL AS etype FROM orders
+        UNION ALL
+        SELECT event_id AS key, NULL AS total, event_type AS etype FROM events
+    """
+
+
+def _q_hstore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    hs = F.concat(
+        F.lit("type=>"), F.col("event_type"), F.lit(", val=>"), F.col("value").cast("string")
+    )
+    return ev.select(
+        "event_id",
+        hs.alias("hstore"),
+        sqlcompat.hstore_get_value(hs, "type").alias("type_val"),
+        sqlcompat.hstore_get_value(hs, "val").alias("val_val"),
+    )
+
+
+def _sql_hstore() -> str:
+    return r"""
+        WITH h AS (
+            SELECT event_id,
+                   'type=>' || event_type || ', val=>' || CAST(value AS VARCHAR) AS hstore
+            FROM events
+        )
+        SELECT event_id, hstore,
+               regexp_extract(hstore, '(^|,)\s*"?type"?\s*=>\s*"?([^,"]*)"?', 2) AS type_val,
+               regexp_extract(hstore, '(^|,)\s*"?val"?\s*=>\s*"?([^,"]*)"?', 2) AS val_val
+        FROM h
+    """
+
+
+# -- webtext ops over documents / embeddings --------------------------------
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def _sql_dedup_exact() -> str:
+    return """
+        SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS keep_doc_id
+        FROM documents GROUP BY 1
+    """
+
+
+def _q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+    )
+
+
+def _sql_doc_token_stats() -> str:
+    return """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique_tokens
+        FROM documents
+    """
+
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+
+def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        n_stop.cast("long").alias("n_stopwords"),
+        (n_stop.cast("double") / F.size(toks).cast("double")).alias("stopword_ratio"),
+    )
+
+
+def _sql_doc_quality() -> str:
+    stops = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    return f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(toks, x -> x IN ({stops}))) AS BIGINT) AS n_stopwords,
+               CAST(len(list_filter(toks, x -> x IN ({stops}))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) AS stopword_ratio
+        FROM t
+    """
+
+
+def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors for every 50th vector (the ANN
+    baseline; rank-only output so float summation order can't flip hashes
+    except on exact ties, which the random embeddings don't produce)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "embedding", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_q = F.sqrt(
+        F.aggregate(F.transform("qv", lambda a: a.cast("double") * a.cast("double")), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    norm_p = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    from pyspark.sql import Window
+
+    pairs = (
+        q.crossJoin(emb)
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", (dot / (norm_q * norm_p)).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("qid", F.col("vec_id").alias("neighbor"), F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _sql_embedding_topk() -> str:
+    return """
+        WITH q AS (
+            SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0
+        ), pairs AS (
+            SELECT q.qid, e.vec_id,
+                   list_dot_product(q.qv, e.embedding)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(e.embedding, e.embedding))) AS cos
+            FROM q CROSS JOIN embeddings e
+            WHERE e.vec_id <> q.qid
+        ), ranked AS (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+            FROM pairs
+        )
+        SELECT qid, vec_id AS neighbor, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 3
+    """
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _q_pip_tile_join(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tile_assign_merc_z8": _q_tile_assign_merc_z8,
+        "tile_assign_geodetic_z6": _q_tile_assign_geodetic_z6,
+        "tile_density_z5": _q_tile_density_z5,
+        "pyramid_rollup": _q_pyramid_rollup,
+        "pip_tile_join": _q_pip_tile_join,
+        "knn": _q_knn,
+        "point_pixel_lookup": _q_point_pixel_lookup,
+        "summary_lineitem": _q_summary_lineitem,
+        "distinct_returnflag": _q_distinct_returnflag,
+        "first_match_join": _q_first_match_join,
+        "ogr_quirks_filter": _q_ogr_quirks_filter,
+        "substr_concat": _q_substr_concat,
+        "union_all_layers": _q_union_all_layers,
+        "hstore": _q_hstore,
+        "dedup_exact": _q_dedup_exact,
+        "doc_token_stats": _q_doc_token_stats,
+        "doc_quality": _q_doc_quality,
+        "embedding_topk": _q_embedding_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tile_assign_merc_z8": _sql_tile_assign_merc_z8(),
+        "tile_assign_geodetic_z6": _sql_tile_assign_geodetic_z6(),
+        "tile_density_z5": _sql_tile_density_z5(),
+        "pyramid_rollup": _sql_pyramid_rollup(),
+        "pip_tile_join": _sql_pip_tile_join(),
+        "knn": _sql_knn(),
+        "point_pixel_lookup": _sql_point_pixel_lookup(),
+        "summary_lineitem": _sql_summary_lineitem(),
+        "distinct_returnflag": _sql_distinct_returnflag(),
+        "first_match_join": _sql_first_match_join(),
+        "ogr_quirks_filter": _sql_ogr_quirks_filter(),
+        "substr_concat": _sql_substr_concat(),
+        "union_all_layers": _sql_union_all_layers(),
+        "hstore": _sql_hstore(),
+        "dedup_exact": _sql_dedup_exact(),
+        "doc_token_stats": _sql_doc_token_stats(),
+        "doc_quality": _sql_doc_quality(),
+        "embedding_topk": _sql_embedding_topk(),
+    }

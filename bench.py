@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line to stdout:
+  {"metric": "spatial_join_tiling_pages_per_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "pages_per_sec": ..., ...}
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver collect).  The flagship pipeline (geotag-style point derivation →
+z8 tile assign → PIP join → density tiles + pyramid) defines pages/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from engine import joins, raster  # noqa: E402
+from engine.session import get_spark  # noqa: E402
+
+
+def _force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _run(name, fn, timings):
+    t0 = time.time()
+    fn()
+    timings[name] = round(time.time() - t0, 3)
+    print(f"  {name}: {timings[name]}s", file=sys.stderr)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict = {}
+    q = entrymod.queries()
+
+    # flagship pipeline: points → tile assign → PIP join → density + pyramid
+    pts = entrymod._points(spark, sf_dir).cache()
+    n_pages = pts.count()
+
+    t0 = time.time()
+    _run("pip_tile_join", lambda: _force(q["pip_tile_join"](spark, sf_dir)), timings)
+    # base zoom sized to point density: world-scattered events at z5 keep
+    # every 256x256 tile meaningfully filled (dense-tile parity path)
+    _run(
+        "tiling_pyramid",
+        lambda: _force(
+            raster.pyramid_reduce(raster.pyramid_reduce(raster.burn_base_tiles(pts, 5)))
+        ),
+        timings,
+    )
+    flagship_wall = time.time() - t0
+
+    _run("tile_assign_merc_z8", lambda: _force(q["tile_assign_merc_z8"](spark, sf_dir)), timings)
+    _run("tile_density_z5", lambda: _force(q["tile_density_z5"](spark, sf_dir)), timings)
+    _run("knn", lambda: _force(q["knn"](spark, sf_dir)), timings)
+    _run("point_pixel_lookup", lambda: _force(q["point_pixel_lookup"](spark, sf_dir)), timings)
+    _run("pip_shuffle_plan", lambda: _force(
+        joins.pip_join_shuffle(
+            pts,
+            spark.createDataFrame(entrymod._grid_polygons_pdf()).selectExpr(
+                "polygon_id", "geom_wkb",
+                "double((polygon_id % 36) * 10 - 180) as minx",
+                "double((polygon_id div 36) * 10 - 90) as miny",
+                "double((polygon_id % 36) * 10 - 170) as maxx",
+                "double((polygon_id div 36) * 10 - 80) as maxy",
+            ),
+            zoom=5,
+            keep_cols=("event_id",),
+        )
+    ), timings)
+    _run("summary_lineitem", lambda: _force(q["summary_lineitem"](spark, sf_dir)), timings)
+    _run("first_match_join", lambda: _force(q["first_match_join"](spark, sf_dir)), timings)
+    _run("dedup_exact", lambda: _force(q["dedup_exact"](spark, sf_dir)), timings)
+    _run("doc_quality", lambda: _force(q["doc_quality"](spark, sf_dir)), timings)
+    _run("embedding_topk", lambda: _force(q["embedding_topk"](spark, sf_dir)), timings)
+
+    total = round(sum(timings.values()), 3)
+    pages_per_sec = round(n_pages / flagship_wall, 1) if flagship_wall > 0 else None
+    print(
+        json.dumps(
+            {
+                "metric": "spatial_join_tiling_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_pages": n_pages,
+                "pages_per_sec": pages_per_sec,
+                "master": f"local[{cpus}]",
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
