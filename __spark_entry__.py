@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from engine import joins, sqlcompat, tiles  # noqa: E402
+from engine import joins, sqlcompat, textops, tiles  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -42,7 +42,9 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
-    return ev.select(
+    # the test parquet is one file → one scan partition; spread rows across
+    # cores so pandas-UDF stages parallelize (no-op semantically)
+    return ev.repartition(spark.sparkContext.defaultParallelism).select(
         "event_id",
         ((F.col("event_id") % 36000) / 100.0 - 180.0 + 0.005).alias("lon"),
         (((F.col("event_id") * 7919) % 16000) / 100.0 - 80.0 + 0.005).alias("lat"),
@@ -603,6 +605,153 @@ def _sql_embedding_topk() -> str:
     """
 
 
+# -- text-analysis / dedup family (engine.textops) --------------------------
+
+_H60_SQL = "CAST(CONCAT('0x', substring(md5({x}), 1, 15)) AS BIGINT)"
+_H32_SQL = "CAST(CONCAT('0x', substring(md5({x}), 1, 8)) AS BIGINT)"
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", textops.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _sql_lang_id() -> str:
+    counts = []
+    for lang in textops._LANG_ORDER:
+        words = ", ".join(f"'{w}'" for w in textops.LANG_STOPWORDS[lang])
+        counts.append(
+            f"len(list_filter(string_split(lower(text), ' '), t -> t IN ({words}))) AS c_{lang}"
+        )
+    whens = " ".join(
+        f"WHEN c_{lang} = best AND best > 0 THEN '{lang}'" for lang in textops._LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"c_{lang}" for lang in textops._LANG_ORDER) + ")"
+    return f"""
+        WITH s AS (SELECT doc_id, {', '.join(counts)} FROM documents),
+        b AS (SELECT doc_id, {best} AS best, * FROM s)
+        SELECT doc_id, CASE {whens} ELSE 'und' END AS lang_pred FROM b
+    """
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", textops.simhash16(F.col("text")).alias("simhash"))
+
+
+def _sql_simhash() -> str:
+    h = _H60_SQL.format(x="t")
+    bits = []
+    for i in range(16):
+        # contrib_i = sum(+1 if bit set else -1) > 0  ⟺  2*n_set > n_tokens
+        bits.append(
+            f"CASE WHEN 2 * len(list_filter(hs, x -> (x >> {i}) & 1 = 1)) > len(hs) "
+            f"THEN {1 << i} ELSE 0 END"
+        )
+    return f"""
+        WITH h AS (
+            SELECT doc_id,
+                   list_transform(string_split(lower(text), ' '), t -> {h}) AS hs
+            FROM documents
+        )
+        SELECT doc_id, CAST({' + '.join(bits)} AS BIGINT) AS simhash FROM h
+    """
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return textops.minhash_lsh_pairs(docs, n_hashes=16, n_bands=4, shingle_words=3)
+
+
+def _sql_minhash_lsh() -> str:
+    a, b = textops._hash_params(16)
+    h32 = _H32_SQL.format(x="s")
+    P = textops.MERSENNE_P
+    sig_exprs = ", ".join(
+        f"coalesce(list_min(list_transform(hs, h -> (h * {ai} + {bi}) % {P})), {P}) AS m{i}"
+        for i, (ai, bi) in enumerate(zip(a, b))
+    )
+    band_keys = ", ".join(
+        "md5(" + " || ',' || ".join(f"CAST(m{bi * 4 + r} AS VARCHAR)" for r in range(4)) + f") AS k{bi}"
+        for bi in range(4)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, k{bi} AS key, sig FROM sigs" for bi in range(4)
+    )
+    agree = " + ".join(f"CASE WHEN l.sig[{i + 1}] = r.sig[{i + 1}] THEN 1 ELSE 0 END" for i in range(16))
+    return f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(ts[i+1:i+3], ' ')
+                                  for i in range(0, greatest(len(ts) - 3, 0) + 1)]) AS shingles
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents)
+        ), hashed AS (
+            SELECT doc_id, list_transform(shingles, s -> {h32}) AS hs FROM sh
+        ), sigs0 AS (
+            SELECT doc_id, {sig_exprs} FROM hashed
+        ), sigs AS (
+            SELECT doc_id, [{', '.join(f'm{i}' for i in range(16))}] AS sig,
+                   {band_keys}
+            FROM sigs0
+        ), banded AS ({band_rows}),
+        pairs AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sig AS sl, r.sig AS sr
+            FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+            WHERE l.doc_id < r.doc_id
+        )
+        SELECT a, b,
+               CAST(({agree.replace('l.sig', 'sl').replace('r.sig', 'sr')}) AS DOUBLE) / 16.0 AS est_jaccard
+        FROM pairs
+    """
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return textops.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+
+
+def _sql_ngram_jaccard() -> str:
+    return """
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(ts[i+1:i+3], ' ')
+                                  for i in range(0, greatest(len(ts) - 3, 0) + 1)]) AS s
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents)
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.2
+    """
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textops.bottom_k_fingerprint(F.col("text"), k=4, shingle=5).alias("fingerprint")
+    )
+
+
+def _sql_doc_fingerprint() -> str:
+    h = _H60_SQL.format(x="s")
+    return f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_sort(list_distinct([substring(text, i, 5)
+                              for i in range(1, greatest(length(text) - 4, 1) + 1)])) AS s5
+            FROM documents
+        ), hs AS (
+            SELECT doc_id, list_sort(list_transform(s5, s -> {h})) AS hv FROM sh
+        )
+        SELECT doc_id,
+               array_to_string(list_transform(hv[1:4], x -> CAST(x AS VARCHAR)), ',') AS fingerprint
+        FROM hs
+    """
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -633,6 +782,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": _q_doc_token_stats,
         "doc_quality": _q_doc_quality,
         "embedding_topk": _q_embedding_topk,
+        "lang_id": _q_lang_id,
+        "simhash": _q_simhash,
+        "minhash_lsh": _q_minhash_lsh,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "doc_fingerprint": _q_doc_fingerprint,
     }
 
 
@@ -656,4 +810,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": _sql_doc_token_stats(),
         "doc_quality": _sql_doc_quality(),
         "embedding_topk": _sql_embedding_topk(),
+        "lang_id": _sql_lang_id(),
+        "simhash": _sql_simhash(),
+        "minhash_lsh": _sql_minhash_lsh(),
+        "ngram_jaccard": _sql_ngram_jaccard(),
+        "doc_fingerprint": _sql_doc_fingerprint(),
     }

@@ -1,0 +1,234 @@
+"""Text-analysis + deduplication operators for the web-page pipeline.
+
+The training-data-pipeline operator family: exact dedup, MinHash+LSH and
+SimHash near-dup, n-gram Jaccard, language ID, quality scoring, token
+counting, document fingerprinting.  GDAL has no text operators; these are
+the payload-side superset the mission brief requires, built with the same
+engine discipline: everything JVM-side (higher-order functions on arrays —
+no Python in the hot path), and every hash derived from md5 so an
+independent SQL engine can reproduce results bit-for-bit (xxhash64 etc. are
+engine-specific; md5 is not).
+
+Hash family: h_i(s) = (A_i * H(s) + B_i) mod P  over  H(s) = first 15 hex
+chars of md5(s) as int (60 bits), P = 2^61-1 (Mersenne), with fixed seeded
+A_i/B_i — the standard universal-hash MinHash construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+MERSENNE_P = (1 << 61) - 1
+_HEX_CHARS = 15  # 60 bits < 2^61 and < int64
+
+
+def _hash_params(n: int, seed: int = 42):
+    """A_i < 2^30 and base hash < 2^32, so A*H + B < 2^63 — no int64
+    overflow inside the JVM expression (ANSI-safe)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 30, n, dtype=np.int64)
+    b = rng.integers(0, 1 << 61, n, dtype=np.int64)
+    return a.tolist(), b.tolist()
+
+
+def md5_int(col: Column) -> Column:
+    """First 60 bits of md5 as a long — the base hash H(s), reproducible in
+    any SQL engine (DuckDB: CAST(CONCAT('0x', substring(md5(s),1,15)) AS ...))."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, _HEX_CHARS), 16, 10).cast("long")
+
+
+def md5_int_sql(expr: str) -> str:
+    """DuckDB-SQL equivalent of md5_int."""
+    return f"CAST(CONCAT('0x', substring(md5({expr}), 1, {_HEX_CHARS})) AS BIGINT)"
+
+
+def tokens(col: Column, lowercase: bool = True) -> Column:
+    """Whitespace tokenization (the engine's token-count basis)."""
+    c = F.lower(col) if lowercase else col
+    return F.split(c, " ")
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """All k-char shingles of a string as an array (distinct, sorted) —
+    the MinHash input set."""
+    n = F.length(col)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_sort(F.array_distinct(F.transform(idx, lambda i: col.substr(i, F.lit(k)))))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """n-word shingles (distinct) from whitespace tokens."""
+    toks = tokens(col)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def minhash_signature(shingle_col: Column, n_hashes: int = 16, seed: int = 42) -> Column:
+    """MinHash signature: array<long> of length n_hashes.
+
+    sig[i] = min over shingles s of (A_i * H32(s) + B_i) mod P, with H32 =
+    first 8 md5 hex chars (32 bits — keeps A*H+B inside int64).  Empty
+    shingle set → sig[i] = P (sentinel), keeping the column total."""
+    a, b = _hash_params(n_hashes, seed)
+    base = F.transform(
+        shingle_col,
+        lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("long"),
+    )
+    mins = [
+        F.coalesce(
+            F.array_min(F.transform(base, lambda h: (h * ai + bi) % MERSENNE_P)),
+            F.lit(MERSENNE_P),
+        )
+        for ai, bi in zip(a, b)
+    ]
+    return F.array(*mins)
+
+
+def lsh_bands(sig_col: Column, n_bands: int = 4, rows_per_band: int = 4) -> Column:
+    """Split a MinHash signature into bands; each band keyed by the md5 of
+    its joined values → array<struct<band:int, key:string>> ready to explode
+    into the LSH bucket join."""
+    bands = []
+    for bi in range(n_bands):
+        seg = F.slice(sig_col, bi * rows_per_band + 1, rows_per_band)
+        key = F.md5(F.concat_ws(",", F.transform(seg, lambda x: x.cast("string"))).cast("binary"))
+        bands.append(F.struct(F.lit(bi).alias("band"), key.alias("key")))
+    return F.array(*bands)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_words: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash+LSH banding.
+
+    Plan: per-doc signature (JVM higher-order fns over word shingles) →
+    explode bands → self-equi-join on (band, key) → distinct ordered pairs
+    (a < b) → exact signature-agreement fraction as ``sim`` (the standard
+    MinHash Jaccard estimate).  Scale: the self-join shuffles on band keys —
+    identical docs collide in every band; unrelated docs almost never.
+    """
+    rows = n_hashes // n_bands
+    sig = docs.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(word_shingles(F.col(text_col), shingle_words), n_hashes, seed).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id", "_sig", F.explode(lsh_bands(F.col("_sig"), n_bands, rows)).alias("_b")
+    ).select("_id", "_sig", F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))
+    left = banded.select(
+        F.col("_id").alias("a"), F.col("_sig").alias("sig_a"), "band", "key"
+    )
+    right = banded.select(
+        F.col("_id").alias("b"), F.col("_sig").alias("sig_b"), "band", "key"
+    )
+    pairs = (
+        left.join(right, on=["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1
+        )
+    )
+    return pairs.select(
+        "a", "b", (agree.cast("double") / F.lit(float(n_hashes))).alias("est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs above threshold (the brute-force
+    dedup oracle; quadratic — use minhash_lsh_pairs at scale)."""
+    sh = docs.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("_sh")
+    )
+    a = sh.select(F.col("_id").alias("a"), F.col("_sh").alias("sha"))
+    b = sh.select(F.col("_id").alias("b"), F.col("_sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size(F.array_union("sha", "shb"))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash16(text_col: Column, seed: int = 42) -> Column:
+    """16-bit SimHash over whitespace tokens: bit_i = 1 iff
+    sum over tokens of (±1 by bit i of H(token)) > 0.  Small width keeps the
+    oracle SQL tractable; the construction generalizes to 64."""
+    toks = tokens(text_col)
+    h = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, _HEX_CHARS), 16, 10).cast("long"))
+    bits = []
+    for i in range(16):
+        contrib = F.aggregate(
+            h,
+            F.lit(0),
+            lambda acc, x: acc + F.when(F.shiftright(x, i) % 2 == 1, 1).otherwise(-1),
+        )
+        bits.append(F.when(contrib > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "que"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "que"],
+    "pt": ["o", "a", "os", "e", "não", "uma", "que", "para"],
+}
+_LANG_ORDER = ["en", "de", "fr", "es", "pt"]
+
+
+def lang_scores(text_col: Column) -> dict:
+    """Per-language stopword hit counts (the n-gram-heuristic language ID)."""
+    toks = tokens(text_col)
+    out = {}
+    for lang in _LANG_ORDER:
+        arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def lang_id(text_col: Column) -> Column:
+    """argmax language by stopword count; ties broken by fixed order; all
+    zero → 'und' (undetermined)."""
+    scores = lang_scores(text_col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(_LANG_ORDER):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def bottom_k_fingerprint(text_col: Column, k: int = 4, shingle: int = 5) -> Column:
+    """Bottom-k sketch document fingerprint: the k smallest hashes of the
+    5-char shingles, as a comma-joined string (stable identity for
+    near-exact content; rolling-hash winnowing analog)."""
+    sh = char_shingles(text_col, shingle)
+    hashes = F.array_sort(
+        F.transform(sh, lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, _HEX_CHARS), 16, 10).cast("long"))
+    )
+    return F.concat_ws(",", F.transform(F.slice(hashes, 1, k), lambda x: x.cast("string")))

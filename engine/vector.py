@@ -1,0 +1,156 @@
+"""Vector-layer operators: the ogr2ogr / OGRLayer operational surface.
+
+* :func:`spatial_filter_rect` / :func:`spatial_filter_geom` — SetSpatialFilter
+  (ogr/ogrsf_frmts/generic/ogrlayer.cpp:1055,1296-1405): two-phase bbox
+  prefilter (JVM-side, codegen) + exact prepared-geometry test (pandas UDF),
+  exactly the reference's FilterGeometry cascade.
+* :func:`layer_extent` — GetExtent/GetFeatureCount fast-path aggregates
+  (ogrlayer.cpp:171,212-330) per coarse cell → the partition manifest.
+* :func:`pip_semi_join` / :func:`pip_anti_join` — the geometric semi/anti
+  analogs of Clip/Erase for point layers (ogrlayer.cpp:3424 Clip, :3660
+  Erase): points with ≥1 / zero polygon matches.
+* :func:`dissolve` — UnionCascaded-style geometric aggregate
+  (ogr/ogrgeometry.cpp:2657) for DISJOINT inputs: group polygons into
+  MultiPolygon + aggregate area.  (True overlapping-union needs a full
+  polygon-clipping kernel; the engine's fixtures and tiling layers are
+  non-overlapping by construction, and the limitation is documented.)
+* :func:`shoelace_area` — planar polygon area (holes negative), the
+  OGR_GEOM_AREA special field (ogr/ogr_p.h:104-111).
+* :func:`split_list_fields` — ogr2ogr -splitlistfields (apps/ogr2ogr.cpp:1299):
+  explode array columns into scalar columns.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from . import geom
+
+
+def spatial_filter_rect(
+    df: DataFrame, minx: float, miny: float, maxx: float, maxy: float,
+    lon_col: str = "lon", lat_col: str = "lat",
+) -> DataFrame:
+    """Rectangle spatial filter: pure JVM predicate (the bbox-only fast path,
+    SetSpatialFilterRect ogrlayer.cpp:1435)."""
+    return df.where(
+        (F.col(lon_col) >= minx) & (F.col(lon_col) <= maxx)
+        & (F.col(lat_col) >= miny) & (F.col(lat_col) <= maxy)
+    )
+
+
+def spatial_filter_geom(
+    df: DataFrame, wkb: bytes, lon_col: str = "lon", lat_col: str = "lat"
+) -> DataFrame:
+    """Polygon spatial filter: bbox prefilter pushed into the scan, then the
+    exact prepared-geometry test in a vectorized UDF (FilterGeometry,
+    ogrlayer.cpp:1296-1405; boundary counts as match)."""
+    minx, miny, maxx, maxy = geom.envelope(wkb)
+    pre = spatial_filter_rect(df, minx, miny, maxx, maxy, lon_col, lat_col)
+
+    @F.pandas_udf("boolean")
+    def _hit(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        prep = geom.PreparedPolygon(wkb)
+        return pd.Series(prep.contains(lon.to_numpy(np.float64), lat.to_numpy(np.float64)))
+
+    return pre.where(_hit(F.col(lon_col), F.col(lat_col)))
+
+
+def layer_extent(df: DataFrame, lon_col: str = "lon", lat_col: str = "lat", group: list | None = None) -> DataFrame:
+    """GetExtent + GetFeatureCount aggregate (per group when given) — the
+    per-partition lineage/metrics row (gdaltindex manifest analog)."""
+    aggs = [
+        F.count(F.lit(1)).alias("feature_count"),
+        F.min(lon_col).alias("minx"),
+        F.min(lat_col).alias("miny"),
+        F.max(lon_col).alias("maxx"),
+        F.max(lat_col).alias("maxy"),
+    ]
+    return df.groupBy(*group).agg(*aggs) if group else df.agg(*aggs)
+
+
+def pip_semi_join(points: DataFrame, polygons_pdf, lon_col="lon", lat_col="lat", keep_cols=("url",)) -> DataFrame:
+    """Points intersecting ≥1 polygon, each emitted once (Clip for points,
+    ogrlayer.cpp:3424)."""
+    from .joins import pip_join_broadcast
+
+    matched = pip_join_broadcast(points, polygons_pdf, lon_col, lat_col, keep_cols).select(*keep_cols).distinct()
+    return points.join(matched, on=list(keep_cols), how="left_semi")
+
+
+def pip_anti_join(points: DataFrame, polygons_pdf, lon_col="lon", lat_col="lat", keep_cols=("url",)) -> DataFrame:
+    """Points intersecting NO polygon (Erase for points, ogrlayer.cpp:3660)."""
+    from .joins import pip_join_broadcast
+
+    matched = pip_join_broadcast(points, polygons_pdf, lon_col, lat_col, keep_cols).select(*keep_cols).distinct()
+    return points.join(matched, on=list(keep_cols), how="left_anti")
+
+
+def shoelace_area_py(wkb: bytes) -> float:
+    """Planar area: |shoelace| of exterior minus holes — but even-odd over a
+    flat ring list gives exterior − holes automatically when holes wind
+    opposite; robust form: sum of signed ring areas with |exterior| sign."""
+    kind, body = geom.wkb_loads(wkb)
+    polys = [body] if kind == "Polygon" else [b for _, b in body]
+    total = 0.0
+    for rings in polys:
+        for i, ring in enumerate(rings):
+            r = np.asarray(ring, dtype=np.float64)
+            x, y = r[:, 0], r[:, 1]
+            a = 0.5 * np.sum(x[:-1] * y[1:] - x[1:] * y[:-1])
+            total += abs(a) if i == 0 else -abs(a)
+    return float(total)
+
+
+@F.pandas_udf(DoubleType())
+def st_area(wkb: pd.Series) -> pd.Series:
+    """OGR_GEOM_AREA / ST_Area (ogr/ogr_p.h:110; OGRGeometry::get_Area)."""
+    return wkb.map(lambda b: shoelace_area_py(b) if b is not None else None)
+
+
+def dissolve(polygons: DataFrame, group_col: str, wkb_col: str = "geom_wkb") -> DataFrame:
+    """Disjoint-union dissolve: per group collect member polygons into one
+    MultiPolygon + aggregate area/count (UnionCascaded for non-overlapping
+    inputs, ogr/ogrgeometry.cpp:2657).  groupBy + grouped-map UDF = the
+    geometric UDAF pattern (SURVEY.md §2.4)."""
+    out_schema = (
+        f"{group_col} int, n_parts long, area double, geom_wkb binary"
+    )
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        polys = []
+        area = 0.0
+        for b in pdf[wkb_col]:
+            kind, body = geom.wkb_loads(b)
+            if kind == "Polygon":
+                polys.append([np.asarray(r) for r in body])
+            else:
+                polys.extend([[np.asarray(r) for r in rings] for _, rings in body])
+            area += shoelace_area_py(b)
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iat[0]],
+                "n_parts": [len(polys)],
+                "area": [area],
+                "geom_wkb": [geom.wkb_multipolygon(polys)],
+            }
+        )
+
+    return polygons.groupBy(group_col).applyInPandas(_merge, out_schema)
+
+
+def split_list_fields(df: DataFrame, list_cols: list, max_elems: int = 4) -> DataFrame:
+    """-splitlistfields (apps/ogr2ogr.cpp:1299): each array column becomes
+    max_elems scalar columns col_1..col_N (OGR names them field1, field2...)."""
+    out = df
+    for c in list_cols:
+        for i in range(max_elems):
+            out = out.withColumn(f"{c}{i + 1}", F.get(F.col(c), i))  # NULL when absent (ANSI-safe)
+        out = out.drop(c)
+    return out

@@ -1,0 +1,96 @@
+"""Vector-layer operators vs oracle: spatial filters, extent, semi/anti,
+dissolve, area, splitlistfields + test_ogrsf-style invariants
+(apps/test_ogrsf.cpp:608,1140,1914)."""
+
+import numpy as np
+import pytest
+
+from engine import geom, vector
+from engine.fixtures import make_gazetteer, make_pages, make_polygons
+from engine.geotag import geotag_first
+from engine.oracle import point_in_polygon
+
+
+@pytest.fixture(scope="module")
+def tagged(spark):
+    gaz = make_gazetteer(n=300, n_countries=30)
+    pages = make_pages(n=700, gazetteer=gaz, seed=77)
+    return geotag_first(spark.createDataFrame(pages), spark.createDataFrame(gaz)).cache()
+
+
+def test_spatial_filter_rect_invariants(spark, tagged):
+    total = tagged.count()
+    # covering rect returns all rows; disjoint rect returns none (test_ogrsf.cpp:1140)
+    assert vector.spatial_filter_rect(tagged, -180, -90, 180, 90).count() == total
+    assert vector.spatial_filter_rect(tagged, 200, 91, 300, 95).count() == 0
+    # count(scan) == count(agg) under a filter (test_ogrsf.cpp:608)
+    f = vector.spatial_filter_rect(tagged, -40, -40, 40, 40)
+    rows = f.collect()
+    assert len(rows) == f.count()
+    for r in rows:
+        assert -40 <= r.lon <= 40 and -40 <= r.lat <= 40
+
+
+def test_spatial_filter_geom_matches_oracle(spark, tagged):
+    wkb = geom.wkb_polygon([[(-60, -30), (50, -30), (50, 45), (-60, 45), (-60, 40), (0, 40), (0, -20), (-60, -20)]])
+    got = {r.url for r in vector.spatial_filter_geom(tagged, wkb).collect()}
+    rings = [r.tolist() for r in geom.polygon_rings(wkb)]
+    expect = {
+        r.url for r in tagged.collect() if point_in_polygon(r.lon, r.lat, rings)
+    }
+    assert got == expect
+
+
+def test_layer_extent_consistency(spark, tagged):
+    # extents from manifest == agg over rows (test_ogrsf.cpp:1914)
+    ext = vector.layer_extent(tagged).collect()[0]
+    rows = tagged.collect()
+    assert ext.feature_count == len(rows)
+    assert ext.minx == min(r.lon for r in rows)
+    assert ext.maxy == max(r.lat for r in rows)
+
+
+def test_semi_anti_partition(spark, tagged):
+    polys = make_polygons(n=40)
+    # semi ∪ anti == all, semi ∩ anti == ∅
+    semi = {r.url for r in vector.pip_semi_join(tagged, polys).collect()}
+    anti = {r.url for r in vector.pip_anti_join(tagged, polys).collect()}
+    allu = {r.url for r in tagged.collect()}
+    assert semi | anti == allu
+    assert not (semi & anti)
+
+
+def test_dissolve_area_and_parts(spark):
+    polys = make_polygons(n=40)
+    sdf = spark.createDataFrame(polys)
+    from pyspark.sql import functions as F
+
+    grouped = vector.dissolve(sdf.withColumn("grp", (F.col("polygon_id") % 5).cast("int")), "grp")
+    rows = grouped.collect()
+    assert sum(r.n_parts for r in rows) >= len(polys)  # multipolys may split
+    # area additivity: group areas sum to total area of all members
+    total = sum(vector.shoelace_area_py(w) for w in polys["geom_wkb"])
+    assert sum(r.area for r in rows) == pytest.approx(total, rel=1e-12)
+    # merged WKB re-parses and contains all member rings
+    for r in rows:
+        kind, body = geom.wkb_loads(bytes(r.geom_wkb))
+        assert kind == "MultiPolygon" and len(body) == r.n_parts
+
+
+def test_st_area_shoelace():
+    sq = geom.wkb_polygon([[(0, 0), (4, 0), (4, 4), (0, 4)]])
+    assert vector.shoelace_area_py(sq) == 16.0
+    holed = geom.wkb_polygon(
+        [[(0, 0), (10, 0), (10, 10), (0, 10)], [(2, 2), (4, 2), (4, 4), (2, 4)]]
+    )
+    assert vector.shoelace_area_py(holed) == 100.0 - 4.0
+
+
+def test_split_list_fields(spark):
+    df = spark.createDataFrame(
+        [(1, [10, 20, 30]), (2, [40])], "id int, vals array<int>"
+    )
+    out = vector.split_list_fields(df, ["vals"], max_elems=3)
+    rows = {r.id: (r.vals1, r.vals2, r.vals3) for r in out.collect()}
+    assert rows[1] == (10, 20, 30)
+    assert rows[2] == (40, None, None)
