@@ -605,6 +605,300 @@ def _sql_embedding_topk() -> str:
     """
 
 
+# -- ogr2ogr-style transforms + remaining OGR SQL surface -------------------
+
+
+def _q_ogr2ogr_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr2ogr -select/-fieldmap/-nln analog (apps/ogr2ogr.cpp:958-1104):
+    column selection, rename, CAST(CHARACTER(n)) truncation, computed field."""
+    part = _read(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("fid"),
+        sqlcompat.ogr_cast_character(F.col("p_name"), 12).alias("name12"),
+        F.col("p_retailprice").cast("int").alias("price_int"),
+        (F.col("p_size") * 2 + 1).cast("long").alias("size_calc"),
+    )
+
+
+def _sql_ogr2ogr_transform() -> str:
+    return """
+        SELECT p_partkey AS fid,
+               substr(CAST(p_name AS VARCHAR), 1, 12) AS name12,
+               CAST(trunc(p_retailprice) AS INT) AS price_int,  -- Spark cast truncates; DuckDB rounds
+               CAST(p_size * 2 + 1 AS BIGINT) AS size_calc
+        FROM part
+    """
+
+
+def _q_orderby_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY multi-key + LIMIT (OGR SQL sort, ogr_gensql.cpp:1550-1826;
+    LIMIT is a Spark superset — absent from the OGR grammar).  Unique key in
+    the sort makes the top-100 set deterministic."""
+    orders = _read(spark, sf_dir, "orders")
+    return sqlcompat.ogr_order_by(
+        orders.select("o_orderkey", "o_totalprice", "o_orderdate"),
+        [("o_totalprice", "desc"), ("o_orderkey", "asc")],
+    ).limit(100)
+
+
+def _sql_orderby_topk() -> str:
+    return """
+        SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        ORDER BY o_totalprice DESC NULLS FIRST, o_orderkey ASC NULLS FIRST
+        LIMIT 100
+    """
+
+
+def _q_like_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive LIKE with ESCAPE (swq_test_like,
+    ogr/swq_op_general.cpp:42-82)."""
+    part = _read(spark, sf_dir, "part")
+    return part.where(sqlcompat.ogr_like(F.col("p_type"), "%BRUSHED!%%", escape="!")).select(
+        "p_partkey", "p_type"
+    ).unionByName(
+        part.where(sqlcompat.ogr_like(F.col("p_type"), "%polished%")).select("p_partkey", "p_type")
+    )
+
+
+def _sql_like_escape() -> str:
+    return """
+        SELECT p_partkey, p_type FROM part
+        WHERE lower(p_type) LIKE lower('%BRUSHED!%%') ESCAPE '!'
+        UNION ALL
+        SELECT p_partkey, p_type FROM part WHERE lower(p_type) LIKE '%polished%'
+    """
+
+
+def _q_spatial_filter_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SetSpatialFilterRect (ogrlayer.cpp:1435): pure-JVM bbox predicate."""
+    from engine import vector
+
+    pts = _points(spark, sf_dir)
+    return vector.spatial_filter_rect(pts, -30.0, -20.0, 60.5, 45.25).select(
+        "event_id", "lon", "lat"
+    )
+
+
+def _sql_spatial_filter_rect() -> str:
+    return f"""
+        WITH pts AS (
+            SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+        )
+        SELECT event_id, lon, lat FROM pts
+        WHERE lon >= -30.0 AND lon <= 60.5 AND lat >= -20.0 AND lat <= 45.25
+    """
+
+
+def _q_extent_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetExtent/GetFeatureCount per z4 tile (ogrlayer.cpp:171,212) — the
+    partition-manifest aggregate (gdaltindex analog)."""
+    from engine import vector
+
+    pts = joins.with_tile(_points(spark, sf_dir), zoom=4)
+    return vector.layer_extent(pts, group=["tx", "ty"]).select(
+        "tx", "ty", "feature_count", "minx", "miny", "maxx", "maxy"
+    )
+
+
+def _sql_extent_manifest() -> str:
+    tx, ty, _, _ = _merc_tile_sql(4)
+    return f"""
+        WITH pts AS (
+            SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+        ), t AS (SELECT lon, lat, {tx} AS tx, {ty} AS ty FROM pts)
+        SELECT tx, ty, COUNT(*) AS feature_count,
+               min(lon) AS minx, min(lat) AS miny, max(lon) AS maxx, max(lat) AS maxy
+        FROM t GROUP BY 1, 2
+    """
+
+
+def _q_dissolve_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dissolve (UnionCascaded analog, ogr/ogrgeometry.cpp:2657) of the 10°
+    grid layer grouped by polygon_id % 7: parts count + shoelace area."""
+    from engine import vector
+
+    polys = spark.createDataFrame(_grid_polygons_pdf()).withColumn(
+        "grp", (F.col("polygon_id") % 7).cast("int")
+    )
+    return vector.dissolve(polys, "grp").select("grp", "n_parts", "area")
+
+
+def _sql_dissolve_area() -> str:
+    # every grid cell is exactly 10°x10° → area 100 per member polygon
+    return """
+        WITH ids AS (SELECT UNNEST(range(648)) AS pid)
+        SELECT CAST(pid % 7 AS INT) AS grp,
+               COUNT(*) AS n_parts,
+               CAST(COUNT(*) * 100.0 AS DOUBLE) AS area
+        FROM ids GROUP BY 1
+    """
+
+
+def _ann_hyperplanes(n_planes: int = 8, dim: int = 64):
+    """Deterministic literal hyperplanes h[p][d] ∈ [-1, 1] derived from md5 —
+    identical constants are inlined into both the Spark plan and the SQL."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: random-hyperplane LSH bucketing + exact cosine refine
+    within buckets (the bucketed alternative to brute-force _q_embedding_topk;
+    at 100 TB the bucket equi-join replaces the cross join).  Output: for
+    every query (vec_id % 25 == 0), its best same-bucket neighbor by cosine."""
+    from pyspark.sql import Window
+
+    emb = _read(spark, sf_dir, "embeddings")
+    planes = _ann_hyperplanes()
+    sig_bits = []
+    for p, row in enumerate(planes):
+        plane = F.array(*[F.lit(v) for v in row])
+        dot = F.aggregate(
+            F.zip_with("embedding", plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig_bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = sig_bits[0]
+    for b in sig_bits[1:]:
+        bucket = bucket + b
+    emb_b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    q = emb_b.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "bucket"
+    )
+    cand = q.join(emb_b, on="bucket").where(F.col("vec_id") != F.col("qid"))
+    dot = F.aggregate(
+        F.zip_with("qv", "embedding", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nq = F.sqrt(F.aggregate(F.transform("qv", lambda a: a.cast("double") * a.cast("double")), F.lit(0.0), lambda acc, x: acc + x))
+    np_ = F.sqrt(F.aggregate(F.transform("embedding", lambda a: a.cast("double") * a.cast("double")), F.lit(0.0), lambda acc, x: acc + x))
+    scored = cand.select("qid", "vec_id", (dot / (nq * np_)).alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("qid", F.col("vec_id").alias("neighbor"))
+    )
+
+
+def _sql_ann_lsh() -> str:
+    planes = _ann_hyperplanes()
+    bits = []
+    for p, row in enumerate(planes):
+        lit = "[" + ", ".join(repr(v) for v in row) + "]"
+        bits.append(
+            f"CASE WHEN list_dot_product(embedding, {lit}) >= 0 THEN {1 << p} ELSE 0 END"
+        )
+    bucket = " + ".join(bits)
+    return f"""
+        WITH b AS (
+            SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings
+        ), q AS (
+            SELECT vec_id AS qid, embedding AS qv, bucket FROM b WHERE vec_id % 25 = 0
+        ), cand AS (
+            SELECT q.qid, e.vec_id,
+                   list_dot_product(q.qv, e.embedding)
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(e.embedding, e.embedding))) AS cos
+            FROM q JOIN b e USING (bucket)
+            WHERE e.vec_id <> q.qid
+        )
+        SELECT qid, vec_id AS neighbor
+        FROM (SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+              FROM cand)
+        WHERE rn = 1
+    """
+
+
+# -- raster statistics cross-check: tile-table path vs relational oracle ----
+
+
+def _q_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burn the density tile table at z5, compute raster statistics on the
+    TILES (gcore/gdalrasterband.cpp:3477 path); the oracle computes the same
+    numbers relationally from raw pixel counts — the two paths must agree."""
+    from engine import raster
+
+    pts = _points(spark, sf_dir)
+    base = raster.burn_base_tiles(pts, 5)
+    return raster.raster_statistics(base).select(
+        "zoom", "n_pixels", "n_nonzero", "sum_val", "min_val", "max_val", "mean_val"
+    )
+
+
+def _sql_raster_stats() -> str:
+    tx, ty, px, py = _merc_tile_sql(5)
+    return f"""
+        WITH pts AS (
+            SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+        ), pix AS (
+            SELECT {tx} AS tx, {ty} AS ty,
+                   greatest(0, least(255, CAST(floor({px}) AS BIGINT) - {tx} * 256)) AS ix,
+                   greatest(0, least(255, CAST(floor({py}) AS BIGINT) - {ty} * 256)) AS iy
+            FROM pts
+        ), cnts AS (
+            SELECT tx, ty, ix, iy, COUNT(*) AS c FROM pix GROUP BY 1,2,3,4
+        ), tiles AS (SELECT DISTINCT tx, ty FROM cnts)
+        SELECT CAST(5 AS INT) AS zoom,
+               (SELECT COUNT(*) FROM tiles) * 65536 AS n_pixels,
+               (SELECT COUNT(*) FROM cnts) AS n_nonzero,
+               (SELECT SUM(c) FROM cnts) AS sum_val,
+               CAST(0 AS BIGINT) AS min_val,
+               (SELECT MAX(c) FROM cnts) AS max_val,
+               CAST((SELECT SUM(c) FROM cnts) AS DOUBLE)
+                   / CAST((SELECT COUNT(*) FROM tiles) * 65536 AS DOUBLE) AS mean_val
+    """
+
+
+def _q_raster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine import raster
+
+    pts = _points(spark, sf_dir)
+    base = raster.burn_base_tiles(pts, 5)
+    return raster.raster_histogram(base, n_buckets=16, lo=0, hi=16).select(
+        "zoom", "bucket", "pix_count"
+    )
+
+
+def _sql_raster_histogram() -> str:
+    tx, ty, px, py = _merc_tile_sql(5)
+    return f"""
+        WITH pts AS (
+            SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+        ), pix AS (
+            SELECT {tx} AS tx, {ty} AS ty,
+                   greatest(0, least(255, CAST(floor({px}) AS BIGINT) - {tx} * 256)) AS ix,
+                   greatest(0, least(255, CAST(floor({py}) AS BIGINT) - {ty} * 256)) AS iy
+            FROM pts
+        ), cnts AS (
+            SELECT tx, ty, ix, iy, COUNT(*) AS c FROM pix GROUP BY 1,2,3,4
+        ), nz AS (
+            SELECT CAST(least(c, 15) AS INT) AS bucket, COUNT(*) AS pix_count
+            FROM cnts GROUP BY 1
+        ), totals AS (
+            SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT tx, ty FROM cnts)) * 65536
+                   - (SELECT COUNT(*) FROM cnts) AS zeros
+        )
+        SELECT CAST(5 AS INT) AS zoom, b.bucket,
+               CAST(CASE WHEN b.bucket = 0
+                    THEN coalesce(nz.pix_count, 0) + (SELECT zeros FROM totals)
+                    ELSE coalesce(nz.pix_count, 0) END AS BIGINT) AS pix_count
+        FROM (SELECT CAST(UNNEST(range(16)) AS INT) AS bucket) b
+        LEFT JOIN nz ON b.bucket = nz.bucket
+    """
+
+
 # -- text-analysis / dedup family (engine.textops) --------------------------
 
 _H60_SQL = "CAST(CONCAT('0x', substring(md5({x}), 1, 15)) AS BIGINT)"
@@ -787,6 +1081,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "ngram_jaccard": _q_ngram_jaccard,
         "doc_fingerprint": _q_doc_fingerprint,
+        "ogr2ogr_transform": _q_ogr2ogr_transform,
+        "orderby_topk": _q_orderby_topk,
+        "like_escape": _q_like_escape,
+        "spatial_filter_rect": _q_spatial_filter_rect,
+        "extent_manifest": _q_extent_manifest,
+        "dissolve_area": _q_dissolve_area,
+        "ann_lsh": _q_ann_lsh,
+        "raster_stats": _q_raster_stats,
+        "raster_histogram": _q_raster_histogram,
     }
 
 
@@ -815,4 +1118,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _sql_minhash_lsh(),
         "ngram_jaccard": _sql_ngram_jaccard(),
         "doc_fingerprint": _sql_doc_fingerprint(),
+        "ogr2ogr_transform": _sql_ogr2ogr_transform(),
+        "orderby_topk": _sql_orderby_topk(),
+        "like_escape": _sql_like_escape(),
+        "spatial_filter_rect": _sql_spatial_filter_rect(),
+        "extent_manifest": _sql_extent_manifest(),
+        "dissolve_area": _sql_dissolve_area(),
+        "ann_lsh": _sql_ann_lsh(),
+        "raster_stats": _sql_raster_stats(),
+        "raster_histogram": _sql_raster_histogram(),
     }

@@ -33,16 +33,30 @@ def make_points(spark, sf_dir: str, k: int):
     to the replicated id — same formula both runs, so outputs must agree."""
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     n_events = ev.count()
-    # replicated ids {event_id*k + rep} cover exactly [0, n_events*k), so a
-    # parallel range() generates the identical point set with no serial
-    # crossJoin stage and no extra shuffle.  One partition per core: python
-    # UDF stages pay ~30 ms fixed setup per task, so task count == cores is
-    # the throughput-optimal layout for map-only stages (measured).
+    # Parallel range() generates the point set with no serial crossJoin stage
+    # and no shuffle; one partition per core (python UDF stages pay ~30 ms
+    # fixed setup per task, so task count == cores is throughput-optimal).
+    #
+    # Distribution is CLUSTERED like a real web corpus: 5000 "city" centers
+    # (uniform worldwide) with ±0.05° jitter.  Uniform points at this volume
+    # produce ~1 distinct z5 pixel per 11 rows — a degenerate density map
+    # whose hash-aggregation is DRAM-latency-bound and benchmarks the memory
+    # system, not the engine.  All arithmetic stays integer-derived →
+    # deterministic across runs and parallelism.
     nparts = spark.sparkContext.defaultParallelism
+    cid = F.col("id") % 5000
+    j = F.col("id") / F.lit(5000)  # integer part used below
+    jj = (F.col("id") - cid) / 5000
     return spark.range(0, n_events * k, 1, nparts).select(
         F.col("id").alias("event_id"),
-        ((F.col("id") % 36000) / 100.0 - 180.0 + 0.005).alias("lon"),
-        (((F.col("id") * 7919) % 16000) / 100.0 - 80.0 + 0.005).alias("lat"),
+        (
+            ((cid * 73) % 35800) / 100.0 - 179.0 + 0.005
+            + ((jj.cast("long") * 31) % 100) / 1000.0 - 0.05
+        ).alias("lon"),
+        (
+            ((cid * 7919) % 15800) / 100.0 - 79.0 + 0.005
+            + ((jj.cast("long") * 17) % 100) / 1000.0 - 0.05
+        ).alias("lat"),
     )
 
 
@@ -55,14 +69,20 @@ def flagship(spark, pts):
     matched = joins.pip_join_broadcast(
         pts, entrymod._grid_polygons_pdf(), keep_cols=("event_id",)
     )
-    base = raster.burn_base_tiles(matched, 5)
-    pyr = raster.pyramid_reduce(raster.pyramid_reduce(base))
-    cks = raster.tile_checksums(base).unionByName(raster.tile_checksums(pyr))
-    row = cks.agg(
-        F.expr("aggregate(collect_list(checksum), 0, (a, x) -> int(a ^ x))").alias("ck"),
-        F.count(F.lit(1)).alias("tiles"),
-        F.sum("page_count").alias("total"),
-    ).collect()[0]
+    base = raster.burn_base_tiles(matched, 5).persist()
+    try:
+        pyr = raster.pyramid_reduce(raster.pyramid_reduce(base))
+        # persist: base feeds both the pyramid and its own checksum pass —
+        # without it the burn-assemble stage runs twice (only the shuffle
+        # below it is reused)
+        cks = raster.tile_checksums(base).unionByName(raster.tile_checksums(pyr))
+        row = cks.agg(
+            F.expr("aggregate(collect_list(checksum), 0, (a, x) -> int(a ^ x))").alias("ck"),
+            F.count(F.lit(1)).alias("tiles"),
+            F.sum("page_count").alias("total"),
+        ).collect()[0]
+    finally:
+        base.unpersist()
     return int(row.ck), int(row.tiles), int(row.total)
 
 

@@ -1,0 +1,170 @@
+"""Focal (spatial-window) raster operators: the gdaldem family.
+
+The reference computes hillshade/slope/aspect/TRI/TPI/roughness with a 3×3
+window over the grid (apps/gdaldem.cpp:37-125).  Distributed form: each
+256×256 tile needs a 1-pixel halo from its 8 neighbors — implemented as a
+**halo exchange join**: every tile emits (itself + 8 neighbor-addressed
+slivers) keyed by the receiving tile, one shuffle co-locates each tile with
+its halo, and a grouped-map UDF assembles the 258×258 padded array and runs
+the numpy kernel.  Missing neighbors pad with the edge value (gdaldem's
+border handling computes windows from available cells).
+
+The same pattern implements proximity (alg/gdalproximity.cpp) and focal
+fill (alg/rasterfill.cpp) by iterating to a fixpoint; slope/TRI/roughness
+are provided as representative kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .raster import TILE_SIZE, TILE_SCHEMA, bytes_to_tile, tile_to_bytes
+
+
+def _emit_halo_slivers(pdf: pd.DataFrame) -> pd.DataFrame:
+    """For one batch of tiles: rows addressed to each neighbor that needs a
+    sliver of this tile, plus the tile itself addressed to itself.
+    Sliver kinds: 8 compass directions encoded (dx, dy) ∈ {-1,0,1}²."""
+    rows = []
+    for r in pdf.itertuples():
+        g = bytes_to_tile(r.data)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    payload = r.data
+                else:
+                    # receiver (tx+dx, ty+dy) needs this tile's strip on the
+                    # side facing it; ty axis is TMS (up), array row 0 = top
+                    cols = {-1: slice(0, 1), 0: slice(None), 1: slice(TILE_SIZE - 1, TILE_SIZE)}[dx]
+                    # receiver above (dy=+1) needs our TOP row (row 0)
+                    rws = {1: slice(0, 1), 0: slice(None), -1: slice(TILE_SIZE - 1, TILE_SIZE)}[dy]
+                    payload = tile_to_bytes(np.ascontiguousarray(g[rws, cols]))
+                rows.append((int(r.zoom), int(r.tx) + dx, int(r.ty) + dy, dx, dy, payload))
+    return pd.DataFrame(rows, columns=["zoom", "tx", "ty", "dx", "dy", "data"])
+
+
+def _assemble_padded(pdf: pd.DataFrame) -> np.ndarray | None:
+    """(tile + slivers) rows for ONE receiver tile → 258×258 padded array,
+    edge-replicated where neighbors are missing.  Returns None if the
+    receiver has no center tile (it's outside the layer)."""
+    center = None
+    slivers = {}
+    for r in pdf.itertuples():
+        if r.dx == 0 and r.dy == 0:
+            center = bytes_to_tile(r.data)
+        else:
+            slivers[(r.dx, r.dy)] = np.frombuffer(r.data, dtype="<i4")
+    if center is None:
+        return None
+    P = TILE_SIZE
+    pad = np.empty((P + 2, P + 2), dtype=np.int64)
+    pad[1:-1, 1:-1] = center
+    # sliver from neighbor at (dx,dy) relative to SENDER: receiver side is
+    # (-dx,-dy).  Sender's strip lands on receiver's pad edge:
+    # neighbor LEFT of us (sender dx=+1 toward us) fills pad column 0.
+    left = slivers.get((1, 0))
+    pad[1:-1, 0] = left if left is not None else center[:, 0]
+    right = slivers.get((-1, 0))
+    pad[1:-1, -1] = right if right is not None else center[:, -1]
+    # neighbor ABOVE us in TMS (ty+1) sent its BOTTOM row; it reached us as
+    # the sliver addressed with dy=-1 from sender → key (0,-1) fills pad row 0
+    top = slivers.get((0, -1))
+    pad[0, 1:-1] = top if top is not None else center[0, :]
+    bot = slivers.get((0, 1))
+    pad[-1, 1:-1] = bot if bot is not None else center[-1, :]
+    for (sdx, sdy), corner_pos in (
+        ((1, -1), (0, 0)),       # upper-left pad corner
+        ((-1, -1), (0, P + 1)),  # upper-right
+        ((1, 1), (P + 1, 0)),    # lower-left
+        ((-1, 1), (P + 1, P + 1)),
+    ):
+        c = slivers.get((sdx, sdy))
+        if c is not None:
+            pad[corner_pos] = c[0]
+        else:
+            rr = 1 if corner_pos[0] == 0 else P
+            cc = 1 if corner_pos[1] == 0 else P
+            pad[corner_pos] = pad[rr, cc]
+    return pad
+
+
+def slope_kernel(pad: np.ndarray) -> np.ndarray:
+    """Horn slope in value-units per pixel ×100 (int32 output), the 3×3
+    Horn stencil of gdaldem slope (apps/gdaldem.cpp: slope case)."""
+    a = pad.astype(np.float64)
+    dzdx = (
+        (a[:-2, 2:] + 2 * a[1:-1, 2:] + a[2:, 2:])
+        - (a[:-2, :-2] + 2 * a[1:-1, :-2] + a[2:, :-2])
+    ) / 8.0
+    dzdy = (
+        (a[2:, :-2] + 2 * a[2:, 1:-1] + a[2:, 2:])
+        - (a[:-2, :-2] + 2 * a[:-2, 1:-1] + a[:-2, 2:])
+    ) / 8.0
+    return np.floor(np.sqrt(dzdx**2 + dzdy**2) * 100.0 + 0.5).astype(np.int64)
+
+
+def tri_kernel(pad: np.ndarray) -> np.ndarray:
+    """Terrain Ruggedness Index: mean |center − neighbor| over the 8
+    neighbors, ×100 rounded (apps/gdaldem.cpp TRI)."""
+    c = pad[1:-1, 1:-1].astype(np.float64)
+    acc = np.zeros_like(c)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if dr == 0 and dc == 0:
+                continue
+            acc += np.abs(pad[1 + dr : 1 + dr + TILE_SIZE, 1 + dc : 1 + dc + TILE_SIZE] - c)
+    return np.floor(acc / 8.0 * 100.0 + 0.5).astype(np.int64)
+
+
+def roughness_kernel(pad: np.ndarray) -> np.ndarray:
+    """Roughness: max − min of the 3×3 window (apps/gdaldem.cpp roughness)."""
+    stack = np.stack(
+        [
+            pad[1 + dr : 1 + dr + TILE_SIZE, 1 + dc : 1 + dc + TILE_SIZE]
+            for dr in (-1, 0, 1)
+            for dc in (-1, 0, 1)
+        ]
+    )
+    return (stack.max(axis=0) - stack.min(axis=0)).astype(np.int64)
+
+
+KERNELS = {"slope": slope_kernel, "tri": tri_kernel, "roughness": roughness_kernel}
+
+
+def focal(tile_df: DataFrame, kernel: str) -> DataFrame:
+    """Apply a 3×3 focal kernel to every tile of a tile table with exact
+    cross-tile halo exchange.  Output: same tile-table schema.
+
+    Plan: mapInPandas emits 9 addressed rows per tile (center + 8 slivers,
+    only 1-px strips — the halo traffic is ~1.5% of tile bytes) →
+    groupBy(zoom, tx, ty) grouped-map assembles the padded array and runs
+    the numpy kernel.  One shuffle total, independent of kernel count.
+    """
+    fn = KERNELS[kernel]
+    sliver_schema = "zoom int, tx long, ty long, dx int, dy int, data binary"
+
+    def _emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _emit_halo_slivers(pdf)
+
+    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        pad = _assemble_padded(pdf)
+        if pad is None:
+            return pd.DataFrame({"zoom": [], "tx": [], "ty": [], "data": []})
+        out = fn(pad)
+        return pd.DataFrame(
+            {
+                "zoom": [int(pdf["zoom"].iat[0])],
+                "tx": [int(pdf["tx"].iat[0])],
+                "ty": [int(pdf["ty"].iat[0])],
+                "data": [tile_to_bytes(out)],
+            }
+        )
+
+    slivers = tile_df.mapInPandas(_emit, sliver_schema)
+    return slivers.groupBy("zoom", "tx", "ty").applyInPandas(_apply, TILE_SCHEMA)

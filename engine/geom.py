@@ -283,17 +283,27 @@ class VectorPIPIndex:
             else:
                 self.fallback.append((pid, prep))
         self.n_dense = len(dense_pid)
-        # pad only to the ACTUAL max edge count — the pair-gather tensor is
-        # (pairs, width, 4) float64, so excess pad width multiplies memory
-        # traffic directly (measured 20x slowdown padding 5-edge cells to 64)
+        # pad only to the ACTUAL max edge count — excess pad width multiplies
+        # memory traffic directly (measured 20x slowdown padding 4-edge cells
+        # to 64).  Layout: per-edge-slot arrays (width, n_dense) so the hot
+        # loop gathers (chunk,) vectors from small cache-resident sources
+        # instead of materializing a (chunk, width, 4) tensor.
         width = max((p.x1.shape[0] for p in dense_raw), default=1)
-        self.edges = np.full((self.n_dense, width, 4), np.nan)
+        self.edge_width = width
+        self.ex1 = np.full((width, self.n_dense), np.nan)
+        self.ey1 = np.full((width, self.n_dense), np.nan)
+        self.ex2 = np.full((width, self.n_dense), np.nan)
+        self.ey2 = np.full((width, self.n_dense), np.nan)
         for i, prep in enumerate(dense_raw):
             n = prep.x1.shape[0]
-            self.edges[i, :n, 0] = prep.x1
-            self.edges[i, :n, 1] = prep.y1
-            self.edges[i, :n, 2] = prep.x2
-            self.edges[i, :n, 3] = prep.y2
+            self.ex1[:n, i] = prep.x1
+            self.ey1[:n, i] = prep.y1
+            self.ex2[:n, i] = prep.x2
+            self.ey2[:n, i] = prep.y2
+        # dense edges also as (n_dense, width, 4) for the per-cell overflow path
+        self.edges = np.stack(
+            [self.ex1.T, self.ey1.T, self.ex2.T, self.ey2.T], axis=2
+        ) if self.n_dense else np.zeros((0, width, 4))
         self.pid = np.asarray(dense_pid, dtype=np.int64)
         # grid → fixed-width candidate matrix (-1 pad); overflow goes to a
         # per-cell python list (rare: means >kmax polygons overlap one cell)
@@ -335,23 +345,33 @@ class VectorPIPIndex:
             for s in range(0, pair_pt.shape[0], pair_chunk):
                 pt = pair_pt[s : s + pair_chunk]
                 pl = pair_poly[s : s + pair_chunk]
-                E = self.edges[pl]  # (n, emax, 4)
-                px = lon[pt][:, None]
-                py = lat[pt][:, None]
-                x1, y1, x2, y2 = E[..., 0], E[..., 1], E[..., 2], E[..., 3]
+                px = lon[pt]
+                py = lat[pt]
+                # per-edge-slot loop over (chunk,) vectors: every operand
+                # stays L2-resident; parity accumulates by XOR and boundary
+                # by OR in place (the (chunk, width) tensor formulation was
+                # DRAM-bandwidth-bound and collapsed under multi-worker load)
+                parity = np.zeros(pt.shape[0], dtype=bool)
+                on_seg = np.zeros(pt.shape[0], dtype=bool)
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    straddle = (y1 > py) != (y2 > py)
-                    xin = x1 + (py - y1) / (y2 - y1) * (x2 - x1)
-                    crossings = (straddle & (px < xin)).sum(axis=1)
-                    cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
-                    on_seg = (
-                        (cross == 0.0)
-                        & (px >= np.minimum(x1, x2))
-                        & (px <= np.maximum(x1, x2))
-                        & (py >= np.minimum(y1, y2))
-                        & (py <= np.maximum(y1, y2))
-                    ).any(axis=1)
-                hit = ((crossings % 2) == 1) | on_seg
+                    for e in range(self.edge_width):
+                        x1 = self.ex1[e][pl]
+                        y1 = self.ey1[e][pl]
+                        x2 = self.ex2[e][pl]
+                        y2 = self.ey2[e][pl]
+                        straddle = (y1 > py) != (y2 > py)
+                        xin = x1 + (py - y1) / (y2 - y1) * (x2 - x1)
+                        np.logical_xor(parity, straddle & (px < xin), out=parity)
+                        cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+                        on_e = (
+                            (cross == 0.0)
+                            & (px >= np.minimum(x1, x2))
+                            & (px <= np.maximum(x1, x2))
+                            & (py >= np.minimum(y1, y2))
+                            & (py <= np.maximum(y1, y2))
+                        )
+                        np.logical_or(on_seg, on_e, out=on_seg)
+                hit = parity | on_seg
                 if hit.any():
                     out_pt.append(pt[hit])
                     out_pid.append(self.pid[pl[hit]])

@@ -59,22 +59,36 @@ def with_tile(
     Columns: ``{prefix}tx {prefix}ty {prefix}quadkey``.  The quadkey is the
     multi-resolution cell id: its z-length prefixes are the coarser cells.
     """
+    import pyarrow as pa
+
+    in_fields = list(df.schema.fields)
+    names = [f.name for f in in_fields]
+    i_lon, i_lat = names.index(lon_col), names.index(lat_col)
     out_schema = StructType(
-        [
+        in_fields
+        + [
             StructField(prefix + "tx", LongType()),
             StructField(prefix + "ty", LongType()),
             StructField(prefix + "quadkey", StringType()),
         ]
     )
 
-    @F.pandas_udf(out_schema)
-    def _encode(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
-        tx, ty = tiles.lonlat_to_tile(lon.to_numpy(np.float64), lat.to_numpy(np.float64), zoom)
-        qk = tiles.quadkey(tx, ty, zoom)
-        return pd.DataFrame({prefix + "tx": tx, prefix + "ty": ty, prefix + "quadkey": qk})
+    def _encode(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            lon = batch.column(i_lon).to_numpy(zero_copy_only=False)
+            lat = batch.column(i_lat).to_numpy(zero_copy_only=False)
+            tx, ty = tiles.lonlat_to_tile(lon, lat, zoom)
+            qk = tiles.quadkey(tx, ty, zoom)
+            arrays = list(batch.columns) + [
+                pa.array(tx, type=pa.int64()),
+                pa.array(ty, type=pa.int64()),
+                pa.array(qk),
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=names + [prefix + "tx", prefix + "ty", prefix + "quadkey"]
+            )
 
-    enc = _encode(F.col(lon_col), F.col(lat_col))
-    return df.withColumn("_enc", enc).select("*", "_enc.*").drop("_enc")
+    return df.mapInArrow(_encode, out_schema)
 
 
 def with_cell(df: DataFrame, zoom: int, lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
@@ -149,6 +163,8 @@ def pip_join_broadcast(
     """
     import uuid
 
+    import pyarrow as pa
+
     spark = points.sparkSession
     pid_wkb = list(zip(polygons_pdf["polygon_id"].tolist(), polygons_pdf["geom_wkb"].tolist()))
     bc = spark.sparkContext.broadcast(pid_wkb)
@@ -158,25 +174,23 @@ def pip_join_broadcast(
     out_fields = [f for f in points.select(*in_cols).schema.fields]
     out_schema = StructType(out_fields + [StructField("polygon_id", IntegerType())])
 
-    def _match(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # Arrow-native (mapInArrow): numeric columns come out as zero-copy numpy
+    # views and the match-row gather is C++ `take` — the pandas DataFrame
+    # construction per batch was the dominant cost of the join at scale.
+    def _match(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         index = _INDEX_CACHE.get(cache_key)
         if index is None:
             index = geom.VectorPIPIndex(bc.value)
             _INDEX_CACHE[cache_key] = index
-        for pdf in batches:
-            lon = pdf[lon_col].to_numpy(np.float64)
-            lat = pdf[lat_col].to_numpy(np.float64)
+        for batch in batches:
+            lon = batch.column(len(keep_cols)).to_numpy(zero_copy_only=False)
+            lat = batch.column(len(keep_cols) + 1).to_numpy(zero_copy_only=False)
             idx, pids = index.query(lon, lat)
-            if idx.size == 0:
-                empty = pdf.iloc[0:0][in_cols].copy()
-                empty["polygon_id"] = pd.Series(dtype="int32")
-                yield empty
-                continue
-            res = pdf.iloc[idx][in_cols].reset_index(drop=True)
-            res["polygon_id"] = pids.astype(np.int32)
-            yield res
+            taken = batch.take(pa.array(idx, type=pa.int64()))
+            arrays = list(taken.columns) + [pa.array(pids.astype(np.int32), type=pa.int32())]
+            yield pa.RecordBatch.from_arrays(arrays, names=in_cols + ["polygon_id"])
 
-    return points.select(*in_cols).mapInPandas(_match, out_schema)
+    return points.select(*in_cols).mapInArrow(_match, out_schema)
 
 
 # ---------------------------------------------------------------------------

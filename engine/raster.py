@@ -93,8 +93,14 @@ def with_pixel(points: DataFrame, zoom: int, lon_col: str = "lon", lat_col: str 
     inverse-geotransform floor of apps/gdallocationinfo.cpp:379-384);
     iy is flipped to raster (top-origin) rows.
     """
+    import pyarrow as pa
+
+    in_fields = list(points.schema.fields)
+    names = [f.name for f in in_fields]
+    i_lon, i_lat = names.index(lon_col), names.index(lat_col)
     out_schema = StructType(
-        [
+        in_fields
+        + [
             StructField("tx", LongType()),
             StructField("ty", LongType()),
             StructField("ix", IntegerType()),
@@ -102,18 +108,24 @@ def with_pixel(points: DataFrame, zoom: int, lon_col: str = "lon", lat_col: str 
         ]
     )
 
-    @F.pandas_udf(out_schema)
-    def _pix(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
-        lo = lon.to_numpy(np.float64)
-        la = lat.to_numpy(np.float64)
-        px, py = tiles.lonlat_to_pixels(lo, la, zoom)
-        tx, ty = tiles.pixels_to_tile(px, py)
-        ix = np.clip(np.floor(px).astype(np.int64) - tx * TILE_SIZE, 0, TILE_SIZE - 1)
-        iy = np.clip(np.floor(py).astype(np.int64) - ty * TILE_SIZE, 0, TILE_SIZE - 1)
-        row = TILE_SIZE - 1 - iy
-        return pd.DataFrame({"tx": tx, "ty": ty, "ix": ix.astype(np.int32), "iy": row.astype(np.int32)})
+    def _pix(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            lo = batch.column(i_lon).to_numpy(zero_copy_only=False)
+            la = batch.column(i_lat).to_numpy(zero_copy_only=False)
+            px, py = tiles.lonlat_to_pixels(lo, la, zoom)
+            tx, ty = tiles.pixels_to_tile(px, py)
+            ix = np.clip(np.floor(px).astype(np.int64) - tx * TILE_SIZE, 0, TILE_SIZE - 1)
+            iy = np.clip(np.floor(py).astype(np.int64) - ty * TILE_SIZE, 0, TILE_SIZE - 1)
+            row = TILE_SIZE - 1 - iy
+            arrays = list(batch.columns) + [
+                pa.array(tx, type=pa.int64()),
+                pa.array(ty, type=pa.int64()),
+                pa.array(ix.astype(np.int32), type=pa.int32()),
+                pa.array(row.astype(np.int32), type=pa.int32()),
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=names + ["tx", "ty", "ix", "iy"])
 
-    return points.withColumn("_p", _pix(F.col(lon_col), F.col(lat_col))).select("*", "_p.*").drop("_p")
+    return points.mapInArrow(_pix, out_schema)
 
 
 def burn_base_tiles(points: DataFrame, zoom: int, lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
@@ -204,6 +216,121 @@ def tile_checksums(tile_df: DataFrame) -> DataFrame:
             )
 
     return tile_df.mapInPandas(_ck, out_schema)
+
+
+def raster_statistics(tile_df: DataFrame) -> DataFrame:
+    """ComputeStatistics analog (gcore/gdalrasterband.cpp:3477): per zoom,
+    (min, max, mean, count, n_nonzero) over all pixel values.
+
+    Per-tile partial stats in one vectorized pass (mapInPandas), then a tiny
+    JVM agg — the distributed form of the reference's single-pass loop.
+    Mean is exact: integer pixel sums, one final division.
+    """
+    out_schema = (
+        "zoom int, n_pixels long, n_nonzero long, sum_val long, min_val long, max_val long"
+    )
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for z, b in zip(pdf["zoom"], pdf["data"]):
+                g = bytes_to_tile(b)
+                rows.append(
+                    (int(z), g.size, int((g != 0).sum()), int(g.sum()), int(g.min()), int(g.max()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["zoom", "n_pixels", "n_nonzero", "sum_val", "min_val", "max_val"]
+            )
+
+    partial = tile_df.mapInPandas(_partial, out_schema)
+    return partial.groupBy("zoom").agg(
+        F.sum("n_pixels").alias("n_pixels"),
+        F.sum("n_nonzero").alias("n_nonzero"),
+        F.sum("sum_val").alias("sum_val"),
+        F.min("min_val").alias("min_val"),
+        F.max("max_val").alias("max_val"),
+        (F.sum("sum_val").cast("double") / F.sum("n_pixels").cast("double")).alias("mean_val"),
+    )
+
+
+def raster_histogram(tile_df: DataFrame, n_buckets: int = 16, lo: int = 0, hi: int = 256) -> DataFrame:
+    """GetHistogram analog (gcore/gdalrasterband.cpp:2703): bucket counts of
+    pixel values per zoom; equal-width buckets over [lo, hi), out-of-range
+    clamped to edge buckets (GDAL's bApproxOK=FALSE exact path)."""
+    out_schema = "zoom int, bucket int, pix_count long"
+
+    def _hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        edges = np.linspace(lo, hi, n_buckets + 1)
+        for pdf in batches:
+            acc: dict = {}
+            for z, b in zip(pdf["zoom"], pdf["data"]):
+                g = bytes_to_tile(b).ravel()
+                idx = np.clip(np.searchsorted(edges, g, side="right") - 1, 0, n_buckets - 1)
+                binc = np.bincount(idx, minlength=n_buckets)
+                key = int(z)
+                acc[key] = acc.get(key, 0) + binc
+            rows = [
+                (z, i, int(c)) for z, binc in acc.items() for i, c in enumerate(binc)
+            ]
+            yield pd.DataFrame(rows, columns=["zoom", "bucket", "pix_count"])
+
+    return (
+        tile_df.mapInPandas(_hist, out_schema)
+        .groupBy("zoom", "bucket")
+        .agg(F.sum("pix_count").alias("pix_count"))
+    )
+
+
+def mosaic(tile_dfs: list, order: str = "last") -> DataFrame:
+    """gdal_merge / gdalbuildvrt analog (swig/python/scripts/gdal_merge.py:
+    109-121): union N tile tables; where tiles overlap, later-listed input
+    wins ("last", copy-into-canvas order) — per-pixel nonzero-wins within the
+    winning priority is NOT applied (GDAL copies whole blocks).  Pure
+    DataFrame: unionByName + row_number over (zoom, tx, ty) by priority."""
+    from pyspark.sql import Window
+
+    parts = []
+    for i, df in enumerate(tile_dfs):
+        parts.append(df.withColumn("_prio", F.lit(i)))
+    all_t = parts[0]
+    for p in parts[1:]:
+        all_t = all_t.unionByName(p)
+    direction = F.col("_prio").desc() if order == "last" else F.col("_prio").asc()
+    w = Window.partitionBy("zoom", "tx", "ty").orderBy(direction)
+    return (
+        all_t.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_prio")
+    )
+
+
+def point_raster_lookup(
+    queries: DataFrame, tile_df: DataFrame, zoom: int, lon_col: str = "lon", lat_col: str = "lat"
+) -> DataFrame:
+    """gdallocationinfo against a MATERIALIZED tile table
+    (apps/gdallocationinfo.cpp:355-384): query point → (tile, pixel) via the
+    inverse tile transform → equi-join to the tile table → in-UDF pixel
+    read.  Points with no tile row → value NULL (outside coverage)."""
+    q = with_pixel(queries, zoom, lon_col, lat_col)
+    joined = q.join(tile_df.where(F.col("zoom") == zoom), on=["tx", "ty"], how="left")
+    out_cols = [f.name for f in q.schema.fields]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in q.schema.fields
+    ) + ", value long"
+
+    def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = []
+            for b, ix, iy in zip(pdf["data"], pdf["ix"], pdf["iy"]):
+                if b is None:
+                    vals.append(None)
+                else:
+                    vals.append(int(bytes_to_tile(b)[int(iy), int(ix)]))
+            out = pdf[out_cols].copy()
+            out["value"] = pd.Series(vals, dtype="object")
+            yield out
+
+    return joined.mapInPandas(_read, out_schema)
 
 
 def build_pyramid(points: DataFrame, base_zoom: int, min_zoom: int, lon_col: str = "lon", lat_col: str = "lat") -> dict:

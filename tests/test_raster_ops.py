@@ -1,0 +1,151 @@
+"""Raster statistics / histogram / mosaic / point lookup / focal kernels —
+verified against single-process numpy on collected tiles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from engine import focal, raster
+from engine.fixtures import make_gazetteer, make_pages
+from engine.geotag import geotag_first
+
+
+@pytest.fixture(scope="module")
+def tile_table(spark):
+    gaz = make_gazetteer(n=300, n_countries=30)
+    pages = make_pages(n=1500, gazetteer=gaz, seed=55)
+    tagged = geotag_first(spark.createDataFrame(pages), spark.createDataFrame(gaz))
+    base = raster.burn_base_tiles(tagged, 4).cache()
+    base.count()
+    return base
+
+
+def _collect_grids(df):
+    return {(r.zoom, r.tx, r.ty): raster.bytes_to_tile(r.data) for r in df.collect()}
+
+
+def test_raster_statistics(spark, tile_table):
+    stats = {r.zoom: r for r in raster.raster_statistics(tile_table).collect()}
+    grids = _collect_grids(tile_table)
+    alls = np.concatenate([g.ravel() for g in grids.values()])
+    s = stats[4]
+    assert s.n_pixels == alls.size
+    assert s.n_nonzero == int((alls != 0).sum())
+    assert s.sum_val == int(alls.sum())
+    assert s.min_val == int(alls.min()) and s.max_val == int(alls.max())
+    assert s.mean_val == alls.sum() / alls.size
+
+
+def test_raster_histogram(spark, tile_table):
+    hist = {
+        (r.zoom, r.bucket): r.pix_count
+        for r in raster.raster_histogram(tile_table, n_buckets=8, lo=0, hi=8).collect()
+    }
+    grids = _collect_grids(tile_table)
+    alls = np.concatenate([g.ravel() for g in grids.values()])
+    edges = np.linspace(0, 8, 9)
+    idx = np.clip(np.searchsorted(edges, alls, side="right") - 1, 0, 7)
+    binc = np.bincount(idx, minlength=8)
+    for b in range(8):
+        assert hist.get((4, b), 0) == int(binc[b])
+
+
+def test_mosaic_last_wins(spark, tile_table):
+    # overlay: one overlapping tile with distinct content + one new tile
+    some = tile_table.limit(1).collect()[0]
+    marker = np.full((256, 256), 7, dtype=np.int64)
+    overlay = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "zoom": [some.zoom, some.zoom],
+                "tx": [some.tx, some.tx + 1000],
+                "ty": [some.ty, some.ty],
+                "data": [raster.tile_to_bytes(marker)] * 2,
+            }
+        )
+    )
+    out = _collect_grids(raster.mosaic([tile_table, overlay], order="last"))
+    n_base = tile_table.count()
+    assert len(out) == n_base + 1  # one overlap replaced, one added
+    assert np.array_equal(out[(some.zoom, some.tx, some.ty)], marker)
+    # "first" order keeps the original
+    out_first = _collect_grids(raster.mosaic([tile_table, overlay], order="first"))
+    assert np.array_equal(
+        out_first[(some.zoom, some.tx, some.ty)], raster.bytes_to_tile(some.data)
+    )
+
+
+def test_point_raster_lookup(spark, tile_table):
+    grids = _collect_grids(tile_table)
+    (z, tx, ty) = next(iter(grids))
+    g = grids[(z, tx, ty)]
+    nz = np.argwhere(g > 0)
+    r0, c0 = (int(x) for x in nz[0])
+    # a query point inside that pixel: invert the pixel→lonlat mapping
+    from engine import tiles as T
+
+    gpx = tx * 256 + c0 + 0.5
+    gpy = ty * 256 + (255 - r0) + 0.5
+    mx, my = T.pixels_to_meters(gpx, gpy, z)
+    lon, lat = T.meters_to_lonlat(mx, my)
+    queries = spark.createDataFrame(
+        pd.DataFrame({"qid": [1, 2], "lon": [float(lon), 179.99], "lat": [float(lat), 84.9]})
+    )
+    out = {r.qid: r.value for r in raster.point_raster_lookup(queries, tile_table, z).collect()}
+    assert out[1] == int(g[r0, c0])
+    # point outside coverage → NULL
+    if (z, *T.lonlat_to_tile(np.array([179.99]), np.array([84.9]), z)) not in [
+        (k[0], np.int64(k[1]), np.int64(k[2])) for k in grids
+    ]:
+        assert out[2] is None
+
+
+@pytest.mark.parametrize("kernel", ["slope", "tri", "roughness"])
+def test_focal_matches_numpy(spark, tile_table, kernel):
+    """Distributed halo-exchange focal == single-process numpy on the
+    mosaicked full grid (cross-tile seams must be exact)."""
+    grids = _collect_grids(tile_table)
+    got = _collect_grids(focal.focal(tile_table, kernel))
+    assert set(got) == set(grids)
+
+    # single-process oracle: assemble one big array covering all tiles,
+    # pad edges by replication, run kernel, compare each tile's window
+    txs = sorted({k[1] for k in grids})
+    tys = sorted({k[2] for k in grids})
+    tx0, ty0 = min(txs), min(tys)
+    W = (max(txs) - tx0 + 1) * 256
+    H = (max(tys) - ty0 + 1) * 256
+    big = np.zeros((H, W), dtype=np.int64)
+    present = np.zeros((H, W), dtype=bool)
+    for (z, tx, ty), g in grids.items():
+        r0 = (max(tys) - ty) * 256
+        c0 = (tx - tx0) * 256
+        big[r0 : r0 + 256, c0 : c0 + 256] = g
+        present[r0 : r0 + 256, c0 : c0 + 256] = True
+
+    fn = focal.KERNELS[kernel]
+    for (z, tx, ty), g in grids.items():
+        r0 = (max(tys) - ty) * 256
+        c0 = (tx - tx0) * 256
+        # build this tile's padded window from the big array, replicating
+        # edges where the NEIGHBOR TILE is absent (matches engine halo rule:
+        # missing neighbor = edge replication, even if other tiles exist
+        # farther away)
+        pad = np.empty((258, 258), dtype=np.int64)
+        pad[1:-1, 1:-1] = g
+        def nb(dr, dc):
+            rr, cc = r0 + dr * 256, c0 + dc * 256
+            return (
+                0 <= rr < H and 0 <= cc < W and present[rr, cc]
+            )
+        pad[1:-1, 0] = big[r0 : r0 + 256, c0 - 1] if nb(0, -1) else g[:, 0]
+        pad[1:-1, -1] = big[r0 : r0 + 256, c0 + 256] if nb(0, 1) else g[:, -1]
+        pad[0, 1:-1] = big[r0 - 1, c0 : c0 + 256] if nb(-1, 0) else g[0, :]
+        pad[-1, 1:-1] = big[r0 + 256, c0 : c0 + 256] if nb(1, 0) else g[-1, :]
+        pad[0, 0] = big[r0 - 1, c0 - 1] if nb(-1, -1) else pad[1, 1]
+        pad[0, -1] = big[r0 - 1, c0 + 256] if nb(-1, 1) else pad[1, 256]
+        pad[-1, 0] = big[r0 + 256, c0 - 1] if nb(1, -1) else pad[256, 1]
+        pad[-1, -1] = big[r0 + 256, c0 + 256] if nb(1, 1) else pad[256, 256]
+        expect = fn(pad)
+        assert np.array_equal(got[(z, tx, ty)], expect), f"{kernel} tile {(tx, ty)} seam mismatch"

@@ -1,0 +1,82 @@
+"""Streaming seam: availableNow drain == batch result; watermarked windowed
+density; foreachBatch tile sink mosaics to the batch tiles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from engine import raster, streaming
+from engine.fixtures import make_gazetteer, make_pages
+from engine.geotag import geotag_all
+
+
+@pytest.fixture(scope="module")
+def stream_fixture(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    gaz = make_gazetteer(n=200, n_countries=20)
+    pages = make_pages(n=600, gazetteer=gaz, seed=91)
+    sdf = spark.createDataFrame(pages)
+    src = str(base / "pages")
+    # three "arriving" files
+    sdf.repartition(3).write.mode("overwrite").parquet(src)
+    return {"src": src, "gaz": spark.createDataFrame(gaz), "pages": sdf, "base": base}
+
+
+def test_windowed_counts_match_batch(spark, stream_fixture):
+    stream = streaming.stream_pages(spark, stream_fixture["src"])
+    # fixture spans ~70 min of event time; 10-min windows with a 5-min
+    # watermark close all but the trailing window(s) under availableNow
+    counts = streaming.streaming_tile_counts(
+        stream, stream_fixture["gaz"], zoom=5, window="10 minutes", watermark="5 minutes"
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("tile_counts")
+        .outputMode("append")  # append emits only closed windows...
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.tx, r.ty): r.page_count
+        for r in spark.sql("select * from tile_counts").collect()
+    }
+    # batch equivalent (windows closed by watermark may drop the tail —
+    # compare only the windows the stream emitted; they must match exactly)
+    from engine import joins
+
+    tagged = joins.with_tile(geotag_all(stream_fixture["pages"], stream_fixture["gaz"]), 5)
+    batch = {
+        (r.w, r.tx, r.ty): r.cnt
+        for r in tagged.groupBy(
+            F.window("warc_ts", "10 minutes").getField("start").alias("w"), "tx", "ty"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got, "stream emitted no closed windows"
+    for k, v in got.items():
+        assert batch[k] == v
+
+
+def test_foreach_batch_tile_sink(spark, stream_fixture):
+    out = str(stream_fixture["base"] / "tiles_out")
+    ckpt = str(stream_fixture["base"] / "ckpt")
+    streaming.run_stream_to_tiles(
+        spark, stream_fixture["src"], stream_fixture["gaz"], 5, ckpt, out
+    )
+    # micro-batch tiles mosaic (sum per tile, ADD semantics) == batch burn
+    parts = spark.read.parquet(out)
+    got = {}
+    for r in parts.collect():
+        key = (r.tx, r.ty)
+        g = raster.bytes_to_tile(r.data)
+        got[key] = got.get(key, 0) + g
+    tagged = geotag_all(stream_fixture["pages"], stream_fixture["gaz"])
+    batch = {
+        (r.tx, r.ty): raster.bytes_to_tile(r.data)
+        for r in raster.burn_base_tiles(tagged, 5).collect()
+    }
+    assert set(got) == set(batch)
+    for k in batch:
+        assert np.array_equal(np.asarray(got[k]), batch[k])
