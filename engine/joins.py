@@ -251,6 +251,64 @@ def polygon_cover_cells(polygons: DataFrame, zoom: int) -> DataFrame:
     )
 
 
+def pip_join_shuffle_adaptive(
+    points: DataFrame,
+    polygons: DataFrame,
+    zoom: int = 8,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    keep_cols: tuple = ("url",),
+    hot_threshold: int = 100_000,
+    split_levels: int = 2,
+) -> DataFrame:
+    """Shuffle PIP with adaptive cell-resolution splitting (SURVEY.md §4 skew).
+
+    One cheap pass counts points per base-zoom cell; cells above
+    ``hot_threshold`` (dense-urban tiles) are re-encoded at
+    ``zoom + split_levels`` on BOTH sides — the same 4-way subdivision the
+    quadkey pyramid defines (gdal2tiles.py:304-318) — so one hot cell's work
+    fans out over 4^levels shuffle keys.  Cold cells join at base zoom
+    untouched.  Emits exactly the rows of :func:`pip_join_shuffle`.
+    """
+    fine = zoom + split_levels
+    pts = with_cell(points.select(*keep_cols, lon_col, lat_col), zoom, lon_col, lat_col)
+    hot_rows = (
+        pts.groupBy("cell").agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > hot_threshold)
+        .select("cell")
+        .collect()
+    )
+    hot = {r.cell for r in hot_rows}
+    if not hot:
+        return pip_join_shuffle(points, polygons, zoom, lon_col, lat_col, keep_cols)
+    hot_arr = F.array(*[F.lit(c) for c in sorted(hot)])
+    is_hot = F.array_contains(hot_arr, F.col("cell"))
+
+    cold_pts = pts.where(~is_hot)
+    hot_pts = with_cell(
+        pts.where(is_hot).drop("cell"), fine, lon_col, lat_col
+    )
+    polys_base = polygon_cover_cells(polygons, zoom)
+    cold_polys = polys_base.where(~F.array_contains(hot_arr, F.col("cell")))
+    # fine cover restricted to subcells whose base-zoom parent is hot;
+    # packed cell = (tx << (z+1)) | ty, so parent = bit shifts only
+    polys_fine = polygon_cover_cells(polygons, fine)
+    ftx = F.shiftright("cell", fine + 1)
+    fty = F.col("cell") - (ftx * F.lit(np.int64(2 ** (fine + 1))))
+    parent = (
+        F.shiftright(ftx, split_levels) * F.lit(np.int64(2 ** (zoom + 1)))
+        + F.shiftright(fty, split_levels)
+    ).cast("long")
+    hot_polys = polys_fine.where(F.array_contains(hot_arr, parent))
+
+    out_parts = []
+    for p, g in ((cold_pts, cold_polys), (hot_pts, hot_polys)):
+        cand = p.join(g, on="cell", how="inner").drop("cell")
+        out_parts.append(cand)
+    cand_all = out_parts[0].unionByName(out_parts[1])
+    return _pip_refine(cand_all, points, lon_col, lat_col, keep_cols)
+
+
 def pip_join_shuffle(
     points: DataFrame,
     polygons: DataFrame,
@@ -280,7 +338,18 @@ def pip_join_shuffle(
     else:
         join_keys = ["cell"]
     cand = pts.join(polys, on=join_keys, how="inner").drop("cell", *(["salt"] if n_salt else []))
+    out = _pip_refine(cand, points, lon_col, lat_col, keep_cols)
+    # distinct because a polygon may cover a point's cell via several salted
+    # replicas — never happens without salt (one (pid, cell) row per pair),
+    # but dedupe is cheap insurance and pins exactly-once pair semantics.
+    return out.dropDuplicates(list(keep_cols) + ["polygon_id"]) if n_salt else out
 
+
+def _pip_refine(
+    cand: DataFrame, points: DataFrame, lon_col: str, lat_col: str, keep_cols: tuple
+) -> DataFrame:
+    """Exact vectorized refine of (point, candidate polygon wkb) rows: batch
+    group-by polygon, parse each WKB once, ray-cast its candidate points."""
     in_cols = list(keep_cols) + [lon_col, lat_col]
     out_fields = [f for f in points.select(*in_cols).schema.fields]
     out_schema = StructType(out_fields + [StructField("polygon_id", IntegerType())])
@@ -311,11 +380,7 @@ def pip_join_shuffle(
                 empty["polygon_id"] = pd.Series(dtype="int32")
                 yield empty
 
-    # distinct because a polygon may cover a point's cell via several salted
-    # replicas — never happens without salt (one (pid, cell) row per pair),
-    # but dedupe is cheap insurance and pins exactly-once pair semantics.
-    out = cand.mapInPandas(_refine, out_schema)
-    return out.dropDuplicates(list(keep_cols) + ["polygon_id"]) if n_salt else out
+    return cand.mapInPandas(_refine, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -397,7 +462,14 @@ def knn_join(
 
     remaining = queries.select(query_id, "lon", "lat")
     results = None
-    for ring in range(max_ring + 1):
+    # geometric ring growth (1, 2, 4, ... max_ring): each driver round costs
+    # a fixed few hundred ms of job overhead, so fewer-but-larger rounds beat
+    # per-ring iteration; the (2r+1)² candidate blowup only hits queries
+    # still unsatisfied, which shrink sharply per round
+    rings = [1]
+    while rings[-1] < max_ring:
+        rings.append(min(rings[-1] * 2, max_ring))
+    for ring in rings:
         if remaining.isEmpty():
             break
         last = ring >= max_ring
@@ -440,5 +512,7 @@ def knn_join(
         results = done if results is None else results.unionByName(done)
         if last:
             break
-        remaining = remaining.join(satisfied, on=query_id, how="left_anti")
+        # materialize the shrinking remainder — without this each round's
+        # isEmpty() replays the whole join lineage of all prior rounds
+        remaining = remaining.join(satisfied, on=query_id, how="left_anti").localCheckpoint(eager=True)
     return results

@@ -1,0 +1,155 @@
+"""Warp/reproject: tile-table → tile-table in another profile/zoom.
+
+The engine's re-expression of ``GDALWarpOperation::ChunkAndWarpImage``
+(alg/gdalwarpoperation.cpp:660-720) + ``gdalwarp`` (SURVEY.md §2.9, §3.3):
+
+* output-space chunking ≙ **destination-tile partitioning** — each output
+  tile is one unit of work;
+* per-chunk source-window computation ≙ a **tile-cover equi-join**: each
+  destination tile's lon/lat bbox is transformed to the source profile and
+  exploded to the covering source tiles;
+* the warp kernel ≙ a grouped-map UDF that assembles available source tiles
+  and samples every output pixel (GRA_NearestNeighbour,
+  alg/gdalwarpkernel.cpp:424); pixels whose source tile is absent read 0
+  (nodata).
+
+The coordinate transform is the closed-form mercator↔geodetic pair from
+engine.tiles, evaluated exactly per output pixel (the reference's
+approximate-transformer optimization, alg/gdaltransformer.cpp:2584, is
+unnecessary here because the exact transform is vectorized and cheap — the
+same observation it exploits, applied at the numpy level).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import tiles
+from .raster import TILE_SCHEMA, TILE_SIZE, bytes_to_tile, tile_to_bytes
+
+
+def _dst_tile_range(src_tiles_pdf_bounds, dst_zoom: int):
+    """lon/lat bounds → geodetic tile range at dst_zoom."""
+    minlon, minlat, maxlon, maxlat = src_tiles_pdf_bounds
+    tx0, ty0 = (int(v) for v in tiles.geodetic_lonlat_to_tile(minlon + 1e-12, minlat + 1e-12, dst_zoom))
+    tx1, ty1 = (int(v) for v in tiles.geodetic_lonlat_to_tile(maxlon - 1e-12, maxlat - 1e-12, dst_zoom))
+    return tx0, ty0, tx1, ty1
+
+
+def warp_mercator_to_geodetic(
+    spark: SparkSession, src_tiles: DataFrame, src_zoom: int, dst_zoom: int
+) -> DataFrame:
+    """Mercator (TMS) density-tile table at src_zoom → geodetic (TMS
+    tmscompatible) tile table at dst_zoom, nearest-neighbor sampled.
+
+    Plan: source extent (one tiny agg) → destination tile list (driver
+    arithmetic, ≤ #dst tiles rows) → explode each dst tile to covering src
+    tiles (pure arithmetic) → equi-join the src tile table → grouped-map
+    warp kernel per dst tile.
+    """
+    ext = src_tiles.agg(
+        F.min("tx").alias("x0"), F.min("ty").alias("y0"),
+        F.max("tx").alias("x1"), F.max("ty").alias("y1"),
+    ).collect()[0]
+    minlon, minlat, _, _ = (float(v) for v in tiles.tile_lonlat_bounds(ext.x0, ext.y0, src_zoom))
+    _, _, maxlon, maxlat = (float(v) for v in tiles.tile_lonlat_bounds(ext.x1, ext.y1, src_zoom))
+    tx0, ty0, tx1, ty1 = _dst_tile_range((minlon, minlat, maxlon, maxlat), dst_zoom)
+
+    # destination chunk list (CollectChunkList analog) + source windows
+    rows = []
+    res = tiles.geodetic_resolution(dst_zoom)
+    lat_lim = tiles.MERCATOR_LAT_MAX
+    for dtx in range(tx0, tx1 + 1):
+        for dty in range(ty0, ty1 + 1):
+            dminlon = dtx * TILE_SIZE * res - 180.0
+            dmaxlon = (dtx + 1) * TILE_SIZE * res - 180.0
+            dminlat = dty * TILE_SIZE * res - 90.0
+            dmaxlat = (dty + 1) * TILE_SIZE * res - 90.0
+            cminlat = min(max(dminlat, -lat_lim), lat_lim)
+            cmaxlat = min(max(dmaxlat, -lat_lim), lat_lim)
+            sx0, sy0 = tiles.lonlat_to_tile(np.array([dminlon + 1e-12]), np.array([cminlat + 1e-12]), src_zoom)
+            sx1, sy1 = tiles.lonlat_to_tile(np.array([dmaxlon - 1e-12]), np.array([cmaxlat - 1e-12]), src_zoom)
+            for sx in range(int(sx0[0]), int(sx1[0]) + 1):
+                for sy in range(int(sy0[0]), int(sy1[0]) + 1):
+                    rows.append((dtx, dty, sx, sy))
+    cover = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["dtx", "dty", "tx", "ty"])
+    )
+
+    joined = cover.join(src_tiles.select("tx", "ty", "data"), on=["tx", "ty"], how="inner")
+
+    def _warp(pdf: pd.DataFrame) -> pd.DataFrame:
+        dtx = int(pdf["dtx"].iat[0])
+        dty = int(pdf["dty"].iat[0])
+        srcs = {(int(r.tx), int(r.ty)): bytes_to_tile(r.data) for r in pdf.itertuples()}
+        # output pixel centers in lon/lat (geodetic pixel grid, TMS origin
+        # bottom-left; array row 0 = top)
+        cols = np.arange(TILE_SIZE)
+        lon = (dtx * TILE_SIZE + cols + 0.5) * res - 180.0
+        rows_i = np.arange(TILE_SIZE)
+        lat = ((dty + 1) * TILE_SIZE - rows_i - 0.5) * res - 90.0  # row 0 = top
+        lon_g, lat_g = np.meshgrid(lon, lat)
+        lat_c = np.clip(lat_g, -lat_lim, lat_lim)
+        px, py = tiles.lonlat_to_pixels(lon_g.ravel(), lat_c.ravel(), src_zoom)
+        stx, sty = tiles.pixels_to_tile(px, py)
+        ix = np.clip(np.floor(px).astype(np.int64) - stx * TILE_SIZE, 0, TILE_SIZE - 1)
+        iy = np.clip(np.floor(py).astype(np.int64) - sty * TILE_SIZE, 0, TILE_SIZE - 1)
+        srow = TILE_SIZE - 1 - iy
+        out = np.zeros(stx.shape[0], dtype=np.int64)
+        # group output pixels by their source tile; sample each group in one
+        # vectorized gather (per-thread transformer clone analog — state is
+        # per dst tile, alg/gdalwarpkernel.cpp:255-260)
+        key = stx * np.int64(1 << 32) + sty
+        order = np.argsort(key, kind="stable")
+        uk, starts = np.unique(key[order], return_index=True)
+        bounds = np.append(starts, key.shape[0])
+        for gi in range(uk.shape[0]):
+            s, e = bounds[gi], bounds[gi + 1]
+            rows_sel = order[s:e]
+            tk = (int(stx[rows_sel[0]]), int(sty[rows_sel[0]]))
+            g = srcs.get(tk)
+            if g is not None:
+                out[rows_sel] = g[srow[rows_sel], ix[rows_sel]]
+        return pd.DataFrame(
+            {
+                "zoom": [np.int32(dst_zoom)],
+                "tx": [dtx],
+                "ty": [dty],
+                "data": [tile_to_bytes(out.reshape(TILE_SIZE, TILE_SIZE))],
+            }
+        )
+
+    return joined.groupBy("dtx", "dty").applyInPandas(_warp, TILE_SCHEMA)
+
+
+def raster_calc(tile_tables: dict, expr) -> DataFrame:
+    """gdal_calc.py analog (swig/python/scripts/gdal_calc.py:86-94): numpy
+    expression over aligned bands.  ``tile_tables``: {name: DataFrame} with
+    identical (zoom, tx, ty) keys; ``expr``: callable(dict of numpy arrays)
+    → numpy array.  Missing band for a tile key → zeros (gdal_calc treats
+    missing as nodata).  Plan: full outer equi-join on the tile key, one
+    grouped UDF — band alignment is an equi-join, not an iteration."""
+    names = list(tile_tables)
+    joined = None
+    for name, df in tile_tables.items():
+        d = df.select("zoom", "tx", "ty", F.col("data").alias(f"data_{name}"))
+        joined = d if joined is None else joined.join(d, on=["zoom", "tx", "ty"], how="full_outer")
+
+    def _calc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for r in pdf.itertuples():
+                bands = {}
+                for name in names:
+                    b = getattr(r, f"data_{name}")
+                    bands[name] = bytes_to_tile(b) if b is not None else np.zeros((TILE_SIZE, TILE_SIZE), dtype=np.int64)
+                res_arr = np.asarray(expr(bands), dtype=np.int64)
+                out_rows.append((int(r.zoom), int(r.tx), int(r.ty), tile_to_bytes(res_arr)))
+            yield pd.DataFrame(out_rows, columns=["zoom", "tx", "ty", "data"])
+
+    return joined.mapInPandas(_calc, TILE_SCHEMA)

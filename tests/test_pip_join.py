@@ -128,6 +128,32 @@ def test_with_tile_matches_oracle(spark, data):
         assert r.quadkey == merc.quad_tree(otx, oty, 8)
 
 
+def test_adaptive_split_parity(spark, data):
+    """Adaptive cell-resolution splitting (hot cells re-encoded at zoom+2 on
+    both sides) must emit exactly the plain shuffle join's rows."""
+    tagged = geotag_first(data["pages"], data["gaz"])
+    plain = sorted(
+        (r.url, r.polygon_id)
+        for r in joins.pip_join_shuffle(tagged, data["polys"], zoom=5).collect()
+    )
+    # threshold low enough that several cells split
+    adaptive = sorted(
+        (r.url, r.polygon_id)
+        for r in joins.pip_join_shuffle_adaptive(
+            tagged, data["polys"], zoom=5, hot_threshold=10, split_levels=2
+        ).collect()
+    )
+    assert adaptive == plain and len(plain) > 0
+    # threshold high: falls back to the plain path, still identical
+    none_hot = sorted(
+        (r.url, r.polygon_id)
+        for r in joins.pip_join_shuffle_adaptive(
+            tagged, data["polys"], zoom=5, hot_threshold=10**9
+        ).collect()
+    )
+    assert none_hot == plain
+
+
 def test_hot_cell_skew_fixture(spark):
     """pages_hot: 50% of geotags in one cell; salted shuffle still exact."""
     gaz = make_gazetteer(n=200, n_countries=20)
