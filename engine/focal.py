@@ -133,7 +133,54 @@ def roughness_kernel(pad: np.ndarray) -> np.ndarray:
     return (stack.max(axis=0) - stack.min(axis=0)).astype(np.int64)
 
 
-KERNELS = {"slope": slope_kernel, "tri": tri_kernel, "roughness": roughness_kernel}
+def aspect_kernel(pad: np.ndarray) -> np.ndarray:
+    """Aspect in degrees ×100 (0..36000), Horn stencil (apps/gdaldem.cpp
+    aspect case): atan2(dz/dy, -dz/dx) mapped to compass-ish degrees; flat
+    cells (both gradients 0) → -1 like gdaldem's nodata convention."""
+    a = pad.astype(np.float64)
+    dzdx = (
+        (a[:-2, 2:] + 2 * a[1:-1, 2:] + a[2:, 2:])
+        - (a[:-2, :-2] + 2 * a[1:-1, :-2] + a[2:, :-2])
+    ) / 8.0
+    dzdy = (
+        (a[2:, :-2] + 2 * a[2:, 1:-1] + a[2:, 2:])
+        - (a[:-2, :-2] + 2 * a[:-2, 1:-1] + a[:-2, 2:])
+    ) / 8.0
+    ang = np.degrees(np.arctan2(dzdy, -dzdx))
+    ang = np.where(ang < 0, ang + 360.0, ang)
+    flat = (dzdx == 0) & (dzdy == 0)
+    out = np.floor(ang * 100.0 + 0.5).astype(np.int64)
+    out[flat] = -1
+    return out
+
+
+def hillshade_kernel(pad: np.ndarray) -> np.ndarray:
+    """Hillshade 0..255 (apps/gdaldem.cpp hillshade): Horn gradients,
+    azimuth 315°, altitude 45°, z-factor 1."""
+    a = pad.astype(np.float64)
+    dzdx = (
+        (a[:-2, 2:] + 2 * a[1:-1, 2:] + a[2:, 2:])
+        - (a[:-2, :-2] + 2 * a[1:-1, :-2] + a[2:, :-2])
+    ) / 8.0
+    dzdy = (
+        (a[2:, :-2] + 2 * a[2:, 1:-1] + a[2:, 2:])
+        - (a[:-2, :-2] + 2 * a[:-2, 1:-1] + a[:-2, 2:])
+    ) / 8.0
+    az = np.radians(315.0)
+    alt = np.radians(45.0)
+    slope = np.arctan(np.sqrt(dzdx**2 + dzdy**2))
+    aspect = np.arctan2(dzdy, -dzdx)
+    shaded = np.sin(alt) * np.cos(slope) + np.cos(alt) * np.sin(slope) * np.cos(az - np.pi / 2.0 - aspect)
+    return np.clip(np.floor(shaded * 255.0 + 0.5), 0, 255).astype(np.int64)
+
+
+KERNELS = {
+    "slope": slope_kernel,
+    "tri": tri_kernel,
+    "roughness": roughness_kernel,
+    "aspect": aspect_kernel,
+    "hillshade": hillshade_kernel,
+}
 
 
 def focal(tile_df: DataFrame, kernel: str) -> DataFrame:

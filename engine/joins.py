@@ -516,3 +516,57 @@ def knn_join(
         # isEmpty() replays the whole join lineage of all prior rounds
         remaining = remaining.join(satisfied, on=query_id, how="left_anti").localCheckpoint(eager=True)
     return results
+
+
+# ---------------------------------------------------------------------------
+# IDW interpolation (alg/gdalgrid.cpp:191 GDALGridInverseDistanceToAPower)
+# ---------------------------------------------------------------------------
+
+
+def idw_interpolate(
+    queries: DataFrame,
+    points: DataFrame,
+    value_col: str,
+    power: int = 2,
+    zoom: int = 6,
+    ring: int = 1,
+    query_id: str = "qid",
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation at query locations.
+
+    GDALGridInverseDistanceToAPower analog (alg/gdalgrid.cpp:191): value =
+    Σ v_i/d_i^p / Σ 1/d_i^p over the points in the (2r+1)² cell window
+    around the query (the radius-bounded search); an exact-hit point
+    (d == 0) short-circuits to its value (the reference's dfEpsilon path).
+    Queries with no point in the window → NULL.
+
+    Plan: one ring explode + cell equi-join + groupBy agg — all JVM-side
+    except the ring-cell UDF.  Weights use squared euclidean degrees for
+    p=2 (exact, no sqrt); general p uses pow(d, p).
+    """
+    pts = with_cell(points, zoom, "lon", "lat").select(
+        F.col(value_col).alias("_v"), F.col("lon").alias("_plon"), F.col("lat").alias("_plat"), "cell"
+    )
+    cells_udf = _ring_cells_udf(zoom, ring)
+    cand = (
+        queries.select(query_id, "lon", "lat")
+        .withColumn("_r", cells_udf(F.col("lon"), F.col("lat")))
+        .select(query_id, "lon", "lat", F.explode("_r.cells").alias("cell"))
+        .join(pts, on="cell", how="inner")
+    )
+    d2 = (F.col("lon") - F.col("_plon")) ** 2 + (F.col("lat") - F.col("_plat")) ** 2
+    if power == 2:
+        w = F.when(d2 == 0, F.lit(None)).otherwise(F.lit(1.0) / d2)
+    else:
+        w = F.when(d2 == 0, F.lit(None)).otherwise(F.lit(1.0) / F.pow(F.sqrt(d2), F.lit(float(power))))
+    scored = cand.select(
+        query_id,
+        w.alias("_w"),
+        (w * F.col("_v")).alias("_wv"),
+        F.when(d2 == 0, F.col("_v")).alias("_exact"),
+    )
+    return scored.groupBy(query_id).agg(
+        F.when(
+            F.count("_exact") > 0, F.min("_exact")
+        ).otherwise(F.sum("_wv") / F.sum("_w")).alias("idw_value")
+    )

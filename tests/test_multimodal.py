@@ -1,0 +1,98 @@
+"""Multimodal binary-column plumbing (fake decoder; real codec stubbed) and
+IDW interpolation vs brute-force oracle."""
+
+import numpy as np
+import pytest
+
+from engine import multimodal
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    pdf = multimodal.make_media_fixture(n=30)
+    return spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA), pdf
+
+
+def test_decode_stub_raises_without_codec():
+    if not multimodal._HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"xx", {"width": 2, "height": 2, "channels": 3})
+
+
+def test_feature_extraction_deterministic(spark, media):
+    sdf, pdf = media
+    feats = {r.media_id: r.features for r in multimodal.extract_image_features(sdf).collect()}
+    assert len(feats) == len(pdf)
+    # oracle: same pooling in-process
+    for r in pdf.itertuples():
+        arr = multimodal.fake_decode(r.media, r.meta).astype(np.float64)
+        h, w, c = arr.shape
+        gh, gw = max(h // 4, 1), max(w // 4, 1)
+        pooled = arr[: gh * 4, : gw * 4].reshape(4, gh, 4, gw, c).mean(axis=(1, 3))
+        expect = pooled.ravel().astype(np.float32)
+        assert np.allclose(feats[r.media_id], expect)
+
+
+def test_resize_roundtrip_meta(spark, media):
+    sdf, pdf = media
+    out = multimodal.resize_images(sdf, 8, 6).collect()
+    assert len(out) == len(pdf)
+    for r in out:
+        assert r.meta.width == 8 and r.meta.height == 6
+        arr = np.frombuffer(bytes(r.media), dtype=np.uint8)
+        assert arr.size == 8 * 6 * 3
+
+
+def test_frame_sampling(spark, media):
+    sdf, pdf = media
+    frames = multimodal.sample_frames(sdf, every_n=4).collect()
+    expect_n = sum(int(np.ceil(r.meta["height"] / 4)) for r in pdf.itertuples())
+    assert len(frames) == expect_n
+    assert all(f.meta.height == 1 and f.media_type == "frame" for f in frames)
+
+
+def test_idw_matches_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from engine import joins
+
+    spark_pts = spark.range(0, 2000).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") % 360) * 1.0 - 180.0 + 0.5).alias("lon"),
+        (((F.col("id") * 7) % 160) * 1.0 - 80.0 + 0.5).alias("lat"),
+        (F.col("id") % 97).cast("double").alias("val"),
+    )
+    queries = spark.range(0, 40).select(
+        (F.col("id") * 50).alias("qid"),
+        ((F.col("id") * 50 % 360) * 1.0 - 180.0 + 0.5).alias("lon"),
+        (((F.col("id") * 50 * 7) % 160) * 1.0 - 80.0 + 0.5).alias("lat"),
+    )
+    got = {
+        r.qid: r.idw_value
+        for r in joins.idw_interpolate(queries, spark_pts, "val", power=2, zoom=5, ring=1).collect()
+    }
+    pts = spark_pts.collect()
+    qs = queries.collect()
+    import math
+
+    from engine import tiles
+
+    for q in qs:
+        qtx, qty = (int(v[0]) for v in tiles.lonlat_to_tile(np.array([q.lon]), np.array([q.lat]), 5))
+        num = den = 0.0
+        exact = None
+        for p in pts:
+            ptx, pty = (int(v[0]) for v in tiles.lonlat_to_tile(np.array([p.lon]), np.array([p.lat]), 5))
+            if abs(ptx - qtx) <= 1 and abs(pty - qty) <= 1:
+                d2 = (q.lon - p.lon) ** 2 + (q.lat - p.lat) ** 2
+                if d2 == 0:
+                    exact = p.val if exact is None else min(exact, p.val)
+                else:
+                    num += p.val / d2
+                    den += 1.0 / d2
+        if exact is not None:
+            assert got[q.qid] == exact
+        elif den > 0:
+            assert got[q.qid] == pytest.approx(num / den, rel=1e-9)
+        else:
+            assert got.get(q.qid) is None or math.isnan(got[q.qid])

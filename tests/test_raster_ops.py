@@ -101,7 +101,7 @@ def test_point_raster_lookup(spark, tile_table):
         assert out[2] is None
 
 
-@pytest.mark.parametrize("kernel", ["slope", "tri", "roughness"])
+@pytest.mark.parametrize("kernel", ["slope", "tri", "roughness", "aspect", "hillshade"])
 def test_focal_matches_numpy(spark, tile_table, kernel):
     """Distributed halo-exchange focal == single-process numpy on the
     mosaicked full grid (cross-tile seams must be exact)."""
