@@ -821,6 +821,69 @@ def _sql_ann_lsh() -> str:
     """
 
 
+# -- OGR SQL dialect compiler (engine.ogrsql) executed end-to-end -----------
+
+
+def _ogr_tables(spark: SparkSession, sf_dir: str) -> dict:
+    return {
+        name: _read(spark, sf_dir, name)
+        for name in ("part", "supplier", "customer", "lineitem")
+    }
+
+
+def _q_ogrsql_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.ogrsql import execute_ogr_sql
+
+    return execute_ogr_sql(
+        _ogr_tables(spark, sf_dir),
+        "SELECT p_partkey, p_brand, p_size * 2 AS size2 FROM part "
+        "WHERE p_brand = 'BRAND#13' AND p_size BETWEEN 5 AND 40 ORDER BY p_partkey",
+    )
+
+
+def _sql_ogrsql_where() -> str:
+    return """
+        SELECT p_partkey, p_brand, p_size * 2 AS size2 FROM part
+        WHERE lower(p_brand) = lower('BRAND#13') AND p_size BETWEEN 5 AND 40
+        ORDER BY p_partkey
+    """
+
+
+def _q_ogrsql_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.ogrsql import execute_ogr_sql
+
+    return execute_ogr_sql(
+        _ogr_tables(spark, sf_dir),
+        "SELECT MIN(l_quantity) AS mn, MAX(l_quantity) AS mx, "
+        "SUM(l_quantity) AS s, COUNT(*) AS n, COUNT(DISTINCT l_returnflag) AS nf "
+        "FROM lineitem",
+    )
+
+
+def _sql_ogrsql_summary() -> str:
+    return """
+        SELECT min(l_quantity) AS mn, max(l_quantity) AS mx,
+               sum(l_quantity) AS s, count(*) AS n,
+               count(DISTINCT l_returnflag) AS nf
+        FROM lineitem
+    """
+
+
+def _q_ogrsql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.ogrsql import execute_ogr_sql
+
+    return execute_ogr_sql(
+        _ogr_tables(spark, sf_dir),
+        "SELECT s_suppkey, s_name, c_custkey, c_name FROM supplier "
+        "LEFT JOIN customer ON supplier.s_nationkey = customer.c_nationkey",
+    )
+
+
+# same oracle as first_match_join (the compiler path must agree with it)
+def _sql_ogrsql_join() -> str:
+    return _sql_first_match_join()
+
+
 # -- raster statistics cross-check: tile-table path vs relational oracle ----
 
 
@@ -1090,6 +1153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "raster_stats": _q_raster_stats,
         "raster_histogram": _q_raster_histogram,
+        "ogrsql_where": _q_ogrsql_where,
+        "ogrsql_summary": _q_ogrsql_summary,
+        "ogrsql_join": _q_ogrsql_join,
     }
 
 
@@ -1127,4 +1193,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _sql_ann_lsh(),
         "raster_stats": _sql_raster_stats(),
         "raster_histogram": _sql_raster_histogram(),
+        "ogrsql_where": _sql_ogrsql_where(),
+        "ogrsql_summary": _sql_ogrsql_summary(),
+        "ogrsql_join": _sql_ogrsql_join(),
     }
