@@ -1,0 +1,227 @@
+"""Connected components over tile tables: the polygonize/sieve foundation.
+
+GDAL's polygonize (alg/polygonize.cpp:495) and sieve filter
+(alg/gdalsievefilter.cpp:133-185) both start from connected-component
+labeling of equal-valued pixels (4-connectivity).  Distributed form:
+
+1. **per-tile labeling** — pure-numpy two-pass row-run union-find inside a
+   grouped UDF (no scipy in the runtime);
+2. **cross-tile merge** — every tile emits its 4 boundary strips (value +
+   local label per edge pixel, ~1.5% of tile bytes); the driver unions
+   touching equal-valued labels across adjacent tiles (a tiny union-find
+   over strip data) and broadcasts the local→global map;
+3. **relabel + stats** — a second pass maps local labels to global
+   component ids and aggregates per-component pixel counts and bounds.
+
+Output: (component_id, value, pixel_count, min_gx, min_gy, max_gx, max_gy)
+with deterministic component ids (the lexicographically smallest
+(ty, tx, local_label) member).  Ring tracing to WKB polygons is the
+documented next step (COVERAGE.md); counts/bounds already pin the
+component structure exactly against a single-process oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .raster import TILE_SIZE, bytes_to_tile
+
+
+class _UF:
+    __slots__ = ("p",)
+
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        p = self.p
+        root = x
+        while p.setdefault(root, root) != root:
+            root = p[root]
+        while p[x] != root:
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # deterministic: smaller tuple wins as root
+            if rb < ra:
+                ra, rb = rb, ra
+            self.p[rb] = ra
+
+
+def label_tile(grid: np.ndarray, background: int = 0) -> np.ndarray:
+    """4-connected labeling of equal-valued non-background pixels.
+
+    Two-pass row-run union-find: runs of constant value per row, unioned
+    with overlapping equal-valued runs of the previous row.  Returns int32
+    labels (0 = background), labels dense-ranked in scan order.
+    """
+    H, W = grid.shape
+    labels = np.zeros((H, W), dtype=np.int32)
+    uf = _UF()
+    next_label = 1
+    prev_runs: list = []  # (start, end, value, label)
+    for r in range(H):
+        row = grid[r]
+        # run boundaries: change of value
+        change = np.nonzero(row[1:] != row[:-1])[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [W]])
+        runs = []
+        for s, e in zip(starts, ends):
+            v = row[s]
+            if v == background:
+                continue
+            lab = None
+            # union with overlapping prev-row runs of equal value
+            for ps, pe, pv, pl in prev_runs:
+                if pv == v and ps < e and s < pe:
+                    if lab is None:
+                        lab = pl
+                    else:
+                        uf.union(lab, pl)
+            if lab is None:
+                lab = next_label
+                next_label += 1
+            labels[r, s:e] = lab
+            runs.append((s, e, v, lab))
+        # resolve labels assigned earlier in this row against unions
+        prev_runs = runs
+    if next_label > 1:
+        # path-compress to canonical roots, then dense-rank
+        flat = labels.ravel()
+        nz = flat != 0
+        roots = np.array([uf.find(int(x)) for x in flat[nz]], dtype=np.int64)
+        uniq, dense = np.unique(roots, return_inverse=True)
+        flat[nz] = (dense + 1).astype(np.int32)
+    return labels
+
+
+def connected_components(tile_df: DataFrame, background: int = 0) -> DataFrame:
+    """Distributed connected components over a (zoom, tx, ty, data) table.
+
+    Returns (component_id string, value long, pixel_count long,
+    min_gx, min_gy, max_gx, max_gy) in GLOBAL pixel coordinates
+    (gx = tx*256+col, gy = raster row within the world grid, top-origin
+    per-tile rows mapped via ty).
+    """
+    # pass 1: per-tile labeling + per-(tile,label) partial stats + strips
+    stats_schema = (
+        "tx long, ty long, label int, value long, pixel_count long, "
+        "min_gx long, min_gy long, max_gx long, max_gy long"
+    )
+    strip_schema = "tx long, ty long, side string, pos int, value long, label int"
+
+    def _label_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                g = bytes_to_tile(r.data)
+                lab = label_tile(g, background)
+                if lab.max() == 0:
+                    continue
+                flat_l = lab.ravel()
+                nz = np.nonzero(flat_l)[0]
+                ls = flat_l[nz]
+                vals = g.ravel()[nz]
+                rr, cc = np.divmod(nz, TILE_SIZE)
+                gx = int(r.tx) * TILE_SIZE + cc
+                # global y: row 0 of the tile is its TOP; larger ty = north
+                gy = -(int(r.ty) * TILE_SIZE) + rr
+                order = np.argsort(ls, kind="stable")
+                uls, starts = np.unique(ls[order], return_index=True)
+                bounds = np.append(starts, ls.shape[0])
+                for gi in range(uls.shape[0]):
+                    sel = order[starts[gi] : bounds[gi + 1]]
+                    rows.append(
+                        (
+                            int(r.tx), int(r.ty), int(uls[gi]), int(vals[sel[0]]),
+                            int(sel.size),
+                            int(gx[sel].min()), int(gy[sel].min()),
+                            int(gx[sel].max()), int(gy[sel].max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "tx", "ty", "label", "value", "pixel_count",
+                    "min_gx", "min_gy", "max_gx", "max_gy",
+                ],
+            )
+
+    def _strips(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                g = bytes_to_tile(r.data)
+                lab = label_tile(g, background)
+                for side, vals, labs in (
+                    ("top", g[0, :], lab[0, :]),        # faces tile ty+1 (its bottom row)
+                    ("bottom", g[-1, :], lab[-1, :]),   # faces ty-1
+                    ("left", g[:, 0], lab[:, 0]),
+                    ("right", g[:, -1], lab[:, -1]),
+                ):
+                    nz = np.nonzero(labs)[0]
+                    for p in nz:
+                        rows.append((int(r.tx), int(r.ty), side, int(p), int(vals[p]), int(labs[p])))
+            yield pd.DataFrame(rows, columns=["tx", "ty", "side", "pos", "value", "label"])
+
+    src = tile_df.select("tx", "ty", "data")
+    stats = src.mapInPandas(_label_stats, stats_schema)
+    strips = src.mapInPandas(_strips, strip_schema).collect()  # small: edges only
+
+    # driver-side union-find across tile seams
+    uf = _UF()
+    by_edge: dict = {}
+    for s in strips:
+        by_edge.setdefault((s.tx, s.ty, s.side), {})[s.pos] = (s.value, s.label)
+    for (tx, ty, side), cells in by_edge.items():
+        if side == "top":
+            other = by_edge.get((tx, ty + 1, "bottom"), {})
+        elif side == "left":
+            other = by_edge.get((tx - 1, ty, "right"), {})
+        else:
+            continue  # each seam processed once from one side
+        for pos, (v, l) in cells.items():
+            o = other.get(pos)
+            if o and o[0] == v:
+                uf.union((ty, tx, l), (ty + 1, tx, o[1]) if side == "top" else (ty, tx - 1, o[1]))
+
+    mapping = {}
+    for s in strips:
+        key = (s.ty, s.tx, s.label)
+        root = uf.find(key)
+        mapping[(s.tx, s.ty, s.label)] = f"{root[0]}_{root[1]}_{root[2]}"
+    bc = tile_df.sparkSession.sparkContext.broadcast(mapping)
+
+    @F.udf("string")
+    def _global_id(tx, ty, label):
+        return bc.value.get((tx, ty, label), f"{ty}_{tx}_{label}")
+
+    return (
+        stats.withColumn("component_id", _global_id("tx", "ty", "label"))
+        .groupBy("component_id", "value")
+        .agg(
+            F.sum("pixel_count").alias("pixel_count"),
+            F.min("min_gx").alias("min_gx"),
+            F.min("min_gy").alias("min_gy"),
+            F.max("max_gx").alias("max_gx"),
+            F.max("max_gy").alias("max_gy"),
+        )
+    )
+
+
+def sieve_components(tile_df: DataFrame, min_pixels: int, background: int = 0) -> DataFrame:
+    """Sieve filter analog (alg/gdalsievefilter.cpp): report components
+    smaller than ``min_pixels`` (the ones GDAL would merge into their largest
+    neighbor).  Returns the small-component table; applying the merge to
+    pixel data is the documented next step."""
+    comps = connected_components(tile_df, background)
+    return comps.where(F.col("pixel_count") < min_pixels)

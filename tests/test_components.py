@@ -1,0 +1,141 @@
+"""Connected components: per-tile labeler vs BFS oracle; distributed
+cross-tile merge vs single-process labeling of the mosaic."""
+
+from collections import deque
+
+import numpy as np
+import pytest
+
+from engine import components, raster
+from engine.fixtures import make_gazetteer, make_pages
+from engine.geotag import geotag_first
+
+
+def _bfs_components(grid, background=0):
+    """Brute-force 4-connected flood fill → multiset of (value, count, bbox)."""
+    H, W = grid.shape
+    seen = np.zeros_like(grid, dtype=bool)
+    out = []
+    for r in range(H):
+        for c in range(W):
+            if grid[r, c] == background or seen[r, c]:
+                continue
+            v = grid[r, c]
+            q = deque([(r, c)])
+            seen[r, c] = True
+            cnt = 0
+            rmin = cmin = 10**9
+            rmax = cmax = -1
+            while q:
+                y, x = q.popleft()
+                cnt += 1
+                rmin, rmax = min(rmin, y), max(rmax, y)
+                cmin, cmax = min(cmin, x), max(cmax, x)
+                for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    yy, xx = y + dy, x + dx
+                    if 0 <= yy < H and 0 <= xx < W and not seen[yy, xx] and grid[yy, xx] == v:
+                        seen[yy, xx] = True
+                        q.append((yy, xx))
+            out.append((int(v), cnt, rmin, cmin, rmax, cmax))
+    return sorted(out)
+
+
+def test_label_tile_matches_bfs():
+    rng = np.random.default_rng(13)
+    for _ in range(8):
+        grid = rng.integers(0, 3, (40, 40)).astype(np.int64)
+        lab = components.label_tile(grid)
+        # reconstruct (value, count, bbox) per label
+        got = []
+        for l in range(1, lab.max() + 1):
+            mask = lab == l
+            if not mask.any():
+                continue
+            ys, xs = np.nonzero(mask)
+            vals = np.unique(grid[mask])
+            assert len(vals) == 1  # a component has one value
+            got.append((int(vals[0]), int(mask.sum()), int(ys.min()), int(xs.min()), int(ys.max()), int(xs.max())))
+        assert sorted(got) == _bfs_components(grid)
+
+
+def test_distributed_components_match_mosaic(spark):
+    gaz = make_gazetteer(n=200, n_countries=20)
+    pages = make_pages(n=2000, gazetteer=gaz, seed=44)
+    tagged = geotag_first(spark.createDataFrame(pages), spark.createDataFrame(gaz))
+    base = raster.burn_base_tiles(tagged, 3).cache()
+    tiles_np = {(r.tx, r.ty): raster.bytes_to_tile(r.data) for r in base.collect()}
+
+    got = [
+        (r.value, r.pixel_count, r.min_gx, r.min_gy, r.max_gx, r.max_gy)
+        for r in components.connected_components(base).collect()
+    ]
+
+    # single-process oracle: mosaic all tiles into one array (top-origin
+    # global grid: gx = tx*256+col, gy = -ty*256+row), absent tiles = 0
+    txs = [k[0] for k in tiles_np]
+    tys = [k[1] for k in tiles_np]
+    tx0, ty1 = min(txs), max(tys)
+    W = (max(txs) - tx0 + 1) * 256
+    H = (ty1 - min(tys) + 1) * 256
+    big = np.zeros((H, W), dtype=np.int64)
+    for (tx, ty), g in tiles_np.items():
+        r0 = (ty1 - ty) * 256
+        c0 = (tx - tx0) * 256
+        big[r0 : r0 + 256, c0 : c0 + 256] = g
+    lab = components.label_tile(big)
+    expect = []
+    for l in range(1, lab.max() + 1):
+        mask = lab == l
+        if not mask.any():
+            continue
+        ys, xs = np.nonzero(mask)
+        v = int(big[ys[0], xs[0]])
+        # convert oracle mosaic coords back to the engine's global coords
+        gx = xs + tx0 * 256
+        gy = ys - ty1 * 256
+        expect.append((v, int(mask.sum()), int(gx.min()), int(gy.min()), int(gx.max()), int(gy.max())))
+
+    assert sorted((v, c, a, b, d, e) for v, c, a, b, d, e in got) == sorted(expect)
+
+
+def test_sieve_reports_small_components(spark):
+    import pandas as pd
+
+    # two components: a 3-pixel blob and a 50-pixel bar, same tile
+    g = np.zeros((256, 256), dtype=np.int64)
+    g[0, 0:3] = 5
+    g[10, 0:50] = 5
+    df = spark.createDataFrame(
+        pd.DataFrame({"zoom": [3], "tx": [1], "ty": [1], "data": [raster.tile_to_bytes(g)]})
+    )
+    small = components.sieve_components(df, min_pixels=10)
+    rows = small.collect()
+    assert len(rows) == 1 and rows[0].pixel_count == 3
+
+
+def test_cross_tile_seam_merge(spark):
+    import pandas as pd
+
+    # horizontal bar crossing the vertical seam between tiles (1,1) and (2,1),
+    # plus a vertical bar crossing the horizontal seam between (1,1) and (1,2)
+    a = np.zeros((256, 256), dtype=np.int64)
+    b = np.zeros((256, 256), dtype=np.int64)
+    c = np.zeros((256, 256), dtype=np.int64)
+    a[100, 200:256] = 7   # right edge of (1,1)
+    b[100, 0:40] = 7      # left edge of (2,1) → same row, same value → one component
+    a[0, 10:20] = 9       # top row of (1,1)
+    c[255, 10:20] = 9     # bottom row of (1,2) (tile above) → one component
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "zoom": [3, 3, 3],
+                "tx": [1, 2, 1],
+                "ty": [1, 1, 2],
+                "data": [raster.tile_to_bytes(g) for g in (a, b, c)],
+            }
+        )
+    )
+    rows = {(r.value): (r.pixel_count, r.min_gx, r.max_gx) for r in components.connected_components(df).collect()}
+    assert rows[7][0] == 56 + 40  # merged across the vertical seam
+    assert rows[7][1] == 1 * 256 + 200 and rows[7][2] == 2 * 256 + 39
+    assert rows[9][0] == 20  # merged across the horizontal seam
