@@ -605,6 +605,29 @@ def _sql_embedding_topk() -> str:
     """
 
 
+def _q_quadkey_prefix_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup on the quadkey PREFIX (the cell-prefix index
+    property: a z8 quadkey's 5-char prefix IS the z5 cell,
+    gdal2tiles.py:304-318) — counts must equal direct z5 assignment."""
+    pts = _points(spark, sf_dir)
+    z8 = joins.with_tile(pts, zoom=8)
+    return (
+        z8.groupBy(F.substring("quadkey", 1, 5).alias("qk5"))
+        .agg(F.count(F.lit(1)).alias("page_count"))
+    )
+
+
+def _sql_quadkey_prefix_rollup() -> str:
+    tx, ty, _, _ = _merc_tile_sql(5)
+    qk = _quadkey_sql("tx", "ty", 5)
+    return f"""
+        WITH pts AS (
+            SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+        ), t AS (SELECT {tx} AS tx, {ty} AS ty FROM pts)
+        SELECT {qk} AS qk5, COUNT(*) AS page_count FROM t GROUP BY 1
+    """
+
+
 # -- ogr2ogr-style transforms + remaining OGR SQL surface -------------------
 
 
@@ -1156,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogrsql_where": _q_ogrsql_where,
         "ogrsql_summary": _q_ogrsql_summary,
         "ogrsql_join": _q_ogrsql_join,
+        "quadkey_prefix_rollup": _q_quadkey_prefix_rollup,
     }
 
 
@@ -1196,4 +1220,5 @@ def oracle_sql() -> dict[str, str]:
         "ogrsql_where": _sql_ogrsql_where(),
         "ogrsql_summary": _sql_ogrsql_summary(),
         "ogrsql_join": _sql_ogrsql_join(),
+        "quadkey_prefix_rollup": _sql_quadkey_prefix_rollup(),
     }

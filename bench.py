@@ -87,6 +87,22 @@ def main():
     _run("dedup_exact", lambda: _force(q["dedup_exact"](spark, sf_dir)), timings)
     _run("doc_quality", lambda: _force(q["doc_quality"](spark, sf_dir)), timings)
     _run("embedding_topk", lambda: _force(q["embedding_topk"](spark, sf_dir)), timings)
+    _run("minhash_lsh", lambda: _force(q["minhash_lsh"](spark, sf_dir)), timings)
+    _run("ann_lsh", lambda: _force(q["ann_lsh"](spark, sf_dir)), timings)
+    _run("ogrsql_exec", lambda: _force(q["ogrsql_where"](spark, sf_dir)), timings)
+
+    # raster-op pipeline: burn z5 → hillshade (halo join) → components
+    from engine import components as _components
+    from engine import focal as _focal
+
+    base = raster.burn_base_tiles(pts, 5).persist()
+    base.count()
+    _run("focal_hillshade", lambda: _force(_focal.focal(base, "hillshade")), timings)
+    _run("connected_components", lambda: _force(_components.connected_components(base)), timings)
+    from engine import warp as _warp
+
+    _run("warp_to_geodetic", lambda: _force(_warp.warp_mercator_to_geodetic(spark, base, 5, 4)), timings)
+    base.unpersist()
 
     total = round(sum(timings.values()), 3)
     pages_per_sec = round(n_pages / flagship_wall, 1) if flagship_wall > 0 else None

@@ -100,6 +100,37 @@ def lsh_bands(sig_col: Column, n_bands: int = 4, rows_per_band: int = 4) -> Colu
     return F.array(*bands)
 
 
+def minhash_signatures_df(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_words: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(_id, _sig array<long>) via explode + grouped min-aggs.
+
+    The Column-expression form (minhash_signature) re-evaluates the md5 per
+    hash function (16× the work — measured); this explodes shingles so the
+    base hash is computed ONCE per (doc, shingle) row, then takes the 16
+    mins as one JVM hash aggregation with map-side combine — the scalable
+    formulation.  Docs with no shingles get the sentinel-P signature.
+    """
+    a, b = _hash_params(n_hashes, seed)
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(word_shingles(F.col(text_col), shingle_words)).alias("_s"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("_s").cast("binary")), 1, 8), 16, 10).cast("long")
+    hashed = sh.select("_id", h.alias("_h"))
+    aggs = [
+        F.coalesce(F.min((F.col("_h") * ai + bi) % MERSENNE_P), F.lit(MERSENNE_P)).alias(f"_m{i}")
+        for i, (ai, bi) in enumerate(zip(a, b))
+    ]
+    sig = hashed.groupBy("_id").agg(*aggs)
+    return sig.select("_id", F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("_sig"))
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -111,19 +142,15 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash+LSH banding.
 
-    Plan: per-doc signature (JVM higher-order fns over word shingles) →
-    explode bands → self-equi-join on (band, key) → distinct ordered pairs
-    (a < b) → exact signature-agreement fraction as ``sim`` (the standard
-    MinHash Jaccard estimate).  Scale: the self-join shuffles on band keys —
-    identical docs collide in every band; unrelated docs almost never.
+    Plan: per-doc signature (explode + grouped min-agg, see
+    minhash_signatures_df) → explode bands → self-equi-join on (band, key) →
+    distinct ordered pairs (a < b) → exact signature-agreement fraction as
+    the MinHash Jaccard estimate.  Scale: the self-join shuffles on band
+    keys — identical docs collide in every band; unrelated docs almost never.
     """
-    rows = n_hashes // n_bands
-    sig = docs.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(word_shingles(F.col(text_col), shingle_words), n_hashes, seed).alias("_sig"),
-    )
+    sig = minhash_signatures_df(docs, id_col, text_col, n_hashes, shingle_words, seed)
     banded = sig.select(
-        "_id", "_sig", F.explode(lsh_bands(F.col("_sig"), n_bands, rows)).alias("_b")
+        "_id", "_sig", F.explode(lsh_bands(F.col("_sig"), n_bands, n_hashes // n_bands)).alias("_b")
     ).select("_id", "_sig", F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))
     left = banded.select(
         F.col("_id").alias("a"), F.col("_sig").alias("sig_a"), "band", "key"
