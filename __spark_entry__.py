@@ -1108,6 +1108,92 @@ def _sql_ngram_jaccard() -> str:
     """
 
 
+def _grid15_polygons_pdf():
+    """24×12 grid of 15° cells offset by (+3.6, +2.7) — the method layer for
+    layer algebra: offsets keep every edge off the 10° grid's edges so all
+    overlap areas are strictly positive and rectangle-math-checkable."""
+    from engine import geom
+
+    rows = []
+    for k in range(12):
+        for j in range(24):
+            x0, y0 = -176.4 + j * 15.0, -87.3 + k * 15.0
+            rows.append(
+                (k * 24 + j, geom.wkb_polygon([[(x0, y0), (x0 + 15, y0), (x0 + 15, y0 + 15), (x0, y0 + 15)]]))
+            )
+    pdf = pd.DataFrame(rows, columns=["polygon_id", "geom_wkb"])
+    pdf["polygon_id"] = pdf["polygon_id"].astype("int32")
+    return pdf
+
+
+_ALGEBRA_LAYERS_SQL = """
+        a AS (
+            SELECT CAST(r * 36 + c AS INT) AS a_id,
+                   -180.0 + c * 10.0 AS ax0, -90.0 + r * 10.0 AS ay0,
+                   -170.0 + c * 10.0 AS ax1, -80.0 + r * 10.0 AS ay1
+            FROM (SELECT UNNEST(range(18)) AS r), (SELECT UNNEST(range(36)) AS c)
+        ), b AS (
+            SELECT CAST(k * 24 + j AS INT) AS b_id,
+                   -176.4 + j * 15.0 AS bx0, -87.3 + k * 15.0 AS by0,
+                   -161.4 + j * 15.0 AS bx1, -72.3 + k * 15.0 AS by1
+            FROM (SELECT UNNEST(range(12)) AS k), (SELECT UNNEST(range(24)) AS j)
+        )
+"""
+
+
+def _q_layer_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer algebra Intersection (ogrlayer.cpp:1954) via the exact overlay
+    kernel (triangulation + convex clipping): 10° grid × offset 15° grid.
+    The kernel is fully general (concave OK, test_clip.py); rectangles here
+    make the result independently rectangle-math-checkable."""
+    from engine import algebra
+
+    a = spark.createDataFrame(_grid_polygons_pdf())
+    b = spark.createDataFrame(_grid15_polygons_pdf())
+    out = algebra.layer_intersection(a, b, res=10.0)
+    return out.select("a_id", "b_id", F.round("area", 6).alias("area"))
+
+
+def _sql_layer_intersection() -> str:
+    return f"""
+        WITH {_ALGEBRA_LAYERS_SQL}
+        SELECT a_id, b_id,
+               ROUND(CAST((least(ax1, bx1) - greatest(ax0, bx0))
+                        * (least(ay1, by1) - greatest(ay0, by0)) AS DOUBLE), 6) AS area
+        FROM a, b
+        WHERE least(ax1, bx1) > greatest(ax0, bx0)
+          AND least(ay1, by1) > greatest(ay0, by0)
+    """
+
+
+def _q_layer_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer algebra Erase (ogrlayer.cpp:3660): input minus union of all
+    overlapping method polygons, grouped subtraction per input feature."""
+    from engine import algebra
+
+    a = spark.createDataFrame(_grid_polygons_pdf())
+    b = spark.createDataFrame(_grid15_polygons_pdf())
+    out = algebra.layer_erase(a, b, res=10.0)
+    return out.where(F.col("area") > 1e-9).select("a_id", F.round("area", 6).alias("area"))
+
+
+def _sql_layer_erase() -> str:
+    return f"""
+        WITH {_ALGEBRA_LAYERS_SQL}, ov AS (
+            SELECT a_id,
+                   SUM((least(ax1, bx1) - greatest(ax0, bx0))
+                     * (least(ay1, by1) - greatest(ay0, by0))) AS covered
+            FROM a, b
+            WHERE least(ax1, bx1) > greatest(ax0, bx0)
+              AND least(ay1, by1) > greatest(ay0, by0)
+            GROUP BY a_id
+        )
+        SELECT a.a_id, ROUND(CAST(100.0 - COALESCE(ov.covered, 0) AS DOUBLE), 6) AS area
+        FROM a LEFT JOIN ov USING (a_id)
+        WHERE 100.0 - COALESCE(ov.covered, 0) > 1e-9
+    """
+
+
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -1180,6 +1266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogrsql_summary": _q_ogrsql_summary,
         "ogrsql_join": _q_ogrsql_join,
         "quadkey_prefix_rollup": _q_quadkey_prefix_rollup,
+        "layer_intersection": _q_layer_intersection,
+        "layer_erase": _q_layer_erase,
     }
 
 
@@ -1221,4 +1309,6 @@ def oracle_sql() -> dict[str, str]:
         "ogrsql_summary": _sql_ogrsql_summary(),
         "ogrsql_join": _sql_ogrsql_join(),
         "quadkey_prefix_rollup": _sql_quadkey_prefix_rollup(),
+        "layer_intersection": _sql_layer_intersection(),
+        "layer_erase": _sql_layer_erase(),
     }

@@ -1,0 +1,192 @@
+"""Polygon overlay kernel + distributed layer algebra.
+
+Oracle strategy: analytic areas for rectangles; conservation laws
+(area(A∩B) + area(A\\B) == area(A)) and PIP-sample parity against
+engine.geom's independent ray-cast kernel for arbitrary concave shapes.
+"""
+
+import numpy as np
+import pytest
+
+from engine import algebra, clip, geom
+
+
+def _rect(x0, y0, x1, y1):
+    return np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1)], dtype=np.float64)
+
+
+def _rot(ring, deg, cx=0.0, cy=0.0):
+    t = np.deg2rad(deg)
+    R = np.array([[np.cos(t), -np.sin(t)], [np.sin(t), np.cos(t)]])
+    return (ring - [cx, cy]) @ R.T + [cx, cy]
+
+
+def _star(n=7, r1=10.0, r2=4.0, cx=0.0, cy=0.0):
+    """Concave star polygon."""
+    ang = np.linspace(0, 2 * np.pi, 2 * n, endpoint=False)
+    r = np.where(np.arange(2 * n) % 2 == 0, r1, r2)
+    return np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
+
+
+def test_triangulate_area_conservation():
+    for ring in [_rect(0, 0, 4, 3), _star(5), _star(9, 7, 2), _rot(_star(6), 33)]:
+        tris = clip.triangulate(ring)
+        assert abs(sum(abs(clip.signed_area(t)) for t in tris) - abs(clip.signed_area(ring))) < 1e-9
+
+
+def test_rect_intersection_analytic():
+    a, b = _rect(0, 0, 10, 10), _rect(4, 6, 14, 16)
+    pieces = clip.intersection_pieces(a, b)
+    assert abs(clip.pieces_area(pieces) - 6 * 4) < 1e-9
+    # disjoint rects -> empty
+    assert clip.intersection_pieces(_rect(0, 0, 1, 1), _rect(5, 5, 6, 6)) == []
+
+
+def test_rotated_squares_analytic():
+    # unit square ∩ same square rotated 45° about its center:
+    # regular octagon, area = 2(√2−1)
+    a = _rect(-0.5, -0.5, 0.5, 0.5)
+    b = _rot(a, 45)
+    assert abs(clip.pieces_area(clip.intersection_pieces(a, b)) - 2 * (np.sqrt(2) - 1)) < 1e-9
+
+
+@pytest.mark.parametrize("mk_b", [lambda: _rect(2, -3, 9, 5), lambda: _rot(_star(5, 6, 2, 3, 1), 17)])
+def test_conservation_laws(mk_b):
+    a = _star(7, 10, 4)
+    b = mk_b()
+    area_a = abs(clip.signed_area(a))
+    area_b = abs(clip.signed_area(b))
+    inter = clip.pieces_area(clip.intersection_pieces(a, b))
+    a_minus_b = clip.pieces_area(clip.erase_pieces(a, [b]))
+    b_minus_a = clip.pieces_area(clip.erase_pieces(b, [a]))
+    union = clip.pieces_area(clip.union_pieces(a, b))
+    sym = clip.pieces_area(clip.sym_difference_pieces(a, b))
+    assert abs(inter + a_minus_b - area_a) < 1e-8
+    assert abs(inter + b_minus_a - area_b) < 1e-8
+    assert abs(union - (area_a + area_b - inter)) < 1e-8
+    assert abs(sym - (area_a + area_b - 2 * inter)) < 1e-8
+    assert inter > 0
+
+
+def test_clip_pieces_overlapping_methods_no_double_count():
+    # two overlapping method rects covering [0,6]x[0,4] ∪ [4,0]x[10,4]
+    a = _rect(0, 0, 10, 4)
+    b1, b2 = _rect(0, 0, 6, 4), _rect(4, 0, 10, 4)
+    pieces = clip.clip_pieces(a, [b1, b2])
+    assert abs(clip.pieces_area(pieces) - 40.0) < 1e-9  # not 6*4+6*4=48
+
+
+def test_pip_sample_parity_concave():
+    """Membership in the piece dissection == membership in (A∩B) decided by
+    the independent ray-cast kernel."""
+    rng = np.random.default_rng(42)
+    a = _star(7, 10, 4)
+    b = _rot(_star(5, 8, 3, 2, 1), 29)
+    pieces = clip.intersection_pieces(a, b)
+    px = rng.uniform(-12, 12, 4000)
+    py = rng.uniform(-12, 12, 4000)
+    in_pieces = clip.pieces_contain(pieces, px, py)
+    prep_a = geom.PreparedPolygon(geom.wkb_polygon([a]))
+    prep_b = geom.PreparedPolygon(geom.wkb_polygon([b]))
+    truth = prep_a.contains(px, py) & prep_b.contains(px, py)
+    # boundary-adjacent points may flip either way; interior agreement must
+    # be essentially total
+    disagree = (in_pieces != truth).mean()
+    assert disagree < 0.003, disagree
+
+
+def test_erase_pip_parity():
+    rng = np.random.default_rng(7)
+    a = _star(6, 9, 5)
+    b = _rect(-2, -8, 6, 3)
+    pieces = clip.erase_pieces(a, [b])
+    px = rng.uniform(-10, 10, 3000)
+    py = rng.uniform(-10, 10, 3000)
+    in_pieces = clip.pieces_contain(pieces, px, py)
+    prep_a = geom.PreparedPolygon(geom.wkb_polygon([a]))
+    prep_b = geom.PreparedPolygon(geom.wkb_polygon([b]))
+    truth = prep_a.contains(px, py) & ~prep_b.contains(px, py)
+    assert (in_pieces != truth).mean() < 0.005
+
+
+# ---------------------------------------------------------------------------
+# Distributed layer algebra
+# ---------------------------------------------------------------------------
+
+
+def _layer(spark, specs):
+    """specs: [(id, ring)] → DataFrame (pid, geom_wkb)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"pid": [int(i) for i, _ in specs], "geom_wkb": [geom.wkb_polygon([r]) for _, r in specs]}
+    )
+    pdf["pid"] = pdf["pid"].astype("int32")
+    return spark.createDataFrame(pdf)
+
+
+@pytest.fixture(scope="module")
+def grids(spark):
+    # layer A: 8 cells of 10x10 in a row; layer B: 15x15 cells offset (3,2)
+    a = _layer(spark, [(i, _rect(-40 + 10 * i, 0, -30 + 10 * i, 10)) for i in range(8)])
+    b = _layer(spark, [(j, _rect(-37 + 15 * j, 2, -22 + 15 * j, 17)) for j in range(5)])
+    return a, b
+
+
+def test_layer_intersection_matches_rect_math(spark, grids):
+    a, b = grids
+    rows = algebra.layer_intersection(a, b, res=10.0).collect()
+    got = {(r.a_id, r.b_id): r.area for r in rows}
+    expect = {}
+    for i in range(8):
+        ax0, ax1 = -40 + 10 * i, -30 + 10 * i
+        for j in range(5):
+            bx0, bx1 = -37 + 15 * j, -22 + 15 * j
+            w = min(ax1, bx1) - max(ax0, bx0)
+            h = min(10, 17) - max(0, 2)
+            if w > 0 and h > 0:
+                expect[(i, j)] = w * h
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 1e-9, k
+
+
+def test_layer_erase_conservation(spark, grids):
+    a, b = grids
+    inter = algebra.layer_intersection(a, b, res=10.0).groupBy("a_id").sum("area").collect()
+    inter_by_a = {r.a_id: r["sum(area)"] for r in inter}
+    erased = {r.a_id: r.area for r in algebra.layer_erase(a, b, res=10.0).collect()}
+    for i in range(8):
+        total = inter_by_a.get(i, 0.0) + erased.get(i, 0.0)
+        assert abs(total - 100.0) < 1e-8, (i, total)
+
+
+def test_layer_clip_equals_intersection_sum_disjoint_methods(spark, grids):
+    a, b = grids
+    inter = algebra.layer_intersection(a, b, res=10.0).groupBy("a_id").sum("area").collect()
+    inter_by_a = {r.a_id: r["sum(area)"] for r in inter}
+    clipped = {r.a_id: r.area for r in algebra.layer_clip(a, b, res=10.0).collect()}
+    assert set(clipped) == set(inter_by_a)
+    for k, v in inter_by_a.items():
+        assert abs(clipped[k] - v) < 1e-8
+
+
+def test_layer_union_identity_update_row_structure(spark, grids):
+    a, b = grids
+    uni = algebra.layer_union(a, b, res=10.0).collect()
+    total_area = sum(r.area for r in uni)
+    # A covers [-40,40]x[0,10] = 800; B covers 5 cells 15x15 = 1125;
+    # overlap strip y in [2,10] for x in [-37,38] = 75*8 = 600
+    assert abs(total_area - (800 + 1125 - 600)) < 1e-7
+    ident = algebra.layer_identity(a, b, res=10.0).collect()
+    assert abs(sum(r.area for r in ident) - 800) < 1e-7
+    upd = algebra.layer_update(a, b, res=10.0).collect()
+    assert abs(sum(r.area for r in upd) - (1125 + 800 - 600)) < 1e-7
+
+
+def test_owner_cell_dedup_no_duplicate_pairs(spark):
+    # one big polygon spanning many cells x one method spanning many cells
+    a = _layer(spark, [(0, _rect(-35, -25, 35, 25))])
+    b = _layer(spark, [(0, _rect(-20, -40, 20, 40))])
+    rows = algebra.pair_candidates(a, b, res=10.0).collect()
+    assert len(rows) == 1
