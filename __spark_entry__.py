@@ -1194,6 +1194,109 @@ def _sql_layer_erase() -> str:
     """
 
 
+_PROX_TARGETS = [((37 * i) % 256, (59 * i + 11) % 256) for i in range(12)]  # (row, col)
+
+
+def _q_proximity_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALComputeProximity analog (alg/gdalproximity.cpp:44-85) on one tile
+    with 12 fixed target pixels; emits every pixel within maxdist=25 of a
+    target.  Exact euclidean: every candidate squared distance is an
+    integer, so Spark and the SQL oracle compute bit-identical doubles."""
+    import numpy as np
+
+    from engine import proximity as prox
+    from engine import raster
+
+    g = np.zeros((raster.TILE_SIZE, raster.TILE_SIZE), dtype=np.int64)
+    for r, c in _PROX_TARGETS:
+        g[r, c] = 7
+    tile = spark.createDataFrame(
+        pd.DataFrame({"zoom": [3], "tx": [0], "ty": [0], "data": [raster.tile_to_bytes(g)]})
+    )
+    out = prox.proximity(tile, target_values=(7,), maxdist=25.0, nodata=-1.0)
+
+    def _explode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            for rr in pdf.itertuples():
+                arr = np.frombuffer(rr.data, dtype="<f8").reshape(raster.TILE_SIZE, raster.TILE_SIZE)
+                py, px = np.nonzero(arr >= 0)
+                yield pd.DataFrame({"px": px.astype("int32"), "py": py.astype("int32"), "dist": arr[py, px]})
+
+    return out.mapInPandas(_explode, "px int, py int, dist double")
+
+
+def _sql_proximity_grid() -> str:
+    tgts = ", ".join(f"({r}, {c})" for r, c in _PROX_TARGETS)
+    return f"""
+        WITH t(tr, tc) AS (VALUES {tgts}),
+        grid AS (
+            SELECT CAST(px AS INT) AS px, CAST(py AS INT) AS py
+            FROM (SELECT UNNEST(range(256)) AS px), (SELECT UNNEST(range(256)) AS py)
+        )
+        SELECT px, py,
+               MIN(sqrt(CAST((py - tr) * (py - tr) + (px - tc) * (px - tc) AS DOUBLE))) AS dist
+        FROM grid, t
+        GROUP BY px, py
+        HAVING MIN(sqrt(CAST((py - tr) * (py - tr) + (px - tc) * (px - tc) AS DOUBLE))) <= 25.0
+    """
+
+
+def _q_sieve_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALSieveFilter (alg/gdalsievefilter.cpp:133-185): 40 (big bar, small
+    bar) component couples crossing a tile seam; after the sieve every small
+    bar takes its big neighbor's value, making per-value pixel counts a
+    closed-form arithmetic oracle."""
+    import numpy as np
+
+    from engine import components, raster
+
+    T = raster.TILE_SIZE
+    a = np.zeros((T, T), dtype=np.int64)
+    b = np.zeros((T, T), dtype=np.int64)
+
+    def _hbar(row, col0, length, val):
+        end = col0 + length
+        a[row, col0 : min(end, T)] = val
+        if end > T:
+            b[row, : end - T] = val
+
+    for i in range(40):
+        row = 6 * i + 2
+        _hbar(row, 230, 26 + i, 1 + i % 5)
+        _hbar(row + 1, 233, 1 + i % 8, 6 + i % 3)
+    tiles_df = spark.createDataFrame(
+        pd.DataFrame(
+            {"zoom": [3, 3], "tx": [0, 1], "ty": [0, 0],
+             "data": [raster.tile_to_bytes(a), raster.tile_to_bytes(b)]}
+        )
+    )
+    out = components.sieve_filter(tiles_df, min_pixels=25)
+
+    def _counts(batches):
+        import numpy as np
+
+        for pdf in batches:
+            for rr in pdf.itertuples():
+                g = raster.bytes_to_tile(rr.data)
+                vals, cnts = np.unique(g[g != 0], return_counts=True)
+                yield pd.DataFrame({"value": vals.astype("int32"), "pixel_count": cnts.astype("int64")})
+
+    return out.mapInPandas(_counts, "value int, pixel_count long").groupBy("value").agg(
+        F.sum("pixel_count").alias("pixel_count")
+    )
+
+
+def _sql_sieve_value_counts() -> str:
+    return """
+        SELECT CAST(1 + i % 5 AS INT) AS value,
+               CAST(SUM(27 + i + (i % 8)) AS BIGINT) AS pixel_count
+        FROM (SELECT UNNEST(range(40)) AS i)
+        GROUP BY 1
+    """
+
+
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -1268,6 +1371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_prefix_rollup": _q_quadkey_prefix_rollup,
         "layer_intersection": _q_layer_intersection,
         "layer_erase": _q_layer_erase,
+        "proximity_grid": _q_proximity_grid,
+        "sieve_value_counts": _q_sieve_value_counts,
     }
 
 
@@ -1311,4 +1416,6 @@ def oracle_sql() -> dict[str, str]:
         "quadkey_prefix_rollup": _sql_quadkey_prefix_rollup(),
         "layer_intersection": _sql_layer_intersection(),
         "layer_erase": _sql_layer_erase(),
+        "proximity_grid": _sql_proximity_grid(),
+        "sieve_value_counts": _sql_sieve_value_counts(),
     }

@@ -104,6 +104,34 @@ def label_tile(grid: np.ndarray, background: int = 0) -> np.ndarray:
     return labels
 
 
+_STRIP_SCHEMA = "tx long, ty long, side string, pos int, value long, label int"
+
+
+def _strips_factory(background: int):
+    """mapInPandas UDF emitting the 4 boundary strips (value + local label
+    per edge pixel) of every tile — the cross-tile merge input (~1.5% of
+    tile bytes)."""
+
+    def _strips(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                g = bytes_to_tile(r.data)
+                lab = label_tile(g, background)
+                for side, vals, labs in (
+                    ("top", g[0, :], lab[0, :]),        # faces tile ty+1 (its bottom row)
+                    ("bottom", g[-1, :], lab[-1, :]),   # faces ty-1
+                    ("left", g[:, 0], lab[:, 0]),
+                    ("right", g[:, -1], lab[:, -1]),
+                ):
+                    nz = np.nonzero(labs)[0]
+                    for p in nz:
+                        rows.append((int(r.tx), int(r.ty), side, int(p), int(vals[p]), int(labs[p])))
+            yield pd.DataFrame(rows, columns=["tx", "ty", "side", "pos", "value", "label"])
+
+    return _strips
+
+
 def connected_components(tile_df: DataFrame, background: int = 0) -> DataFrame:
     """Distributed connected components over a (zoom, tx, ty, data) table.
 
@@ -117,7 +145,6 @@ def connected_components(tile_df: DataFrame, background: int = 0) -> DataFrame:
         "tx long, ty long, label int, value long, pixel_count long, "
         "min_gx long, min_gy long, max_gx long, max_gy long"
     )
-    strip_schema = "tx long, ty long, side string, pos int, value long, label int"
 
     def _label_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -156,26 +183,9 @@ def connected_components(tile_df: DataFrame, background: int = 0) -> DataFrame:
                 ],
             )
 
-    def _strips(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples():
-                g = bytes_to_tile(r.data)
-                lab = label_tile(g, background)
-                for side, vals, labs in (
-                    ("top", g[0, :], lab[0, :]),        # faces tile ty+1 (its bottom row)
-                    ("bottom", g[-1, :], lab[-1, :]),   # faces ty-1
-                    ("left", g[:, 0], lab[:, 0]),
-                    ("right", g[:, -1], lab[:, -1]),
-                ):
-                    nz = np.nonzero(labs)[0]
-                    for p in nz:
-                        rows.append((int(r.tx), int(r.ty), side, int(p), int(vals[p]), int(labs[p])))
-            yield pd.DataFrame(rows, columns=["tx", "ty", "side", "pos", "value", "label"])
-
     src = tile_df.select("tx", "ty", "data")
     stats = src.mapInPandas(_label_stats, stats_schema)
-    strips = src.mapInPandas(_strips, strip_schema).collect()  # small: edges only
+    strips = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA).collect()  # small: edges only
 
     # driver-side union-find across tile seams
     uf = _UF()
@@ -221,7 +231,169 @@ def connected_components(tile_df: DataFrame, background: int = 0) -> DataFrame:
 def sieve_components(tile_df: DataFrame, min_pixels: int, background: int = 0) -> DataFrame:
     """Sieve filter analog (alg/gdalsievefilter.cpp): report components
     smaller than ``min_pixels`` (the ones GDAL would merge into their largest
-    neighbor).  Returns the small-component table; applying the merge to
-    pixel data is the documented next step."""
+    neighbor).  Returns the small-component table; :func:`sieve_filter`
+    applies the merge to pixel data."""
     comps = connected_components(tile_df, background)
     return comps.where(F.col("pixel_count") < min_pixels)
+
+
+def merge_small_components(sizes: dict, values: dict, adj: dict, min_pixels: int) -> dict:
+    """Driver-side sieve merge loop (GDALSieveFilter's polygon-merge,
+    alg/gdalsievefilter.cpp:133-185): repeatedly merge each component
+    smaller than ``min_pixels`` into its largest neighbor (ties → smallest
+    component id) until stable.  Deterministic: small components processed
+    ascending (size, id).  Returns {component_id: final_value}.
+
+    This graph is tiny relative to pixel data (components ≪ pixels); at
+    extreme component counts the same loop tree-reduces per tile-block first.
+    """
+    parent = {c: c for c in sizes}
+
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+
+    changed = True
+    while changed:
+        changed = False
+        order = sorted((c for c in sizes if parent[c] == c and sizes[c] < min_pixels),
+                       key=lambda c: (sizes[c], c))
+        for c in order:
+            if parent[c] != c or sizes[c] >= min_pixels:
+                continue
+            neigh = {find(n) for n in adj.get(c, ())} - {c}
+            if not neigh:
+                continue
+            target = max(neigh, key=lambda n: (sizes[n], tuple(-x for x in _idnum(n))))
+            parent[c] = target
+            sizes[target] += sizes.pop(c)
+            # fold adjacency of c into target
+            a = adj.setdefault(target, set())
+            a.update(adj.pop(c, ()))
+            for n in list(a):
+                rn = find(n)
+                if rn == target:
+                    a.discard(n)
+                else:
+                    adj.setdefault(rn, set()).add(target)
+            changed = True
+    return {c: values[find(c)] for c in values}
+
+
+def _idnum(cid):
+    """Sortable numeric form of a component id string 'ty_tx_label'."""
+    return tuple(int(x) for x in cid.split("_"))
+
+
+def sieve_filter(tile_df: DataFrame, min_pixels: int, background: int = 0) -> DataFrame:
+    """GDALSieveFilter (alg/gdalsievefilter.cpp:133-185), full pixel rewrite:
+    connected components below ``min_pixels`` take the value of their largest
+    neighboring component (4-connect); background pixels are never rewritten
+    and never absorb.  Returns a new (tx, ty, data) tile table.
+
+    Plan: one labeling pass emits per-component stats + seam strips +
+    within-tile adjacency; the driver merges the (small) component graph and
+    broadcasts only the labels whose value changes; a second pass rewrites
+    pixels.  Two mapInPandas scans + one broadcast — no pixel shuffle.
+    """
+    src = tile_df.select("tx", "ty", "data")
+    adj_schema = "tx long, ty long, la int, lb int"
+
+    def _adj(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                g = bytes_to_tile(r.data)
+                lab = label_tile(g, background)
+                for a, b in ((lab[:, :-1], lab[:, 1:]), (lab[:-1, :], lab[1:, :])):
+                    m = (a != b) & (a != 0) & (b != 0)
+                    if m.any():
+                        pairs = np.unique(
+                            np.stack([np.minimum(a[m], b[m]), np.maximum(a[m], b[m])], axis=1), axis=0
+                        )
+                        rows.extend((int(r.tx), int(r.ty), int(x), int(y)) for x, y in pairs)
+            yield pd.DataFrame(rows, columns=["tx", "ty", "la", "lb"])
+
+    # component stats with global ids (reuses the seam union-find)
+    comps = connected_components(tile_df, background).collect()
+    sizes = {c.component_id: int(c.pixel_count) for c in comps}
+    values = {c.component_id: int(c.value) for c in comps}
+
+    # rebuild the local→global map exactly as connected_components did
+    strip_rows = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA).collect()
+    uf = _UF()
+    by_edge: dict = {}
+    for s in strip_rows:
+        by_edge.setdefault((s.tx, s.ty, s.side), {})[s.pos] = (s.value, s.label)
+    for (tx, ty, side), cells in by_edge.items():
+        if side == "top":
+            other = by_edge.get((tx, ty + 1, "bottom"), {})
+        elif side == "left":
+            other = by_edge.get((tx - 1, ty, "right"), {})
+        else:
+            continue
+        for pos, (v, l) in cells.items():
+            o = other.get(pos)
+            if o and o[0] == v:
+                uf.union((ty, tx, l), (ty + 1, tx, o[1]) if side == "top" else (ty, tx - 1, o[1]))
+
+    def gid(tx, ty, label):
+        r = uf.find((ty, tx, label))
+        return f"{r[0]}_{r[1]}_{r[2]}"
+
+    # adjacency: within-tile pairs + cross-seam differing-value pairs
+    adj: dict = {}
+
+    def _edge(a, b):
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+
+    for r in src.mapInPandas(_adj, adj_schema).collect():
+        _edge(gid(r.tx, r.ty, r.la), gid(r.tx, r.ty, r.lb))
+    for (tx, ty, side), cells in by_edge.items():
+        if side == "top":
+            other, om = by_edge.get((tx, ty + 1, "bottom"), {}), (tx, ty + 1)
+        elif side == "left":
+            other, om = by_edge.get((tx - 1, ty, "right"), {}), (tx - 1, ty)
+        else:
+            continue
+        for pos, (v, l) in cells.items():
+            o = other.get(pos)
+            if o and o[0] != v:
+                _edge(gid(tx, ty, l), gid(om[0], om[1], o[1]))
+
+    final_value = merge_small_components(sizes, values, adj, min_pixels)
+    # broadcast only the components whose value changes + the seam union-find
+    # parents (labels are re-derived per tile at rewrite time)
+    bc_final = tile_df.sparkSession.sparkContext.broadcast(
+        ({k: v for k, v in final_value.items() if values.get(k) != v}, dict(uf.p))
+    )
+
+    def _rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        changed_vals, parents = bc_final.value
+
+        def find(key):
+            seen = []
+            while parents.get(key, key) != key:
+                seen.append(key)
+                key = parents[key]
+            return key
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                g = bytes_to_tile(r.data).copy()
+                lab = label_tile(g, background)
+                for ll in np.unique(lab[lab != 0]):
+                    root = find((int(r.ty), int(r.tx), int(ll)))
+                    cid = f"{root[0]}_{root[1]}_{root[2]}"
+                    nv = changed_vals.get(cid)
+                    if nv is not None:
+                        g[lab == ll] = nv
+                out.append((int(r.tx), int(r.ty), g.astype("<i4").tobytes()))
+            yield pd.DataFrame(out, columns=["tx", "ty", "data"])
+
+    return src.mapInPandas(_rewrite, "tx long, ty long, data binary")

@@ -1,0 +1,219 @@
+"""Proximity (distance transform) + focal nodata fill over tile tables.
+
+Reference operators:
+
+* ``GDALComputeProximity`` (alg/gdalproximity.cpp:44-85) — per-pixel
+  distance to the nearest target-valued pixel, bounded by MAXDIST; the
+  reference uses a two-pass scanline propagation that *approximates*
+  euclidean distance on one machine.  We compute the EXACT euclidean
+  distance (pixel-center metric) with a separable transform — a documented
+  strictness upgrade: the distributed result is identical to running the
+  same kernel on the mosaicked raster (seam-exact), which a scanline
+  approximation cannot guarantee under tiling.
+* ``GDALFillNodata`` (alg/rasterfill.cpp:352-391) — nodata pixels filled by
+  inverse-distance weighting of the nearest valid pixel along each of the 8
+  compass directions (the reference's dfMaxSearchDist + smoothing
+  iterations), then optional 3×3 average smoothing restricted to filled
+  pixels.
+
+Distributed pattern (both ops): **3×3 neighbor-tile gather** — each tile is
+shuffled to itself and its 8 neighbors (one explode + groupBy = one
+shuffle), the kernel runs on the 768×768 composite, and the center
+256×256 window is emitted.  Exact for search radii ≤ TILE_SIZE (256 px);
+wider radii would gather ring-2 neighbors (5×5) the same way.  At cluster
+scale the 9× replication is bytes-proportional and embarrassingly parallel
+— the same cost GDAL pays re-reading neighbor blocks, made explicit as one
+shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .raster import TILE_SIZE, bytes_to_tile, tile_to_bytes
+
+
+# ---------------------------------------------------------------------------
+# numpy kernels
+# ---------------------------------------------------------------------------
+
+
+def edt(targets: np.ndarray, maxdist: float) -> np.ndarray:
+    """Exact euclidean distance (float64) from each cell to the nearest True
+    cell, separable two-stage form: vertical nearest-target distance per
+    column (two scans), then a horizontal min over offsets |dc| ≤ maxdist of
+    ``V[r, c+dc]² + dc²``.  Cells farther than ``maxdist`` get +inf."""
+    H, W = targets.shape
+    BIG = float(H + W + 1)
+    # vertical pass: distance to nearest target in the same column
+    v = np.full((H, W), BIG)
+    v[targets] = 0.0
+    for r in range(1, H):
+        np.minimum(v[r], v[r - 1] + 1.0, out=v[r])
+    for r in range(H - 2, -1, -1):
+        np.minimum(v[r], v[r + 1] + 1.0, out=v[r])
+    v2 = v * v
+    m = int(np.ceil(maxdist))
+    best = v2.copy()
+    for dc in range(1, m + 1):
+        d2 = float(dc * dc)
+        if d2 > maxdist * maxdist and dc > 1:
+            break
+        np.minimum(best[:, dc:], v2[:, :-dc] + d2, out=best[:, dc:])
+        np.minimum(best[:, :-dc], v2[:, dc:] + d2, out=best[:, :-dc])
+    out = np.sqrt(best)
+    out[out > maxdist] = np.inf
+    return out
+
+
+_DIRS = [(-1, 0), (1, 0), (0, -1), (0, 1), (-1, -1), (-1, 1), (1, -1), (1, 1)]
+
+
+def fill_kernel(grid: np.ndarray, nodata: int, maxdist: float, smoothing: int = 0,
+                exists: np.ndarray | None = None) -> np.ndarray:
+    """Directional IDW fill (rasterfill.cpp analog): for each nodata cell,
+    the nearest valid value along each of 8 directions within ``maxdist``
+    contributes with weight 1/d; unreachable cells stay nodata.  Then
+    ``smoothing`` passes of 3×3 mean over the *filled* cells only.
+
+    ``exists`` marks cells that are part of the raster (False = beyond the
+    raster edge, e.g. composite padding): they are never sources, never
+    filled, and never counted as smoothing neighbors — so a tiled run and a
+    whole-raster run agree exactly at raster boundaries."""
+    H, W = grid.shape
+    if exists is None:
+        exists = np.ones((H, W), dtype=bool)
+    valid = (grid != nodata) & exists
+    wsum = np.zeros((H, W))
+    vsum = np.zeros((H, W))
+    m = int(np.floor(maxdist))
+    for dr, dc in _DIRS:
+        step = np.hypot(dr, dc)
+        # nearest valid value + distance along (-dr,-dc) looking direction,
+        # propagated iteratively: value/dist arrays shifted one step at a time
+        val = np.where(valid, grid.astype(np.float64), np.nan)
+        dist = np.where(valid, 0.0, np.inf)
+        cur_v = np.full((H, W), np.nan)
+        cur_d = np.full((H, W), np.inf)
+        for k in range(1, int(np.ceil(m / step)) + 1):
+            # shift source arrays by k steps of (dr,dc)
+            sv = np.full((H, W), np.nan)
+            sd = np.full((H, W), np.inf)
+            r0, r1 = max(dr * k, 0), min(H + dr * k, H)
+            c0, c1 = max(dc * k, 0), min(W + dc * k, W)
+            sv[r0:r1, c0:c1] = val[r0 - dr * k : r1 - dr * k, c0 - dc * k : c1 - dc * k]
+            sd[r0:r1, c0:c1] = dist[r0 - dr * k : r1 - dr * k, c0 - dc * k : c1 - dc * k] + k * step
+            take = (sd < cur_d) & ~np.isnan(sv)
+            cur_v[take] = sv[take]
+            cur_d[take] = sd[take]
+            if not np.isinf(cur_d[~valid]).any():
+                break
+        reach = (~valid) & (cur_d <= maxdist) & ~np.isnan(cur_v)
+        w = np.zeros((H, W))
+        w[reach] = 1.0 / cur_d[reach]
+        wsum += w
+        vsum += np.where(reach, cur_v, 0.0) * w
+    out = grid.astype(np.float64).copy()
+    fillable = (~valid) & exists & (wsum > 0)
+    out[fillable] = vsum[fillable] / wsum[fillable]
+    filled = out.copy()
+    for _ in range(smoothing):
+        # 3×3 mean over non-nodata cells, applied to filled cells only
+        # (GDALFillNodata smoothing touches only the interpolated region)
+        acc = np.zeros((H, W))
+        cnt = np.zeros((H, W))
+        ok = (filled != nodata) & exists
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                sh = np.full((H, W), np.nan)
+                r0, r1 = max(dr, 0), min(H + dr, H)
+                c0, c1 = max(dc, 0), min(W + dc, W)
+                sh[r0:r1, c0:c1] = np.where(ok, filled, np.nan)[r0 - dr : r1 - dr, c0 - dc : c1 - dc]
+                hit = ~np.isnan(sh)
+                acc[hit] += sh[hit]
+                cnt[hit] += 1.0
+        smoothed = np.where(cnt > 0, acc / np.maximum(cnt, 1), filled)
+        filled = np.where(fillable, smoothed, filled)
+    return filled
+
+
+# ---------------------------------------------------------------------------
+# 3×3 gather + distributed operators
+# ---------------------------------------------------------------------------
+
+_TILE_SCHEMA = "tx long, ty long, data binary"
+
+
+def _gather_3x3(tile_df: DataFrame) -> DataFrame:
+    """Each tile replicated to its 9 (self + neighbors) composite groups:
+    (otx, oty) = the tile whose composite this row joins; (dx, dy) = where
+    it sits in that composite.  One explode + one shuffle."""
+    offsets = F.array(
+        *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    )
+    e = tile_df.select("tx", "ty", "data", F.explode(offsets).alias("o"))
+    return e.select(
+        (F.col("tx") + F.col("o.dx")).alias("otx"),
+        (F.col("ty") + F.col("o.dy")).alias("oty"),
+        (-F.col("o.dx")).cast("int").alias("dx"),
+        (-F.col("o.dy")).cast("int").alias("dy"),
+        "data",
+    )
+
+
+def _composite_apply(tile_df: DataFrame, fn, out_float: bool, pad_value: int = 0) -> DataFrame:
+    """groupBy composite target tile → assemble 768×768 (missing neighbors =
+    ``pad_value``), run ``fn(composite) -> np.ndarray``, emit center window."""
+    T = TILE_SIZE
+
+    def _apply(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        otx, oty = key
+        # the composite is only produced when the CENTER tile exists
+        if not ((pdf["dx"] == 0) & (pdf["dy"] == 0)).any():
+            return pd.DataFrame({"tx": [], "ty": [], "data": []})
+        comp = np.full((3 * T, 3 * T), pad_value, dtype=np.int32)
+        exists = np.zeros((3 * T, 3 * T), dtype=bool)
+        for r in pdf.itertuples():
+            # dy: +1 = neighbor north of center; rows grow southward in-array
+            comp[(1 - r.dy) * T : (2 - r.dy) * T, (1 + r.dx) * T : (2 + r.dx) * T] = bytes_to_tile(r.data)
+            exists[(1 - r.dy) * T : (2 - r.dy) * T, (1 + r.dx) * T : (2 + r.dx) * T] = True
+        out = fn(comp, exists)[T : 2 * T, T : 2 * T]
+        buf = out.astype("<f8").tobytes() if out_float else np.asarray(out, dtype="<i4").tobytes()
+        return pd.DataFrame({"tx": [otx], "ty": [oty], "data": [buf]})
+
+    return _gather_3x3(tile_df).groupBy("otx", "oty").applyInPandas(_apply, _TILE_SCHEMA)
+
+
+def proximity(tile_df: DataFrame, target_values: tuple, maxdist: float, nodata: float = -1.0) -> DataFrame:
+    """GDALComputeProximity analog: per-pixel exact euclidean distance (in
+    pixels) to the nearest pixel whose value ∈ target_values, bounded by
+    ``maxdist`` ≤ TILE_SIZE; beyond it → ``nodata``.  Output tiles carry
+    float64 pixel data."""
+    if maxdist > TILE_SIZE:
+        raise ValueError("maxdist > TILE_SIZE needs a ring-2 gather (not implemented)")
+    tv = tuple(target_values)
+    pad = int(max(tv)) + 1  # missing neighbors can never be targets
+
+    def _fn(comp: np.ndarray, exists: np.ndarray) -> np.ndarray:
+        targets = np.isin(comp, tv)
+        d = edt(targets, maxdist)
+        d[np.isinf(d)] = nodata
+        return d
+
+    return _composite_apply(tile_df, _fn, out_float=True, pad_value=pad)
+
+
+def fill_nodata(tile_df: DataFrame, nodata: int, maxdist: float, smoothing: int = 0) -> DataFrame:
+    """GDALFillNodata analog over the tile table (float64 output)."""
+    if maxdist > TILE_SIZE:
+        raise ValueError("maxdist > TILE_SIZE needs a ring-2 gather (not implemented)")
+
+    def _fn(comp: np.ndarray, exists: np.ndarray) -> np.ndarray:
+        return fill_kernel(comp, nodata, maxdist, smoothing, exists=exists)
+
+    return _composite_apply(tile_df, _fn, out_float=True, pad_value=nodata)
