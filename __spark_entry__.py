@@ -1297,6 +1297,97 @@ def _sql_sieve_value_counts() -> str:
     """
 
 
+_CONTOUR_LEVELS = [100.5, 300.5, 600.5]
+
+
+def _q_contour_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contour (alg/contour.cpp) on the linear field v = gx + row over two
+    tiles: every crossing cell yields one √0.5 chord, so per-level counts
+    and lengths have a closed form the SQL oracle reproduces."""
+    import numpy as np
+
+    from engine import contour, raster
+
+    T = raster.TILE_SIZE
+    grids = {}
+    for tx in (0, 1):
+        c = np.arange(T)[None, :] + tx * T
+        r = np.arange(T)[:, None]
+        grids[(tx, 0)] = (c + r).astype(np.int64)
+    tiles_df = spark.createDataFrame(
+        pd.DataFrame(
+            {"zoom": [3, 3], "tx": [0, 1], "ty": [0, 0],
+             "data": [raster.tile_to_bytes(grids[(0, 0)]), raster.tile_to_bytes(grids[(1, 0)])]}
+        )
+    )
+    out = contour.contour_lengths(tiles_df, _CONTOUR_LEVELS)
+    return out.select("level", "n_segments", F.round("total_length", 6).alias("total_length"))
+
+
+def _sql_contour_linear() -> str:
+    lv = ", ".join(f"({repr(l)}, {int(l)})" for l in _CONTOUR_LEVELS)
+    # cell grid: gx ∈ [0,510], row ∈ [0,254]; n(s) = #cells with gx+row = s
+    n = "GREATEST(0, LEAST(510, {s}) - GREATEST(0, {s} - 254) + 1)"
+    nk = n.format(s="k")
+    nk1 = n.format(s="k - 1")
+    return f"""
+        WITH lv(level, k) AS (VALUES {lv})
+        SELECT level,
+               CAST({nk} + {nk1} AS BIGINT) AS n_segments,
+               ROUND(CAST(({nk} + {nk1}) * sqrt(0.5) AS DOUBLE), 6) AS total_length
+        FROM lv
+    """
+
+
+_LINEREF_PTS = [(-150.0, -60.0), (-60.0, -20.0), (0.0, 0.0), (60.0, 20.0), (150.0, 60.0)]
+
+
+def _q_lineref_locate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear referencing (ogrlineref get_pos, apps/ogrlineref.cpp:54-87):
+    project every event point onto a fixed polyline → (measure, offset)."""
+    from engine import lineref
+
+    pts = _points(spark, sf_dir)
+    out = lineref.locate_points(pts, _LINEREF_PTS)
+    return out.select(
+        "event_id", F.round("measure", 6).alias("measure"), F.round("offset", 6).alias("offset")
+    )
+
+
+def _sql_lineref_locate() -> str:
+    from engine.lineref import Polyline
+
+    pl = Polyline(_LINEREF_PTS)
+    seg_rows = ", ".join(
+        f"({i}, {repr(float(pl.x1[i]))}, {repr(float(pl.y1[i]))}, {repr(float(pl.dx[i]))}, "
+        f"{repr(float(pl.dy[i]))}, {repr(float(pl.len2[i]))}, {repr(float(pl.seglen[i]))}, "
+        f"{repr(float(pl.cum[i]))})"
+        for i in range(pl.x1.shape[0])
+    )
+    return f"""
+        WITH seg(idx, x1, y1, dx, dy, len2, seglen, cum) AS (VALUES {seg_rows}),
+        pts AS (
+            SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+        ), proj AS (
+            SELECT event_id, idx, cum, seglen,
+                   LEAST(GREATEST(((lon - x1) * dx + (lat - y1) * dy) / len2, 0.0), 1.0) AS t,
+                   lon, lat, x1, y1, dx, dy
+            FROM pts, seg
+        ), d AS (
+            SELECT event_id, idx, cum + t * seglen AS measure,
+                   (lon - (x1 + t * dx)) * (lon - (x1 + t * dx))
+                 + (lat - (y1 + t * dy)) * (lat - (y1 + t * dy)) AS d2
+            FROM proj
+        ), r AS (
+            SELECT event_id, measure, d2,
+                   ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY d2, idx) AS rn
+            FROM d
+        )
+        SELECT event_id, ROUND(measure, 6) AS measure, ROUND(sqrt(d2), 6) AS offset
+        FROM r WHERE rn = 1
+    """
+
+
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -1373,6 +1464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_erase": _q_layer_erase,
         "proximity_grid": _q_proximity_grid,
         "sieve_value_counts": _q_sieve_value_counts,
+        "contour_linear": _q_contour_linear,
+        "lineref_locate": _q_lineref_locate,
     }
 
 
@@ -1418,4 +1511,6 @@ def oracle_sql() -> dict[str, str]:
         "layer_erase": _sql_layer_erase(),
         "proximity_grid": _sql_proximity_grid(),
         "sieve_value_counts": _sql_sieve_value_counts(),
+        "contour_linear": _sql_contour_linear(),
+        "lineref_locate": _sql_lineref_locate(),
     }

@@ -1,0 +1,173 @@
+"""Contour generation: iso-lines from the tile table (alg/contour.cpp:51-99).
+
+The reference walks the grid once, emitting level-crossing line segments per
+2×2 pixel cell and stitching them into polylines.  Distributed form:
+
+* each marching-squares cell is OWNED by the tile containing its top-left
+  pixel; the cell's other corners may live in the east/south/south-east
+  neighbor → the focal 1-px halo exchange (engine/focal.py) co-locates them;
+* cells whose east/south pixels do not exist (raster edge) are skipped —
+  exactly the cells a whole-raster run never visits, so the distributed
+  segment set equals the mosaic run's segment set;
+* segments are emitted as rows (level, x1, y1, x2, y2) in global pixel
+  coordinates (x = tx·T + col, y = −ty·T + row, the components.py
+  convention).  Polyline assembly = endpoint connected-components (the
+  engine.components seam-merge pattern); the segment table already pins the
+  geometry exactly, and per-level counts/lengths are the parity surface.
+
+Marching squares: corner "inside" ⇔ value > level; crossing points linearly
+interpolated (t = (level − v0)/(v1 − v0)), the same interpolation
+alg/contour.cpp applies between grid points.  Saddle cells (two opposite
+corners inside) split by the cell-center average, GDAL's disambiguation.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .focal import _emit_halo_slivers
+from .raster import TILE_SIZE, bytes_to_tile
+
+_SEG_SCHEMA = "level double, x1 double, y1 double, x2 double, y2 double"
+
+
+def cell_segments(grid: np.ndarray, levels, x0: float = 0.0, y0: float = 0.0):
+    """Marching squares over one float array; cells indexed by their
+    top-left pixel (r, c) → segments [(level, x1, y1, x2, y2)] with
+    x = x0 + col, y = y0 + row (row-down axis).  Pure numpy masks + a python
+    loop over only the crossing cells (sparse by construction)."""
+    v = grid.astype(np.float64)
+    H, W = v.shape
+    tl = v[:-1, :-1]
+    tr = v[:-1, 1:]
+    bl = v[1:, :-1]
+    br = v[1:, 1:]
+    out = []
+    for level in levels:
+        b0 = tl > level
+        b1 = tr > level
+        b2 = br > level
+        b3 = bl > level
+        case = b0.astype(np.int8) | (b1.astype(np.int8) << 1) | (b2.astype(np.int8) << 2) | (b3.astype(np.int8) << 3)
+        finite = np.isfinite(tl) & np.isfinite(tr) & np.isfinite(br) & np.isfinite(bl)
+        rows, cols = np.nonzero((case != 0) & (case != 15) & finite)
+        for r, c in zip(rows, cols):
+            a, b_, d, e = tl[r, c], tr[r, c], br[r, c], bl[r, c]
+            # edge crossing points (t along the edge, from the first corner)
+            def _top():
+                t = (level - a) / (b_ - a)
+                return (x0 + c + t, y0 + r)
+
+            def _right():
+                t = (level - b_) / (d - b_)
+                return (x0 + c + 1, y0 + r + t)
+
+            def _bottom():
+                t = (level - e) / (d - e)
+                return (x0 + c + t, y0 + r + 1)
+
+            def _left():
+                t = (level - a) / (e - a)
+                return (x0 + c, y0 + r + t)
+
+            k = int(case[r, c])
+            segs = _CASES[k]
+            if segs == "saddle":
+                center_inside = (a + b_ + d + e) / 4.0 > level
+                # case 5 (TL+BR inside) / case 10 (TR+BL inside)
+                if k == 5:
+                    pairs = [(_top, _right), (_bottom, _left)] if center_inside else [(_top, _left), (_bottom, _right)]
+                else:
+                    pairs = [(_top, _left), (_bottom, _right)] if center_inside else [(_top, _right), (_bottom, _left)]
+            else:
+                pairs = [tuple({"t": _top, "r": _right, "b": _bottom, "l": _left}[x] for x in s) for s in segs]
+            for p, q in pairs:
+                (xA, yA), (xB, yB) = p(), q()
+                if xA == xB and yA == yB:
+                    continue  # degenerate corner touch (level == grid value)
+                out.append((float(level), xA, yA, xB, yB))
+    return out
+
+
+# case bit layout: 1=TL, 2=TR, 4=BR, 8=BL; each entry = list of (edge, edge)
+_CASES = {
+    1: [("t", "l")],
+    2: [("t", "r")],
+    3: [("l", "r")],
+    4: [("r", "b")],
+    5: "saddle",
+    6: [("t", "b")],
+    7: [("l", "b")],
+    8: [("b", "l")],
+    9: [("t", "b")],
+    10: "saddle",
+    11: [("r", "b")],
+    12: [("r", "l")],
+    13: [("t", "r")],
+    14: [("t", "l")],
+}
+
+
+def contour_segments(tile_df: DataFrame, levels) -> DataFrame:
+    """Distributed marching squares: one sliver shuffle (focal halo), then
+    per-tile numpy; cells missing their east/south pixel are skipped (raster
+    edge) so results equal a whole-raster run exactly."""
+    lvls = [float(l) for l in levels]
+    sliver_schema = "zoom int, tx long, ty long, dx int, dy int, data binary"
+
+    def _emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _emit_halo_slivers(pdf)
+
+    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        center = None
+        slivers = {}
+        for r in pdf.itertuples():
+            if r.dx == 0 and r.dy == 0:
+                center = bytes_to_tile(r.data)
+            else:
+                slivers[(r.dx, r.dy)] = np.frombuffer(r.data, dtype="<i4")
+        if center is None:
+            return pd.DataFrame({k: [] for k in ("level", "x1", "y1", "x2", "y2")})
+        T = TILE_SIZE
+        tx = int(pdf["tx"].iat[0])
+        ty = int(pdf["ty"].iat[0])
+        # extended array: +1 col east, +1 row south, NaN when absent —
+        # NaN corners make `v > level` False and interpolation NaN; cells
+        # touching NaN are excluded up front by the validity trim below
+        east = slivers.get((-1, 0))       # east neighbor sent its WEST col... sender dx=-1 means receiver is west of sender → sender is our EAST
+        south = slivers.get((0, 1))       # sender dy=+1 → receiver above sender → sender is SOUTH of us, sent its TOP row
+        se = slivers.get((-1, 1))
+        ext = np.full((T + 1, T + 1), np.nan)
+        ext[:T, :T] = center
+        if east is not None:
+            ext[:T, T] = east
+        if south is not None:
+            ext[T, :T] = south
+        if se is not None:
+            ext[T, T] = se[0]
+        # trim to the largest all-finite prefix: full grid when neighbors
+        # exist, else T×T (interior cells only)
+        H = T + 1 if south is not None else T
+        W = T + 1 if east is not None else T
+        sub = ext[:H, :W]
+        segs = cell_segments(sub, lvls, x0=float(tx * T), y0=float(-ty * T))
+        return pd.DataFrame(segs, columns=["level", "x1", "y1", "x2", "y2"])
+
+    slivers = tile_df.mapInPandas(_emit, sliver_schema)
+    return slivers.groupBy("zoom", "tx", "ty").applyInPandas(_apply, _SEG_SCHEMA)
+
+
+def contour_lengths(tile_df: DataFrame, levels) -> DataFrame:
+    """Per-level segment count + total length — the aggregate parity
+    surface of the contour operator."""
+    segs = contour_segments(tile_df, levels)
+    return segs.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.hypot(F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1"))).alias("total_length"),
+    )
