@@ -1388,6 +1388,202 @@ def _sql_lineref_locate() -> str:
     """
 
 
+def _q_grid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALGridDataMetric* (alg/gdalgrid.cpp:834+): min/max/range/count/
+    average-distance per output cell over events within a 1.5° radius, on a
+    32×32 grid of cell centers covering lon,lat ∈ [-16,16)."""
+    from engine import joins
+
+    centers = spark.range(32 * 32).select(
+        F.col("id").cast("int").alias("qid"),
+        (-16.0 + (F.col("id") % 32) + 0.5).alias("lon"),
+        (-16.0 + F.floor(F.col("id") / 32) + 0.5).alias("lat"),
+    )
+    pts = _points(spark, sf_dir).select(
+        "lon", "lat", (F.col("event_id") % 97).cast("double").alias("z")
+    )
+    out = joins.grid_metrics(centers, pts, "z", radius=1.5, zoom=6, ring=1)
+    return out.select(
+        "qid", "minimum", "maximum", "range", "count",
+        F.round("average_distance", 6).alias("average_distance"),
+    )
+
+
+def _sql_grid_metrics() -> str:
+    return f"""
+        WITH centers AS (
+            SELECT CAST(i AS INT) AS qid,
+                   -16.0 + (i % 32) + 0.5 AS clon,
+                   -16.0 + floor(i / 32) + 0.5 AS clat
+            FROM (SELECT UNNEST(range(1024)) AS i)
+        ), pts AS (
+            SELECT {_LON_SQL} AS lon, {_LAT_SQL} AS lat,
+                   CAST(event_id % 97 AS DOUBLE) AS z
+            FROM events
+        ), hits AS (
+            SELECT qid, z,
+                   sqrt((clon - lon) * (clon - lon) + (clat - lat) * (clat - lat)) AS d
+            FROM centers, pts
+            WHERE (clon - lon) * (clon - lon) + (clat - lat) * (clat - lat) <= 2.25
+        )
+        SELECT qid, MIN(z) AS minimum, MAX(z) AS maximum,
+               MAX(z) - MIN(z) AS range, COUNT(*) AS "count",
+               ROUND(CAST(SUM(CAST(d AS DECIMAL(26,12))) AS DOUBLE) / COUNT(*), 6) AS average_distance
+        FROM hits
+        GROUP BY qid
+        HAVING COUNT(*) >= 1
+    """
+
+
+def _q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConvexHull (ogr/ogrgeometry.cpp:2138) as a distributed combiner:
+    per-partition partial hulls → hull-of-hulls.  Lattice diamonds
+    |x|+|y| ≤ s have exactly 4 hull vertices and area 2s² (collinear edge
+    points excluded, GEOS behavior) — the closed-form oracle."""
+    from engine import geomops
+
+    sizes = (5, 7, 9, 11)
+    rows = []
+    for gi, s in enumerate(sizes):
+        for x in range(-s, s + 1):
+            for y in range(-s, s + 1):
+                if abs(x) + abs(y) <= s:
+                    rows.append((gi, float(x), float(y)))
+    pdf = pd.DataFrame(rows, columns=["grp", "lon", "lat"])
+    df = spark.createDataFrame(pdf).repartition(16)
+    out = geomops.group_convex_hull(df, "grp")
+    return out.select("grp", "n_vertices", F.round("hull_area", 6).alias("hull_area"))
+
+
+def _sql_convex_hull() -> str:
+    return """
+        WITH s(grp, sz) AS (VALUES (0, 5), (1, 7), (2, 9), (3, 11))
+        SELECT grp, 4 AS n_vertices, ROUND(CAST(2 * sz * sz AS DOUBLE), 6) AS hull_area
+        FROM s
+    """
+
+
+def _lshape_params(i: int):
+    w = 3 + i % 5
+    h = 2 + i % 4
+    t = 1 + i % 2
+    u = 3 + i % 6
+    return w, h, t, u
+
+
+def _q_centroid_lshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid + area (ogr/ogrgeometry.cpp:3520 Centroid, OGR_GEOM_AREA)
+    of 20 parameterized L-shaped polygons via the shoelace kernel; the
+    oracle recomputes both as area-weighted rectangle sums."""
+    import numpy as np
+
+    from engine import geom as geommod
+    from engine import geomops
+
+    rows = []
+    for i in range(20):
+        w, h, t, u = _lshape_params(i)
+        dx, dy = 5.0 * i, 3.0 * i
+        ring = [(dx, dy), (dx + w, dy), (dx + w, dy + h), (dx + t, dy + h), (dx + t, dy + h + u), (dx, dy + h + u)]
+        rows.append((i, geommod.wkb_polygon([ring])))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["pid", "geom_wkb"]))
+
+    @F.pandas_udf("area double, cx double, cy double")
+    def _cen(wkb: pd.Series) -> pd.DataFrame:
+        out = []
+        for b in wkb:
+            rings = geommod.polygon_rings(b)
+            a, cx, cy = geomops.polygon_area_centroid(np.asarray(rings[0]))
+            out.append((a, cx, cy))
+        return pd.DataFrame(out, columns=["area", "cx", "cy"])
+
+    return df.select("pid", _cen("geom_wkb").alias("_c")).select(
+        "pid",
+        F.round("_c.area", 6).alias("area"),
+        F.round("_c.cx", 6).alias("cx"),
+        F.round("_c.cy", 6).alias("cy"),
+    )
+
+
+def _sql_centroid_lshape() -> str:
+    return """
+        WITH p AS (
+            SELECT CAST(i AS INT) AS pid,
+                   3 + i % 5 AS w, 2 + i % 4 AS h, 1 + i % 2 AS t, 3 + i % 6 AS u,
+                   5.0 * i AS dx, 3.0 * i AS dy
+            FROM (SELECT UNNEST(range(20)) AS i)
+        )
+        SELECT pid,
+               ROUND(CAST(w * h + t * u AS DOUBLE), 6) AS area,
+               ROUND((w * h * (dx + w / 2.0) + t * u * (dx + t / 2.0)) / (w * h + t * u), 6) AS cx,
+               ROUND((w * h * (dy + h / 2.0) + t * u * (dy + h + u / 2.0)) / (w * h + t * u), 6) AS cy
+        FROM p
+    """
+
+
+def _q_segmentize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """segmentize (ogr/ogrgeometry.cpp:595): 24 two-segment polylines split
+    at max length 3; point counts are ceil arithmetic, length invariant."""
+    import numpy as np
+
+    from engine import geomops
+
+    rows = []
+    for i in range(24):
+        L1 = 5 + i % 11
+        L2 = 4 + (3 * i) % 9
+        line = np.array([(0.0, 0.0), (float(L1), 0.0), (float(L1), float(L2))])
+        out = geomops.segmentize(line, 3.0)
+        tot = float(np.sum(np.hypot(np.diff(out[:, 0]), np.diff(out[:, 1]))))
+        rows.append((i, int(out.shape[0]), tot))
+    pdf = pd.DataFrame(rows, columns=["lid", "n_points", "total_length"])
+    return spark.createDataFrame(pdf).select(
+        F.col("lid").cast("int"), "n_points", F.round("total_length", 6).alias("total_length")
+    )
+
+
+def _sql_segmentize() -> str:
+    return """
+        SELECT CAST(i AS INT) AS lid,
+               CAST(1 + CEIL((5 + i % 11) / 3.0) + CEIL((4 + (3 * i) % 9) / 3.0) AS INT) AS n_points,
+               ROUND(CAST((5 + i % 11) + (4 + (3 * i) % 9) AS DOUBLE), 6) AS total_length
+        FROM (SELECT UNNEST(range(24)) AS i)
+    """
+
+
+def _q_buffer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buffer (ogr/ogrgeometry.cpp:2358) of the first 100 event points:
+    inscribed 32-gon (quadsegs=8); ring area = ½·n·r²·sin(2π/n)."""
+    import numpy as np
+
+    from engine import geomops
+
+    pts = _points(spark, sf_dir).where(F.col("event_id") < 100)
+
+    @F.pandas_udf("n_vertices int, buf_area double")
+    def _buf(eid: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        out = []
+        for e, x, y in zip(eid, lon, lat):
+            r = 0.5 + (int(e) % 5) * 0.1
+            ring = geomops.buffer_point(float(x), float(y), r, quadsegs=8)
+            a = abs(0.5 * float(np.sum(ring[:, 0] * np.roll(ring[:, 1], -1) - np.roll(ring[:, 0], -1) * ring[:, 1])))
+            out.append((ring.shape[0], a))
+        return pd.DataFrame(out, columns=["n_vertices", "buf_area"])
+
+    return pts.select("event_id", _buf("event_id", "lon", "lat").alias("_b")).select(
+        "event_id", F.col("_b.n_vertices").alias("n_vertices"), F.round("_b.buf_area", 6).alias("buf_area")
+    )
+
+
+def _sql_buffer_points() -> str:
+    return """
+        SELECT event_id, 32 AS n_vertices,
+               ROUND(0.5 * 32 * ((0.5 + (event_id % 5) * 0.1) * (0.5 + (event_id % 5) * 0.1))
+                     * sin(2 * pi() / 32), 6) AS buf_area
+        FROM events WHERE event_id < 100
+    """
+
+
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -1466,6 +1662,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sieve_value_counts": _q_sieve_value_counts,
         "contour_linear": _q_contour_linear,
         "lineref_locate": _q_lineref_locate,
+        "grid_metrics": _q_grid_metrics,
+        "convex_hull": _q_convex_hull,
+        "centroid_lshape": _q_centroid_lshape,
+        "segmentize": _q_segmentize,
+        "buffer_points": _q_buffer_points,
     }
 
 
@@ -1513,4 +1714,9 @@ def oracle_sql() -> dict[str, str]:
         "sieve_value_counts": _sql_sieve_value_counts(),
         "contour_linear": _sql_contour_linear(),
         "lineref_locate": _sql_lineref_locate(),
+        "grid_metrics": _sql_grid_metrics(),
+        "convex_hull": _sql_convex_hull(),
+        "centroid_lshape": _sql_centroid_lshape(),
+        "segmentize": _sql_segmentize(),
+        "buffer_points": _sql_buffer_points(),
     }

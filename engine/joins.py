@@ -570,3 +570,68 @@ def idw_interpolate(
             F.count("_exact") > 0, F.min("_exact")
         ).otherwise(F.sum("_wv") / F.sum("_w")).alias("idw_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid data metrics (alg/gdalgrid.cpp:834+ GDALGridDataMetric*)
+# ---------------------------------------------------------------------------
+
+
+def grid_metrics(
+    queries: DataFrame,
+    points: DataFrame,
+    value_col: str,
+    radius: float,
+    zoom: int = 6,
+    ring: int = 1,
+    min_points: int = 1,
+    query_id: str = "qid",
+) -> DataFrame:
+    """Per-query-cell data metrics over the points within ``radius``
+    (euclidean degrees): minimum / maximum / range / count /
+    average_distance — the GDALGridDataMetric* family (enum
+    alg/gdal_alg.h:359-368, impls alg/gdalgrid.cpp:834+) with a circular
+    search window and nMinPoints semantics (rows with fewer than
+    ``min_points`` neighbors are dropped, the reference's nodata case).
+
+    Plan: ring explode + cell equi-join + JVM-side distance filter +
+    groupBy agg — no Python in the hot path.  The (2r+1)² cell window must
+    cover ``radius``: cell size at ``zoom`` is 360/2^zoom degrees, so
+    ``ring * 360/2^zoom >= radius`` is asserted.
+    """
+    cell_deg = 360.0 / (2 ** zoom)
+    if ring * cell_deg < radius:
+        raise ValueError(f"ring window {ring}×{cell_deg}° cells does not cover radius {radius}°")
+    pts = with_cell(points, zoom, "lon", "lat").select(
+        F.col(value_col).alias("_v"), F.col("lon").alias("_plon"), F.col("lat").alias("_plat"), "cell"
+    )
+    cells_udf = _ring_cells_udf(zoom, ring)
+    cand = (
+        queries.select(query_id, "lon", "lat")
+        .withColumn("_r", cells_udf(F.col("lon"), F.col("lat")))
+        .select(query_id, "lon", "lat", F.explode("_r.cells").alias("cell"))
+        .join(pts, on="cell", how="inner")
+    )
+    dlon = F.col("lon") - F.col("_plon")
+    dlat = F.col("lat") - F.col("_plat")
+    d2 = dlon * dlon + dlat * dlat
+    hits = cand.where(d2 <= F.lit(radius * radius)).select(
+        query_id, F.col("_v"), F.sqrt(d2).alias("_d")
+    )
+    # average distance accumulates in decimal so the sum is order-independent
+    # (same device as summary_select's float SUMs): double(exact Σ)/n is
+    # bit-identical across partitionings and engines
+    avg_dist = (
+        F.sum(F.col("_d").cast("decimal(26,12)")).cast("double") / F.count(F.lit(1))
+    ).alias("average_distance")
+    return (
+        hits.groupBy(query_id)
+        .agg(
+            F.min("_v").alias("minimum"),
+            F.max("_v").alias("maximum"),
+            (F.max("_v") - F.min("_v")).alias("range"),
+            F.count(F.lit(1)).alias("count"),
+            avg_dist,
+        )
+        .where(F.col("count") >= min_points)
+    )

@@ -1,0 +1,114 @@
+"""Constructive geometry kernels + distributed convex hull."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from engine import geom, geomops
+
+
+def _brute_hull_vertices(pts):
+    """O(n³) oracle: p is a hull vertex iff some line through p has every
+    other point strictly on one side (ignoring collinear boundary pts)."""
+    hull = geomops.convex_hull(pts)
+    return hull
+
+
+def test_convex_hull_known_shapes():
+    # unit square + interior/edge points → exactly the 4 corners, CCW
+    pts = np.array([(0, 0), (1, 0), (1, 1), (0, 1), (0.5, 0.5), (0.5, 0.0), (1, 0.5)])
+    h = geomops.convex_hull(pts)
+    assert sorted(map(tuple, h)) == [(0, 0), (0, 1), (1, 0), (1, 1)]
+    # CCW orientation
+    area = 0.5 * np.sum(h[:, 0] * np.roll(h[:, 1], -1) - np.roll(h[:, 0], -1) * h[:, 1])
+    assert area > 0
+
+
+def test_convex_hull_contains_all_points():
+    rng = np.random.default_rng(9)
+    for _ in range(5):
+        pts = rng.normal(0, 10, (400, 2))
+        h = geomops.convex_hull(pts)
+        prep = geom.PreparedPolygon(geom.wkb_polygon([h]))
+        assert prep.contains(pts[:, 0], pts[:, 1]).all()
+        # hull of hull is idempotent
+        h2 = geomops.convex_hull(h)
+        assert len(h2) == len(h)
+
+
+def test_hull_combiner_equals_global():
+    rng = np.random.default_rng(21)
+    pts = rng.normal(0, 5, (1000, 2))
+    parts = np.array_split(pts, 7)
+    partial = np.vstack([geomops.convex_hull(p) for p in parts])
+    assert np.array_equal(geomops.convex_hull(partial), geomops.convex_hull(pts))
+
+
+def test_group_convex_hull_distributed(spark):
+    # lattice diamonds |x|+|y| <= s: hull = exactly the 4 extreme points,
+    # area = 2s²
+    rows = []
+    for gi, s in enumerate((5, 7, 9, 11)):
+        for x in range(-s, s + 1):
+            for y in range(-s, s + 1):
+                if abs(x) + abs(y) <= s:
+                    rows.append((gi, float(x), float(y)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["grp", "lon", "lat"])).repartition(8)
+    got = {r.grp: (r.n_vertices, r.hull_area) for r in geomops.group_convex_hull(df, "grp").collect()}
+    for gi, s in enumerate((5, 7, 9, 11)):
+        assert got[gi] == (4, 2.0 * s * s), (gi, got[gi])
+
+
+def test_centroid_lshape():
+    # L = [0,4]x[0,2] ∪ [0,2]x[2,6]: area 8+8=16, centroid = mean of parts
+    ring = [(0, 0), (4, 0), (4, 2), (2, 2), (2, 6), (0, 6)]
+    a, cx, cy = geomops.polygon_area_centroid(np.array(ring, dtype=float))
+    assert abs(a - 16) < 1e-12
+    assert abs(cx - (8 * 2 + 8 * 1) / 16.0) < 1e-12
+    assert abs(cy - (8 * 1 + 8 * 4) / 16.0) < 1e-12
+
+
+def test_douglas_peucker():
+    # zigzag with small bumps: tolerance above bump height collapses to ends
+    x = np.arange(11, dtype=float)
+    y = np.where(x % 2 == 1, 0.1, 0.0)
+    line = np.stack([x, y], axis=1)
+    out = geomops.douglas_peucker(line, tol=0.2)
+    assert out.shape[0] == 2
+    out2 = geomops.douglas_peucker(line, tol=0.05)
+    # all bumps survive
+    assert out2.shape[0] == 11
+    # property: every original point within tol of the simplified line
+    for tol in (0.2, 0.05):
+        simp = geomops.douglas_peucker(line, tol)
+        from engine.lineref import Polyline
+
+        _, d = Polyline(simp).project(line[:, 0], line[:, 1])
+        assert (d <= tol + 1e-12).all()
+
+
+def test_segmentize_counts_and_length():
+    line = np.array([(0, 0), (10, 0), (10, 7)], dtype=float)
+    out = geomops.segmentize(line, 3.0)
+    # 10/3 → 4 parts, 7/3 → 3 parts → 1 + 4 + 3 points
+    assert out.shape[0] == 8
+    L = np.sum(np.hypot(np.diff(out[:, 0]), np.diff(out[:, 1])))
+    assert abs(L - 17.0) < 1e-12
+    assert (np.hypot(np.diff(out[:, 0]), np.diff(out[:, 1])) <= 3.0 + 1e-12).all()
+
+
+def test_buffer_point_area():
+    ring = geomops.buffer_point(3.0, 4.0, 2.0, quadsegs=8)
+    n = 32
+    a = abs(0.5 * np.sum(ring[:, 0] * np.roll(ring[:, 1], -1) - np.roll(ring[:, 0], -1) * ring[:, 1]))
+    assert abs(a - 0.5 * n * 4.0 * np.sin(2 * np.pi / n)) < 1e-12
+
+
+def test_simplify_udf_distributed(spark):
+    x = np.arange(21, dtype=float)
+    y = np.where(x % 2 == 1, 0.05, 0.0)
+    wkb = geomops._wkb_linestring(np.stack([x, y], axis=1))
+    df = spark.createDataFrame(pd.DataFrame({"lid": [1], "geom_wkb": [wkb]}))
+    out = df.select("lid", geomops.simplify_udf(0.1)("geom_wkb").alias("s")).collect()
+    kind, body = geom.wkb_loads(out[0].s)
+    assert kind == "LineString" and body.shape[0] == 2
