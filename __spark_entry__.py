@@ -1584,6 +1584,49 @@ def _sql_buffer_points() -> str:
     """
 
 
+def _q_polygonize_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALPolygonize (alg/polygonize.cpp:495): 12 rectangles (several
+    crossing the tile seam) + one donut → ring counts and areas have a
+    closed form; ring tracing, seam merge and hole detection all exercised."""
+    import numpy as np
+
+    from engine import polygonize as pz
+    from engine import raster
+
+    T = raster.TILE_SIZE
+    a = np.zeros((T, T), dtype=np.int64)
+    b = np.zeros((T, T), dtype=np.int64)
+
+    def _burn(x0, y0, w, h, val):
+        xs, xe = x0, x0 + w
+        a[y0 : y0 + h, max(xs, 0) : min(xe, T)] = val
+        if xe > T:
+            b[y0 : y0 + h, max(xs - T, 0) : xe - T] = val
+
+    for i in range(12):
+        _burn(230 + 5 * i, 20 * i + 5, 4 + i % 7, 3 + i % 5, i + 1)
+    _burn(300, 30, 12, 10, 99)
+    b[33 : 33 + 2, 300 - T + 3 : 300 - T + 3 + 4] = 0  # hole in the donut
+    tiles_df = spark.createDataFrame(
+        pd.DataFrame(
+            {"zoom": [0, 0], "tx": [0, 1], "ty": [0, 0],
+             "data": [raster.tile_to_bytes(a), raster.tile_to_bytes(b)]}
+        )
+    )
+    out = pz.polygonize(tiles_df)
+    return out.select(F.col("value").cast("int").alias("value"), "n_rings", F.round("area", 6).alias("area"))
+
+
+def _sql_polygonize_shapes() -> str:
+    return """
+        SELECT CAST(i + 1 AS INT) AS value, 1 AS n_rings,
+               ROUND(CAST((4 + i % 7) * (3 + i % 5) AS DOUBLE), 6) AS area
+        FROM (SELECT UNNEST(range(12)) AS i)
+        UNION ALL
+        SELECT 99, 2, 112.0
+    """
+
+
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -1663,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour_linear": _q_contour_linear,
         "lineref_locate": _q_lineref_locate,
         "grid_metrics": _q_grid_metrics,
+        "polygonize_shapes": _q_polygonize_shapes,
         "convex_hull": _q_convex_hull,
         "centroid_lshape": _q_centroid_lshape,
         "segmentize": _q_segmentize,
@@ -1715,6 +1759,7 @@ def oracle_sql() -> dict[str, str]:
         "contour_linear": _sql_contour_linear(),
         "lineref_locate": _sql_lineref_locate(),
         "grid_metrics": _sql_grid_metrics(),
+        "polygonize_shapes": _sql_polygonize_shapes(),
         "convex_hull": _sql_convex_hull(),
         "centroid_lshape": _sql_centroid_lshape(),
         "segmentize": _sql_segmentize(),

@@ -132,6 +132,31 @@ def _strips_factory(background: int):
     return _strips
 
 
+def build_seam_uf(src: DataFrame, background: int = 0) -> "_UF":
+    """Driver-side union-find over the (tiny) boundary-strip data: unions
+    (ty, tx, local_label) keys of equal-valued touching pixels across tile
+    seams.  Shared by connected_components / sieve_filter / polygonize."""
+    strips = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA).collect()
+    uf = _UF()
+    by_edge: dict = {}
+    for s in strips:
+        by_edge.setdefault((s.tx, s.ty, s.side), {})[s.pos] = (s.value, s.label)
+    for (tx, ty, side), cells in by_edge.items():
+        if side == "top":
+            other = by_edge.get((tx, ty + 1, "bottom"), {})
+        elif side == "left":
+            other = by_edge.get((tx - 1, ty, "right"), {})
+        else:
+            continue  # each seam processed once from one side
+        for pos, (v, l) in cells.items():
+            o = other.get(pos)
+            if o and o[0] == v:
+                uf.union((ty, tx, l), (ty + 1, tx, o[1]) if side == "top" else (ty, tx - 1, o[1]))
+    for s in strips:
+        uf.find((s.ty, s.tx, s.label))  # path-compress all strip keys
+    return uf
+
+
 def connected_components(tile_df: DataFrame, background: int = 0) -> DataFrame:
     """Distributed connected components over a (zoom, tx, ty, data) table.
 
