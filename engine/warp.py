@@ -41,16 +41,82 @@ def _dst_tile_range(src_tiles_pdf_bounds, dst_zoom: int):
     return tx0, ty0, tx1, ty1
 
 
+def _cubic_weights(d: np.ndarray) -> np.ndarray:
+    """GDAL cubic-convolution weights, A = −0.5 (alg/gdalwarpkernel.cpp
+    GWKCubicComputeWeights): |d|<1 → ((A+2)|d|−(A+3))d²+1;
+    1≤|d|<2 → A(|d|³−5d²+8|d|−4)."""
+    A = -0.5
+    ad = np.abs(d)
+    w = np.where(
+        ad < 1.0,
+        ((A + 2.0) * ad - (A + 3.0)) * ad * ad + 1.0,
+        np.where(ad < 2.0, A * (((ad - 5.0) * ad + 8.0) * ad - 4.0), 0.0),
+    )
+    return w
+
+
+def _sample_mosaic(mos: np.ndarray, ax: np.ndarray, ay: np.ndarray, resampling: str) -> np.ndarray:
+    """Sample the local source mosaic at continuous array coords (pixel
+    centers at integer+0.5): the GRA_NearestNeighbour / GRA_Bilinear /
+    GRA_Cubic kernels (alg/gdalwarpkernel.cpp:424-425, dtype-specialized
+    fast paths :101-119 ≙ this one vectorized numpy path)."""
+    H, W = mos.shape
+    if resampling == "nearest":
+        ix = np.clip(np.floor(ax).astype(np.int64), 0, W - 1)
+        iy = np.clip(np.floor(ay).astype(np.int64), 0, H - 1)
+        return mos[iy, ix].astype(np.float64)
+    gx = ax - 0.5
+    gy = ay - 0.5
+    if resampling == "bilinear":
+        x0 = np.floor(gx).astype(np.int64)
+        y0 = np.floor(gy).astype(np.int64)
+        wx = gx - x0
+        wy = gy - y0
+        x0c = np.clip(x0, 0, W - 1)
+        x1c = np.clip(x0 + 1, 0, W - 1)
+        y0c = np.clip(y0, 0, H - 1)
+        y1c = np.clip(y0 + 1, 0, H - 1)
+        m = mos.astype(np.float64)
+        return (
+            m[y0c, x0c] * (1 - wx) * (1 - wy)
+            + m[y0c, x1c] * wx * (1 - wy)
+            + m[y1c, x0c] * (1 - wx) * wy
+            + m[y1c, x1c] * wx * wy
+        )
+    if resampling == "cubic":
+        x0 = np.floor(gx).astype(np.int64)
+        y0 = np.floor(gy).astype(np.int64)
+        fx = gx - x0
+        fy = gy - y0
+        m = mos.astype(np.float64)
+        out = np.zeros(ax.shape[0], dtype=np.float64)
+        wsum = np.zeros(ax.shape[0], dtype=np.float64)
+        for dy in (-1, 0, 1, 2):
+            wy = _cubic_weights(fy - dy)
+            yc = np.clip(y0 + dy, 0, H - 1)
+            for dx in (-1, 0, 1, 2):
+                wx = _cubic_weights(fx - dx)
+                xc = np.clip(x0 + dx, 0, W - 1)
+                w = wx * wy
+                out += m[yc, xc] * w
+                wsum += w
+        return out / wsum  # weights sum to 1 except at clipped borders
+    raise ValueError(f"unknown resampling {resampling!r}")
+
+
 def warp_mercator_to_geodetic(
-    spark: SparkSession, src_tiles: DataFrame, src_zoom: int, dst_zoom: int
+    spark: SparkSession, src_tiles: DataFrame, src_zoom: int, dst_zoom: int,
+    resampling: str = "nearest",
 ) -> DataFrame:
     """Mercator (TMS) density-tile table at src_zoom → geodetic (TMS
-    tmscompatible) tile table at dst_zoom, nearest-neighbor sampled.
+    tmscompatible) tile table at dst_zoom; ``resampling`` ∈ nearest /
+    bilinear / cubic (GRA_* kernels).
 
     Plan: source extent (one tiny agg) → destination tile list (driver
     arithmetic, ≤ #dst tiles rows) → explode each dst tile to covering src
-    tiles (pure arithmetic) → equi-join the src tile table → grouped-map
-    warp kernel per dst tile.
+    tiles (pure arithmetic, widened one tile for the 4×4 cubic support) →
+    equi-join the src tile table → grouped-map warp kernel per dst tile
+    assembling a local source mosaic.
     """
     ext = src_tiles.agg(
         F.min("tx").alias("x0"), F.min("ty").alias("y0"),
@@ -74,8 +140,11 @@ def warp_mercator_to_geodetic(
             cmaxlat = min(max(dmaxlat, -lat_lim), lat_lim)
             sx0, sy0 = tiles.lonlat_to_tile(np.array([dminlon + 1e-12]), np.array([cminlat + 1e-12]), src_zoom)
             sx1, sy1 = tiles.lonlat_to_tile(np.array([dmaxlon - 1e-12]), np.array([cmaxlat - 1e-12]), src_zoom)
-            for sx in range(int(sx0[0]), int(sx1[0]) + 1):
-                for sy in range(int(sy0[0]), int(sy1[0]) + 1):
+            # widen by one src tile: bilinear needs 1 px, cubic 2 px support
+            # beyond the window (GDAL's nResWinSize source-window padding)
+            pad = 0 if resampling == "nearest" else 1
+            for sx in range(int(sx0[0]) - pad, int(sx1[0]) + 1 + pad):
+                for sy in range(int(sy0[0]) - pad, int(sy1[0]) + 1 + pad):
                     rows.append((dtx, dty, sx, sy))
     cover = spark.createDataFrame(
         pd.DataFrame(rows, columns=["dtx", "dty", "tx", "ty"])
@@ -96,25 +165,41 @@ def warp_mercator_to_geodetic(
         lon_g, lat_g = np.meshgrid(lon, lat)
         lat_c = np.clip(lat_g, -lat_lim, lat_lim)
         px, py = tiles.lonlat_to_pixels(lon_g.ravel(), lat_c.ravel(), src_zoom)
-        stx, sty = tiles.pixels_to_tile(px, py)
-        ix = np.clip(np.floor(px).astype(np.int64) - stx * TILE_SIZE, 0, TILE_SIZE - 1)
-        iy = np.clip(np.floor(py).astype(np.int64) - sty * TILE_SIZE, 0, TILE_SIZE - 1)
-        srow = TILE_SIZE - 1 - iy
-        out = np.zeros(stx.shape[0], dtype=np.int64)
-        # group output pixels by their source tile; sample each group in one
-        # vectorized gather (per-thread transformer clone analog — state is
-        # per dst tile, alg/gdalwarpkernel.cpp:255-260)
-        key = stx * np.int64(1 << 32) + sty
-        order = np.argsort(key, kind="stable")
-        uk, starts = np.unique(key[order], return_index=True)
-        bounds = np.append(starts, key.shape[0])
-        for gi in range(uk.shape[0]):
-            s, e = bounds[gi], bounds[gi + 1]
-            rows_sel = order[s:e]
-            tk = (int(stx[rows_sel[0]]), int(sty[rows_sel[0]]))
-            g = srcs.get(tk)
-            if g is not None:
-                out[rows_sel] = g[srow[rows_sel], ix[rows_sel]]
+        if resampling == "nearest":
+            stx, sty = tiles.pixels_to_tile(px, py)
+            ix = np.clip(np.floor(px).astype(np.int64) - stx * TILE_SIZE, 0, TILE_SIZE - 1)
+            iy = np.clip(np.floor(py).astype(np.int64) - sty * TILE_SIZE, 0, TILE_SIZE - 1)
+            srow = TILE_SIZE - 1 - iy
+            out = np.zeros(stx.shape[0], dtype=np.int64)
+            # group output pixels by their source tile; sample each group in
+            # one vectorized gather (per-thread transformer clone analog —
+            # state is per dst tile, alg/gdalwarpkernel.cpp:255-260)
+            key = stx * np.int64(1 << 32) + sty
+            order = np.argsort(key, kind="stable")
+            uk, starts = np.unique(key[order], return_index=True)
+            bounds = np.append(starts, key.shape[0])
+            for gi in range(uk.shape[0]):
+                s, e = bounds[gi], bounds[gi + 1]
+                rows_sel = order[s:e]
+                tk = (int(stx[rows_sel[0]]), int(sty[rows_sel[0]]))
+                g = srcs.get(tk)
+                if g is not None:
+                    out[rows_sel] = g[srow[rows_sel], ix[rows_sel]]
+        else:
+            # local source mosaic over the joined tiles (absent tiles = 0),
+            # then one vectorized bilinear/cubic gather
+            SX0 = min(k[0] for k in srcs)
+            SX1 = max(k[0] for k in srcs)
+            SY0 = min(k[1] for k in srcs)
+            SY1 = max(k[1] for k in srcs)
+            mos = np.zeros(((SY1 - SY0 + 1) * TILE_SIZE, (SX1 - SX0 + 1) * TILE_SIZE), dtype=np.int64)
+            for (sx, sy), g in srcs.items():
+                r0 = (SY1 - sy) * TILE_SIZE
+                mos[r0 : r0 + TILE_SIZE, (sx - SX0) * TILE_SIZE : (sx - SX0 + 1) * TILE_SIZE] = g
+            ax = px - SX0 * TILE_SIZE
+            ay = (SY1 + 1) * TILE_SIZE - py  # array rows grow southward
+            val = _sample_mosaic(mos, ax, ay, resampling)
+            out = np.floor(val + 0.5).astype(np.int64)  # round-half-up to int band
         return pd.DataFrame(
             {
                 "zoom": [np.int32(dst_zoom)],

@@ -75,3 +75,59 @@ def test_raster_calc_expression(spark, src_tiles):
     for k, g in srcs.items():
         expect = g * 2 + (g > 1).astype(np.int64)
         assert np.array_equal(got[k], expect)
+
+
+def test_warp_bilinear_constant_and_linear(spark):
+    """Bilinear reproduces constants exactly and linear-in-(px,py) fields
+    exactly at interior sample points (bilinear interpolation is exact for
+    bilinear functions)."""
+    import pandas as pd
+
+    src_zoom, dst_zoom = 5, 4
+    # source: every tile value = 7 (constant)
+    txs, tys = range(10, 14), range(18, 22)
+    rows = []
+    for tx in txs:
+        for ty in tys:
+            g = np.full((256, 256), 7, dtype=np.int64)
+            rows.append((src_zoom, tx, ty, raster.tile_to_bytes(g)))
+    src = spark.createDataFrame(pd.DataFrame(rows, columns=["zoom", "tx", "ty", "data"]))
+    for resampling in ("bilinear", "cubic"):
+        out = warp.warp_mercator_to_geodetic(spark, src, src_zoom, dst_zoom, resampling=resampling)
+        arrs = {(r.tx, r.ty): raster.bytes_to_tile(r.data) for r in out.collect()}
+        # constant field: every dst pixel whose stencil lies fully inside the
+        # source extent must be exactly 7 (weights sum to 1); verify interior
+        inner = [a[64:192, 64:192] for a in arrs.values()]
+        assert any((b == 7).all() for b in inner)
+
+    # linear field: value = global px index (column), sampled bilinearly →
+    # exact px - 0.5 at each dst pixel center (pixel centers carry px+0.5)
+    rows = []
+    for tx in txs:
+        for ty in tys:
+            g = np.tile((np.arange(256) + tx * 256).astype(np.int64), (256, 1))
+            rows.append((src_zoom, tx, ty, raster.tile_to_bytes(g)))
+    src = spark.createDataFrame(pd.DataFrame(rows, columns=["zoom", "tx", "ty", "data"]))
+    out = warp.warp_mercator_to_geodetic(spark, src, src_zoom, dst_zoom, resampling="bilinear")
+    arrs = {(r.tx, r.ty): raster.bytes_to_tile(r.data) for r in out.collect()}
+    res = tiles.geodetic_resolution(dst_zoom)
+    lat_lim = tiles.MERCATOR_LAT_MAX
+    rng = np.random.default_rng(4)
+    checked = 0
+    for (dtx, dty), grid in arrs.items():
+        for _ in range(20):
+            row = int(rng.integers(32, 224))
+            col = int(rng.integers(32, 224))
+            lon = (dtx * 256 + col + 0.5) * res - 180.0
+            lat = ((dty + 1) * 256 - row - 0.5) * res - 90.0
+            lat = min(max(lat, -lat_lim), lat_lim)
+            px, py = tiles.lonlat_to_pixels(np.array([lon]), np.array([lat]), src_zoom)
+            # stencil must be interior to the source extent
+            if not (min(txs) * 256 + 2 < px[0] < (max(txs) + 1) * 256 - 2):
+                continue
+            if not (min(tys) * 256 + 2 < py[0] < (max(tys) + 1) * 256 - 2):
+                continue
+            expect = int(np.floor((px[0] - 0.5) + 0.5))
+            assert grid[row, col] == expect, (dtx, dty, row, col)
+            checked += 1
+    assert checked > 20
