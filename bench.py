@@ -102,6 +102,32 @@ def main():
     from engine import warp as _warp
 
     _run("warp_to_geodetic", lambda: _force(_warp.warp_mercator_to_geodetic(spark, base, 5, 4)), timings)
+
+    # round-1 additions: overlay algebra, proximity, contour, polygonize,
+    # grid metrics, linear referencing, distributed convex hull
+    from engine import contour as _contour
+    from engine import geomops as _geomops
+    from engine import polygonize as _pz
+    from engine import proximity as _prox
+
+    binar = _warp.raster_calc({"d": base}, lambda b: (b["d"] > 0).astype("int64")).persist()
+    binar.count()
+    _run("layer_algebra", lambda: _force(q["layer_intersection"](spark, sf_dir)), timings)
+    _run("proximity", lambda: _force(_prox.proximity(binar, (1,), maxdist=16.0)), timings)
+    _run("contour", lambda: _force(_contour.contour_lengths(base, [2.5, 10.5])), timings)
+    _run("polygonize", lambda: _force(_pz.polygonize(binar)), timings)
+    _run("grid_metrics", lambda: _force(q["grid_metrics"](spark, sf_dir)), timings)
+    _run("lineref_locate", lambda: _force(q["lineref_locate"](spark, sf_dir)), timings)
+    _run(
+        "convex_hull_groups",
+        lambda: _force(
+            _geomops.group_convex_hull(
+                pts.withColumn("grp", (F.col("event_id") % 64).cast("int")), "grp"
+            )
+        ),
+        timings,
+    )
+    binar.unpersist()
     base.unpersist()
 
     total = round(sum(timings.values()), 3)

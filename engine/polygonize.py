@@ -142,7 +142,13 @@ def polygonize(tile_df: DataFrame, background: int = 0) -> DataFrame:
             pv[-1, 1:-1] = bot
         lab = label_tile(center, background)
         nz = lab != 0
-        out = {k: [] for k in ("gid", "value", "x1", "y1", "x2", "y2")}
+        # per-LABEL gid lookup table (labels are dense 1..K) — the edge
+        # emission below is then fully vectorized per side
+        kmax = int(lab.max())
+        gid_lut = np.empty(kmax + 1, dtype=object)
+        for l in range(1, kmax + 1):
+            root = find((ty, tx, l))
+            gid_lut[l] = f"{root[0]}_{root[1]}_{root[2]}"
         # directed edges, interior on the right (y-down): top L→R, right
         # T→B, bottom R→L, left B→T
         sides = (
@@ -151,6 +157,7 @@ def polygonize(tile_df: DataFrame, background: int = 0) -> DataFrame:
             (pv[2 : T + 2, 1 : T + 1], 1, 1, 0, 1),  # bottom: (gx+1,gy+1)→(gx,gy+1)
             (pv[1 : T + 1, 0:T], 0, 1, 0, 0),        # left: (gx,gy+1)→(gx,gy)
         )
+        frames = []
         for nbr, ax, ay, bx_, by_ in sides:
             m = nz & (nbr != center)
             if not m.any():
@@ -158,40 +165,55 @@ def polygonize(tile_df: DataFrame, background: int = 0) -> DataFrame:
             rr, cc = np.nonzero(m)
             gx = tx * T + cc
             gy = -(ty * T) + rr
-            labs = lab[rr, cc]
-            vals = center[rr, cc]
-            for i in range(rr.shape[0]):
-                root = find((ty, tx, int(labs[i])))
-                out["gid"].append(f"{root[0]}_{root[1]}_{root[2]}")
-                out["value"].append(int(vals[i]))
-                out["x1"].append(int(gx[i] + ax))
-                out["y1"].append(int(gy[i] + ay))
-                out["x2"].append(int(gx[i] + bx_))
-                out["y2"].append(int(gy[i] + by_))
-        return pd.DataFrame(out)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "gid": gid_lut[lab[rr, cc]],
+                        "value": center[rr, cc].astype(np.int64),
+                        "x1": gx + ax,
+                        "y1": gy + ay,
+                        "x2": gx + bx_,
+                        "y2": gy + by_,
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame({k: [] for k in ("gid", "value", "x1", "y1", "x2", "y2")})
+        return pd.concat(frames, ignore_index=True)
 
-    def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        edges = [
-            ((int(r.x1), int(r.y1)), (int(r.x2), int(r.y2))) for r in pdf.itertuples()
-        ]
+    def _assemble_one(gid: str, sub: pd.DataFrame, out: dict):
+        arr = sub[["x1", "y1", "x2", "y2"]].to_numpy(np.int64).tolist()
+        edges = [((a, b), (c, d)) for a, b, c, d in arr]
         rings = trace_rings(edges)
         if not rings:
-            return pd.DataFrame({k: [] for k in ("component_id", "value", "n_rings", "area", "geom_wkb")})
+            return
         areas = [ring_signed_area(r) for r in rings]
         order = sorted(range(len(rings)), key=lambda i: -areas[i])
         ordered = [rings[i] for i in order]  # exterior (max positive) first
-        return pd.DataFrame(
-            {
-                "component_id": [pdf["gid"].iat[0]],
-                "value": [int(pdf["value"].iat[0])],
-                "n_rings": [len(rings)],
-                "area": [float(sum(areas))],
-                "geom_wkb": [geom.wkb_polygon(ordered)],
-            }
-        )
+        out["component_id"].append(gid)
+        out["value"].append(int(sub["value"].iat[0]))
+        out["n_rings"].append(len(rings))
+        out["area"].append(float(sum(areas)))
+        out["geom_wkb"].append(geom.wkb_polygon(ordered))
+
+    def _assemble_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # a hash partition holds MANY components (all of each one's edges);
+        # pandas groupby inside one task avoids Spark's per-group
+        # applyInPandas overhead, which dominates when components are tiny
+        # (world-scattered single-pixel regions).  Batches of one partition
+        # must be concatenated first — a component's rows can straddle
+        # Arrow batches.
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        out: dict = {k: [] for k in ("component_id", "value", "n_rings", "area", "geom_wkb")}
+        for gid, sub in pdf.groupby("gid", sort=False):
+            _assemble_one(gid, sub, out)
+        yield pd.DataFrame(out)
 
     slivers = src.withColumn("zoom", F.lit(0)).select("zoom", "tx", "ty", "data").mapInPandas(
         _emit, sliver_schema
     )
     edges = slivers.groupBy("tx", "ty").applyInPandas(lambda k, p: _edges(p), _EDGE_SCHEMA)
-    return edges.groupBy("gid").applyInPandas(lambda k, p: _assemble(p), _POLY_SCHEMA)
+    return edges.repartition(F.col("gid")).mapInPandas(_assemble_part, _POLY_SCHEMA)

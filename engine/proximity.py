@@ -149,44 +149,69 @@ def fill_kernel(grid: np.ndarray, nodata: int, maxdist: float, smoothing: int = 
 _TILE_SCHEMA = "tx long, ty long, data binary"
 
 
-def _gather_3x3(tile_df: DataFrame) -> DataFrame:
-    """Each tile replicated to its 9 (self + neighbors) composite groups:
-    (otx, oty) = the tile whose composite this row joins; (dx, dy) = where
-    it sits in that composite.  One explode + one shuffle."""
-    offsets = F.array(
-        *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
-    )
-    e = tile_df.select("tx", "ty", "data", F.explode(offsets).alias("o"))
-    return e.select(
-        (F.col("tx") + F.col("o.dx")).alias("otx"),
-        (F.col("ty") + F.col("o.dy")).alias("oty"),
-        (-F.col("o.dx")).cast("int").alias("dx"),
-        (-F.col("o.dy")).cast("int").alias("dy"),
-        "data",
-    )
-
-
-def _composite_apply(tile_df: DataFrame, fn, out_float: bool, pad_value: int = 0) -> DataFrame:
-    """groupBy composite target tile → assemble 768×768 (missing neighbors =
-    ``pad_value``), run ``fn(composite) -> np.ndarray``, emit center window."""
+def _gather_3x3(tile_df: DataFrame, halo: int) -> DataFrame:
+    """Each tile contributes to its 9 (self + neighbors) composite groups —
+    but a neighbor only needs the ``halo``-wide strip facing it, so the
+    shuffle carries ~(1 + 4·halo/T)× the tile bytes instead of 9×.
+    (otx, oty) = receiving composite; (dx, dy) = sender's position in it."""
     T = TILE_SIZE
+    h = min(int(halo), T)
+    strip_schema = "otx long, oty long, dx int, dy int, data binary"
+
+    def _emit(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                g = bytes_to_tile(r.data)
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        if dx == 0 and dy == 0:
+                            rows.append((int(r.tx), int(r.ty), 0, 0, r.data))
+                            continue
+                        # receiver at (tx+dx, ty+dy) sees this tile at
+                        # composite offset (-dx, -dy); it needs only the
+                        # strip facing it: x-side width h, y-side height h
+                        cols = {-1: slice(0, h), 0: slice(None), 1: slice(T - h, T)}[dx]
+                        rws = {1: slice(0, h), 0: slice(None), -1: slice(T - h, T)}[dy]
+                        sub = np.ascontiguousarray(g[rws, cols])
+                        rows.append(
+                            (int(r.tx) + dx, int(r.ty) + dy, -dx, -dy, sub.astype("<i4").tobytes())
+                        )
+            yield pd.DataFrame(rows, columns=["otx", "oty", "dx", "dy", "data"])
+
+    return tile_df.select("tx", "ty", "data").mapInPandas(_emit, strip_schema)
+
+
+def _composite_apply(tile_df: DataFrame, fn, out_float: bool, pad_value: int = 0,
+                     halo: int = TILE_SIZE) -> DataFrame:
+    """groupBy composite target tile → assemble (T+2h)² composite (missing
+    neighbors = ``pad_value``), run ``fn(composite, exists)``, emit the
+    center T×T window.  ``halo`` = required support width in pixels."""
+    T = TILE_SIZE
+    h = min(int(halo), T)
 
     def _apply(key, pdf: pd.DataFrame) -> pd.DataFrame:
         otx, oty = key
         # the composite is only produced when the CENTER tile exists
         if not ((pdf["dx"] == 0) & (pdf["dy"] == 0)).any():
             return pd.DataFrame({"tx": [], "ty": [], "data": []})
-        comp = np.full((3 * T, 3 * T), pad_value, dtype=np.int32)
-        exists = np.zeros((3 * T, 3 * T), dtype=bool)
+        S = T + 2 * h
+        comp = np.full((S, S), pad_value, dtype=np.int32)
+        exists = np.zeros((S, S), dtype=bool)
         for r in pdf.itertuples():
-            # dy: +1 = neighbor north of center; rows grow southward in-array
-            comp[(1 - r.dy) * T : (2 - r.dy) * T, (1 + r.dx) * T : (2 + r.dx) * T] = bytes_to_tile(r.data)
-            exists[(1 - r.dy) * T : (2 - r.dy) * T, (1 + r.dx) * T : (2 + r.dx) * T] = True
-        out = fn(comp, exists)[T : 2 * T, T : 2 * T]
+            # dy: +1 = sender north of center; rows grow southward in-array
+            hgt = T if r.dy == 0 else h
+            wid = T if r.dx == 0 else h
+            g = np.frombuffer(r.data, dtype="<i4").reshape(hgt, wid)
+            r0 = {1: h - hgt, 0: h, -1: h + T}[int(r.dy)]
+            c0 = {-1: h - wid, 0: h, 1: h + T}[int(r.dx)]
+            comp[max(r0, 0) : r0 + hgt, max(c0, 0) : c0 + wid] = g
+            exists[max(r0, 0) : r0 + hgt, max(c0, 0) : c0 + wid] = True
+        out = fn(comp, exists)[h : h + T, h : h + T]
         buf = out.astype("<f8").tobytes() if out_float else np.asarray(out, dtype="<i4").tobytes()
         return pd.DataFrame({"tx": [otx], "ty": [oty], "data": [buf]})
 
-    return _gather_3x3(tile_df).groupBy("otx", "oty").applyInPandas(_apply, _TILE_SCHEMA)
+    return _gather_3x3(tile_df, h).groupBy("otx", "oty").applyInPandas(_apply, _TILE_SCHEMA)
 
 
 def proximity(tile_df: DataFrame, target_values: tuple, maxdist: float, nodata: float = -1.0) -> DataFrame:
@@ -205,7 +230,8 @@ def proximity(tile_df: DataFrame, target_values: tuple, maxdist: float, nodata: 
         d[np.isinf(d)] = nodata
         return d
 
-    return _composite_apply(tile_df, _fn, out_float=True, pad_value=pad)
+    return _composite_apply(tile_df, _fn, out_float=True, pad_value=pad,
+                            halo=int(np.ceil(maxdist)))
 
 
 def fill_nodata(tile_df: DataFrame, nodata: int, maxdist: float, smoothing: int = 0) -> DataFrame:
@@ -216,4 +242,5 @@ def fill_nodata(tile_df: DataFrame, nodata: int, maxdist: float, smoothing: int 
     def _fn(comp: np.ndarray, exists: np.ndarray) -> np.ndarray:
         return fill_kernel(comp, nodata, maxdist, smoothing, exists=exists)
 
-    return _composite_apply(tile_df, _fn, out_float=True, pad_value=nodata)
+    return _composite_apply(tile_df, _fn, out_float=True, pad_value=nodata,
+                            halo=int(np.ceil(maxdist)) + smoothing)
