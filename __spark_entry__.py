@@ -1627,6 +1627,90 @@ def _sql_polygonize_shapes() -> str:
     """
 
 
+def _q_median_cut_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALComputeMedianCutPCT (alg/gdalmediancut.cpp): three pure-color
+    clusters → each median-cut box isolates one color, so the palette is
+    the exact 5-bit box center: 31·8+4 = 252 / 0·8+4 = 4."""
+    import numpy as np
+
+    from engine import quantize, raster
+
+    T = raster.TILE_SIZE
+    r = np.zeros((T, T), dtype=np.int64)
+    g = np.zeros((T, T), dtype=np.int64)
+    b = np.zeros((T, T), dtype=np.int64)
+    r[:, : T // 3] = 250
+    g[:, T // 3 : 2 * T // 3] = 250
+    b[:, 2 * T // 3 :] = 250
+    rgb = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, 0, raster.tile_to_bytes(r), raster.tile_to_bytes(g), raster.tile_to_bytes(b))],
+            columns=["tx", "ty", "data_r", "data_g", "data_b"],
+        )
+    )
+    pal = quantize.compute_median_cut_pct(rgb, n_colors=3)
+    pdf = pd.DataFrame(sorted(map(tuple, pal.tolist())), columns=["pr", "pg", "pb"])
+    return spark.createDataFrame(pdf.astype("int32"))
+
+
+def _sql_median_cut_palette() -> str:
+    return """
+        SELECT CAST(pr AS INT) AS pr, CAST(pg AS INT) AS pg, CAST(pb AS INT) AS pb
+        FROM (VALUES (4, 4, 252), (4, 252, 4), (252, 4, 4)) t(pr, pg, pb)
+    """
+
+
+def _q_nearblack_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nearblack (apps/nearblack.cpp): collar fixture over two tiles; the
+    per-value pixel counts after collar removal have a closed form."""
+    import numpy as np
+
+    from engine import nearblack, raster
+
+    T = raster.TILE_SIZE
+    a = np.full((T, T), 200, dtype=np.int64)
+    b = np.full((T, T), 200, dtype=np.int64)
+    a[0:10, :] = 3
+    b[0:10, 0:10] = 3
+    b[:, T - 5 :] = 2
+    a[50, 100:120] = 0  # interior dark run survives
+    tiles_df = spark.createDataFrame(
+        pd.DataFrame(
+            {"tx": [0, 1], "ty": [0, 0],
+             "data": [raster.tile_to_bytes(a), raster.tile_to_bytes(b)]}
+        )
+    )
+    out = nearblack.nearblack(tiles_df, threshold=10, nodata=-1)
+
+    def _counts(batches):
+        import numpy as np
+
+        for pdf in batches:
+            for rr in pdf.itertuples():
+                gg = raster.bytes_to_tile(rr.data)
+                vals, cnts = np.unique(gg, return_counts=True)
+                yield pd.DataFrame({"value": vals.astype("int32"), "pixel_count": cnts.astype("int64")})
+
+    return (
+        out.mapInPandas(_counts, "value int, pixel_count long")
+        .groupBy("value")
+        .agg(F.sum("pixel_count").alias("pixel_count"))
+    )
+
+
+def _sql_nearblack_counts() -> str:
+    # collar: rows 0..9 -> 256+10 px each (west), east collar 5 px on 256
+    # rows, minus the 10-row overlap rows already blanked to the east? no —
+    # east collar column range [507,512) is distinct from west collar
+    # [0,266); nodata total = 10*266 + 256*5; interior dark run: 20 px of 0;
+    # remainder of 2*256*256 pixels is 200
+    return """
+        SELECT CAST(v AS INT) AS value, CAST(n AS BIGINT) AS pixel_count
+        FROM (VALUES (-1, 10 * 266 + 256 * 5), (0, 20),
+                     (200, 2 * 256 * 256 - (10 * 266 + 256 * 5) - 20)) t(v, n)
+    """
+
+
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -1707,6 +1791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineref_locate": _q_lineref_locate,
         "grid_metrics": _q_grid_metrics,
         "polygonize_shapes": _q_polygonize_shapes,
+        "median_cut_palette": _q_median_cut_palette,
+        "nearblack_counts": _q_nearblack_counts,
         "convex_hull": _q_convex_hull,
         "centroid_lshape": _q_centroid_lshape,
         "segmentize": _q_segmentize,
@@ -1760,6 +1846,8 @@ def oracle_sql() -> dict[str, str]:
         "lineref_locate": _sql_lineref_locate(),
         "grid_metrics": _sql_grid_metrics(),
         "polygonize_shapes": _sql_polygonize_shapes(),
+        "median_cut_palette": _sql_median_cut_palette(),
+        "nearblack_counts": _sql_nearblack_counts(),
         "convex_hull": _sql_convex_hull(),
         "centroid_lshape": _sql_centroid_lshape(),
         "segmentize": _sql_segmentize(),

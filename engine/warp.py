@@ -106,11 +106,15 @@ def _sample_mosaic(mos: np.ndarray, ax: np.ndarray, ay: np.ndarray, resampling: 
 
 def warp_mercator_to_geodetic(
     spark: SparkSession, src_tiles: DataFrame, src_zoom: int, dst_zoom: int,
-    resampling: str = "nearest",
+    resampling: str = "nearest", cutline_wkb: bytes | None = None,
 ) -> DataFrame:
     """Mercator (TMS) density-tile table at src_zoom → geodetic (TMS
     tmscompatible) tile table at dst_zoom; ``resampling`` ∈ nearest /
-    bilinear / cubic (GRA_* kernels).
+    bilinear / cubic (GRA_* kernels); ``cutline_wkb`` masks output pixels
+    whose centers fall outside the polygon to 0 (the gdalwarp -cutline
+    validity mask, alg/gdalcutline.cpp — rasterized here as an exact
+    prepared-geometry PIP test per destination pixel instead of a scanline
+    burn; blend distance unsupported).
 
     Plan: source extent (one tiny agg) → destination tile list (driver
     arithmetic, ≤ #dst tiles rows) → explode each dst tile to covering src
@@ -200,6 +204,11 @@ def warp_mercator_to_geodetic(
             ay = (SY1 + 1) * TILE_SIZE - py  # array rows grow southward
             val = _sample_mosaic(mos, ax, ay, resampling)
             out = np.floor(val + 0.5).astype(np.int64)  # round-half-up to int band
+        if cutline_wkb is not None:
+            from .geom import PreparedPolygon
+
+            prep = PreparedPolygon(cutline_wkb)
+            out[~prep.contains(lon_g.ravel(), lat_g.ravel())] = 0
         return pd.DataFrame(
             {
                 "zoom": [np.int32(dst_zoom)],
