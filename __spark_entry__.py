@@ -1339,6 +1339,47 @@ def _sql_contour_linear() -> str:
     """
 
 
+def _q_contour_polylines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contour polyline assembly (alg/contour.cpp stitching): on the linear
+    field each level is ONE open chain whose point count and length follow
+    the anti-diagonal closed form."""
+    import numpy as np
+
+    from engine import contour, raster
+
+    T = raster.TILE_SIZE
+    grids = {}
+    for tx in (0, 1):
+        c = np.arange(T)[None, :] + tx * T
+        r = np.arange(T)[:, None]
+        grids[(tx, 0)] = (c + r).astype(np.int64)
+    tiles_df = spark.createDataFrame(
+        pd.DataFrame(
+            {"zoom": [3, 3], "tx": [0, 1], "ty": [0, 0],
+             "data": [raster.tile_to_bytes(grids[(0, 0)]), raster.tile_to_bytes(grids[(1, 0)])]}
+        )
+    )
+    out = contour.contour_polylines(tiles_df, _CONTOUR_LEVELS)
+    return out.select(
+        "level", "n_points", F.round("length", 6).alias("length"), F.col("closed").cast("int").alias("closed")
+    )
+
+
+def _sql_contour_polylines() -> str:
+    lv = ", ".join(f"({repr(l)}, {int(l)})" for l in _CONTOUR_LEVELS)
+    n = "GREATEST(0, LEAST(510, {s}) - GREATEST(0, {s} - 254) + 1)"
+    nk = n.format(s="k")
+    nk1 = n.format(s="k - 1")
+    return f"""
+        WITH lv(level, k) AS (VALUES {lv})
+        SELECT level,
+               CAST({nk} + {nk1} + 1 AS BIGINT) AS n_points,
+               ROUND(CAST(({nk} + {nk1}) * sqrt(0.5) AS DOUBLE), 6) AS length,
+               0 AS closed
+        FROM lv
+    """
+
+
 _LINEREF_PTS = [(-150.0, -60.0), (-60.0, -20.0), (0.0, 0.0), (60.0, 20.0), (150.0, 60.0)]
 
 
@@ -1788,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_grid": _q_proximity_grid,
         "sieve_value_counts": _q_sieve_value_counts,
         "contour_linear": _q_contour_linear,
+        "contour_polylines": _q_contour_polylines,
         "lineref_locate": _q_lineref_locate,
         "grid_metrics": _q_grid_metrics,
         "polygonize_shapes": _q_polygonize_shapes,
@@ -1843,6 +1885,7 @@ def oracle_sql() -> dict[str, str]:
         "proximity_grid": _sql_proximity_grid(),
         "sieve_value_counts": _sql_sieve_value_counts(),
         "contour_linear": _sql_contour_linear(),
+        "contour_polylines": _sql_contour_polylines(),
         "lineref_locate": _sql_lineref_locate(),
         "grid_metrics": _sql_grid_metrics(),
         "polygonize_shapes": _sql_polygonize_shapes(),

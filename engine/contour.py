@@ -23,6 +23,7 @@ corners inside) split by the cell-center average, GDAL's disambiguation.
 
 from __future__ import annotations
 
+from collections import defaultdict
 from typing import Iterator
 
 import numpy as np
@@ -170,4 +171,95 @@ def contour_lengths(tile_df: DataFrame, levels) -> DataFrame:
     return segs.groupBy("level").agg(
         F.count(F.lit(1)).alias("n_segments"),
         F.sum(F.hypot(F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1"))).alias("total_length"),
+    )
+
+
+def stitch_segments(segs: list) -> list:
+    """[(x1,y1,x2,y2)] → polylines [np.ndarray (N,2)].
+
+    Endpoint matching is float-EXACT: a crossing point on a shared cell
+    edge is computed from the same two corner values with the same
+    expression by both adjacent cells (cross-tile too — halo slivers carry
+    identical ints), so the doubles are bit-identical.  Open chains start
+    at degree-1 vertices (raster boundary), the rest are closed loops —
+    the polyline forms alg/contour.cpp emits.
+    """
+    adj = defaultdict(list)
+    for i, (x1, y1, x2, y2) in enumerate(segs):
+        adj[(x1, y1)].append((i, (x2, y2)))
+        adj[(x2, y2)].append((i, (x1, y1)))
+    used = [False] * len(segs)
+
+    def _walk(start):
+        path = [start]
+        cur = start
+        while True:
+            nxt = None
+            for i, other in adj[cur]:
+                if not used[i]:
+                    used[i] = True
+                    nxt = other
+                    break
+            if nxt is None:
+                break
+            path.append(nxt)
+            cur = nxt
+        return path
+
+    lines = []
+    # open chains first (deterministic: sorted degree-1 starts)
+    for v in sorted(v for v, lst in adj.items() if len(lst) % 2 == 1):
+        if any(not used[i] for i, _ in adj[v]):
+            lines.append(np.asarray(_walk(v)))
+    # remaining loops
+    for i, s in sorted(enumerate(segs), key=lambda t: (t[1], t[0])):
+        if not used[i]:
+            used[i] = True
+            path = [(s[0], s[1]), (s[2], s[3])]
+            cur = (s[2], s[3])
+            tail = _walk(cur)
+            path.extend(tail[1:])
+            lines.append(np.asarray(path))
+    return lines
+
+
+def _wkb_linestring(pts: np.ndarray) -> bytes:
+    import struct
+
+    from . import geom as _geom
+
+    pts = np.asarray(pts, dtype=np.float64)
+    return struct.pack("<BII", 1, _geom.WKB_LINESTRING, pts.shape[0]) + pts.astype("<f8").tobytes()
+
+
+def contour_polylines(tile_df: DataFrame, levels) -> DataFrame:
+    """Assembled contour lines: (level, line_id, n_points, length, closed,
+    geom_wkb).  Segments shuffle once keyed by level (each level's chains
+    assemble in one task — the reference's per-level sequential pass,
+    paid per level instead of per raster); line_id = lexicographically
+    smallest vertex of the line."""
+    segs = contour_segments(tile_df, levels)
+
+    def _assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        out = {k: [] for k in ("level", "line_id", "n_points", "length", "closed", "geom_wkb")}
+        for level, sub in pdf.groupby("level", sort=False):
+            segs_l = sorted(map(tuple, sub[["x1", "y1", "x2", "y2"]].to_numpy().tolist()))
+            for line in stitch_segments(segs_l):
+                d = np.diff(line, axis=0)
+                mn = line.min(axis=0)
+                out["level"].append(float(level))
+                out["line_id"].append(f"{mn[0]:.6f}_{mn[1]:.6f}")
+                out["n_points"].append(int(line.shape[0]))
+                out["length"].append(float(np.hypot(d[:, 0], d[:, 1]).sum()))
+                out["closed"].append(bool(np.array_equal(line[0], line[-1])))
+                out["geom_wkb"].append(_wkb_linestring(line))
+        yield pd.DataFrame(out)
+
+    return segs.repartition(F.col("level")).mapInPandas(
+        _assemble,
+        "level double, line_id string, n_points long, length double, closed boolean, geom_wkb binary",
     )

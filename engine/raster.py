@@ -157,14 +157,21 @@ def burn_base_tiles(points: DataFrame, zoom: int, lon_col: str = "lon", lat_col:
     return counts.groupBy("tx", "ty").applyInPandas(_assemble, TILE_SCHEMA)
 
 
-def pyramid_reduce(tile_df: DataFrame) -> DataFrame:
-    """Tile table at zoom z → zoom z−1 by 2×2 AVERAGE reduce.
+def pyramid_reduce(tile_df: DataFrame, method: str = "average") -> DataFrame:
+    """Tile table at zoom z → zoom z−1 by 2×2 reduce; ``method`` ∈
+    average / nearest / mode / gauss (gcore/overview.cpp:1582-1590
+    resampling set; GAUSS_MAGPHASE n/a for scalar bands).
 
     Each parent mosaics its ≤4 children (missing child = zeros,
-    gdal2tiles.py:1369-1387) and downsamples 2×: avg = floor(sum/4 + 0.5)
-    (AVERAGE resampling, gcore/overview.cpp:1582-1590).  Child (cx,cy):
-    cy=1 (higher ty = north) lands in the TOP half of the parent raster.
+    gdal2tiles.py:1369-1387) and downsamples 2×.  AVERAGE:
+    floor(sum/4 + 0.5); NEAREST: top-left pixel of each 2×2 block; MODE:
+    most frequent of the 4 (ties → smallest value, GDAL's first-bin rule);
+    GAUSS: 3×3 [1 2 1;2 4 2;1 2 1]/16 kernel centered on each even pixel
+    (edge-clamped), the GRA Gauss overview.  Child (cx,cy): cy=1 (higher
+    ty = north) lands in the TOP half of the parent raster.
     """
+    if method not in ("average", "nearest", "mode", "gauss"):
+        raise ValueError(f"unknown pyramid method {method!r}")
 
     def _reduce(pdf: pd.DataFrame) -> pd.DataFrame:
         zoom = int(pdf["zoom"].iat[0]) - 1
@@ -176,10 +183,31 @@ def pyramid_reduce(tile_df: DataFrame) -> DataFrame:
             r0 = (1 - cy) * TILE_SIZE
             c0 = cx * TILE_SIZE
             big[r0 : r0 + TILE_SIZE, c0 : c0 + TILE_SIZE] = bytes_to_tile(r.data)
-        s = big[0::2, 0::2] + big[0::2, 1::2] + big[1::2, 0::2] + big[1::2, 1::2]
-        avg = (s + 2) // 4  # floor(s/4 + 0.5)
+        a = big[0::2, 0::2]
+        b = big[0::2, 1::2]
+        c = big[1::2, 0::2]
+        d = big[1::2, 1::2]
+        if method == "average":
+            out = (a + b + c + d + 2) // 4  # floor(s/4 + 0.5)
+        elif method == "nearest":
+            out = a
+        elif method == "mode":
+            # most frequent of 4; ties → smallest value: count per candidate
+            stack = np.stack([a, b, c, d])
+            counts = (stack[:, None, :, :] == stack[None, :, :, :]).sum(axis=0)
+            # score: count desc, then value asc → maximize (count, -value)
+            score = counts * 1_000_000_000 - stack
+            out = stack.reshape(4, -1)[np.argmax(score.reshape(4, -1), axis=0), np.arange(a.size)].reshape(a.shape)
+        else:  # gauss
+            pad = np.pad(big, 1, mode="edge").astype(np.float64)
+            k = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], dtype=np.float64)
+            acc = np.zeros_like(a, dtype=np.float64)
+            for dr in range(3):
+                for dc in range(3):
+                    acc += k[dr, dc] * pad[dr : dr + 2 * TILE_SIZE : 2, dc : dc + 2 * TILE_SIZE : 2]
+            out = np.floor(acc / 16.0 + 0.5).astype(np.int64)
         return pd.DataFrame(
-            {"zoom": [np.int32(zoom)], "tx": [ptx], "ty": [pty], "data": [tile_to_bytes(avg)]}
+            {"zoom": [np.int32(zoom)], "tx": [ptx], "ty": [pty], "data": [tile_to_bytes(out)]}
         )
 
     return tile_df.groupBy(F.shiftright("tx", 1), F.shiftright("ty", 1)).applyInPandas(

@@ -115,3 +115,44 @@ def test_locate_points_distributed(spark):
     assert rows[0] == (2.0, 3.0)
     assert rows[1] == (5.0, 1.0)
     assert rows[2] == (10.0, np.hypot(1.0, 1.0))
+
+
+def test_stitch_segments_circle_closed_loop():
+    yy, xx = np.mgrid[0:64, 0:64]
+    v = np.hypot(xx - 32, yy - 32)
+    segs = [(x1, y1, x2, y2) for _, x1, y1, x2, y2 in contour.cell_segments(v, [10.3])]
+    lines = contour.stitch_segments(sorted(segs))
+    assert len(lines) == 1
+    line = lines[0]
+    assert np.array_equal(line[0], line[-1])  # closed
+    assert line.shape[0] == len(segs) + 1
+    L = np.hypot(*np.diff(line, axis=0).T).sum()
+    assert abs(L - 2 * np.pi * 10.3) / (2 * np.pi * 10.3) < 0.02
+
+
+def test_contour_polylines_distributed(spark):
+    # linear field over 2 tiles: each level = one open diagonal chain
+    grids = {}
+    for tx in (0, 1):
+        c = np.arange(T)[None, :] + tx * T
+        r = np.arange(T)[:, None]
+        grids[(tx, 0)] = (c + r).astype(np.int64)
+    lv = [100.5, 300.5]
+    out = contour.contour_polylines(_tile_table(spark, grids), lv).collect()
+    by_level = {}
+    for row in out:
+        by_level.setdefault(row.level, []).append(row)
+    for level in lv:
+        rows = by_level[level]
+        assert len(rows) == 1  # one continuous open chain per level
+        row = rows[0]
+        assert not row.closed
+        # chain length == sum of per-segment lengths from the aggregate op
+        agg = {r.level: r.total_length for r in contour.contour_lengths(_tile_table(spark, grids), lv).collect()}
+        assert abs(row.length - agg[level]) < 1e-9
+        # WKB round-trips and is chained (consecutive points distinct)
+        from engine import geom
+
+        kind, body = geom.wkb_loads(row.geom_wkb)
+        assert kind == "LineString" and body.shape[0] == row.n_points
+        assert (np.abs(np.diff(body, axis=0)).sum(axis=1) > 0).all()

@@ -149,3 +149,40 @@ def test_focal_matches_numpy(spark, tile_table, kernel):
         pad[-1, -1] = big[r0 + 256, c0 + 256] if nb(1, 1) else pad[256, 256]
         expect = fn(pad)
         assert np.array_equal(got[(z, tx, ty)], expect), f"{kernel} tile {(tx, ty)} seam mismatch"
+
+
+def test_pyramid_methods(spark):
+    import pandas as pd
+
+    from engine import raster
+
+    T = raster.TILE_SIZE
+    g = np.zeros((T, T), dtype=np.int64)
+    g[0:2, 0:2] = [[5, 5], [5, 9]]   # mode 5; average floor(24/4+.5)=6; nearest 5
+    g[0:2, 2:4] = [[1, 2], [2, 1]]   # tie 1 vs 2 -> mode 1 (smallest)
+    df = spark.createDataFrame(
+        pd.DataFrame({"zoom": [4], "tx": [2], "ty": [2], "data": [raster.tile_to_bytes(g)]})
+    )
+    by = {}
+    for m in ("average", "nearest", "mode", "gauss"):
+        out = raster.pyramid_reduce(df, method=m).collect()[0]
+        by[m] = raster.bytes_to_tile(out.data)
+        assert (out.tx, out.ty, out.zoom) == (1, 1, 3)
+    # child (2,2) has cx=0, cy=0 -> lands in BOTTOM-left quadrant (cy=0 = south)
+    r0 = T // 2
+    assert by["average"][r0, 0] == 6 and by["average"][r0, 1] == 2  # floor(6/4+.5)
+    assert by["nearest"][r0, 0] == 5 and by["nearest"][r0, 1] == 1
+    assert by["mode"][r0, 0] == 5 and by["mode"][r0, 1] == 1
+    # gauss at block (r0,0): kernel over edge-clamped neighborhood of big[2i,2j]
+    big = np.zeros((2 * T, 2 * T), dtype=np.int64)
+    big[r0 * 2 : r0 * 2 + T, 0:T] = g  # child (cx=0, cy=0) = bottom-left quadrant
+    # direct oracle: replicate the kernel computation on the mosaic
+    pad = np.pad(big, 1, mode="edge").astype(float)
+    k = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], float)
+    acc = sum(
+        k[dr, dc] * pad[dr : dr + 2 * T : 2, dc : dc + 2 * T : 2]
+        for dr in range(3)
+        for dc in range(3)
+    )
+    exp = np.floor(acc / 16.0 + 0.5).astype(np.int64)
+    assert (by["gauss"] == exp).all()
