@@ -1752,6 +1752,55 @@ def _sql_nearblack_counts() -> str:
     """
 
 
+def _q_st_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial predicates (ogr/ogrgeometry.cpp Touches:3060 Within:3226
+    Contains:3308 Overlaps:3391) via the overlay-kernel relate: 60 side-2
+    squares against the 10° grid; relations are floor arithmetic."""
+    import numpy as np
+
+    from engine import geom as geommod
+    from engine import predicates
+
+    rows = []
+    for i in range(60):
+        x0 = -178.0 + (i * 37) % 350
+        y0 = -88.0 + (i * 53) % 170
+        ring = [(x0, y0), (x0 + 2, y0), (x0 + 2, y0 + 2), (x0, y0 + 2)]
+        rows.append((i, geommod.wkb_polygon([ring])))
+    squares = spark.createDataFrame(
+        pd.DataFrame({"pid": pd.array([r[0] for r in rows], dtype="int32"),
+                      "geom_wkb": [r[1] for r in rows]})
+    )
+    grid = spark.createDataFrame(_grid_polygons_pdf())
+    return predicates.layer_relate(squares, grid, res=10.0)
+
+
+def _sql_st_relations() -> str:
+    return """
+        WITH sq AS (
+            SELECT CAST(i AS INT) AS a_id,
+                   -178.0 + (i * 37) % 350 AS sx0, -88.0 + (i * 53) % 170 AS sy0
+            FROM (SELECT UNNEST(range(60)) AS i)
+        ), cells AS (
+            SELECT CAST(r * 36 + c AS INT) AS b_id,
+                   -180.0 + c * 10.0 AS cx0, -90.0 + r * 10.0 AS cy0
+            FROM (SELECT UNNEST(range(18)) AS r), (SELECT UNNEST(range(36)) AS c)
+        ), pairs AS (
+            SELECT a_id, b_id,
+                   least(sx0 + 2, cx0 + 10) - greatest(sx0, cx0) AS w,
+                   least(sy0 + 2, cy0 + 10) - greatest(sy0, cy0) AS h
+            FROM sq, cells
+            WHERE least(sx0 + 2, cx0 + 10) >= greatest(sx0, cx0)
+              AND least(sy0 + 2, cy0 + 10) >= greatest(sy0, cy0)
+        )
+        SELECT a_id, b_id,
+               CASE WHEN w > 0 AND h > 0 AND w * h >= 4.0 THEN 'within'
+                    WHEN w > 0 AND h > 0 THEN 'overlaps'
+                    ELSE 'touches' END AS relation
+        FROM pairs
+    """
+
+
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -1834,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_metrics": _q_grid_metrics,
         "polygonize_shapes": _q_polygonize_shapes,
         "median_cut_palette": _q_median_cut_palette,
+        "st_relations": _q_st_relations,
         "nearblack_counts": _q_nearblack_counts,
         "convex_hull": _q_convex_hull,
         "centroid_lshape": _q_centroid_lshape,
@@ -1890,6 +1940,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_metrics": _sql_grid_metrics(),
         "polygonize_shapes": _sql_polygonize_shapes(),
         "median_cut_palette": _sql_median_cut_palette(),
+        "st_relations": _sql_st_relations(),
         "nearblack_counts": _sql_nearblack_counts(),
         "convex_hull": _sql_convex_hull(),
         "centroid_lshape": _sql_centroid_lshape(),
