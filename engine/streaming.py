@@ -88,3 +88,50 @@ def run_stream_to_tiles(
         .start()
     )
     q.awaitTermination()
+
+
+def stateful_first_seen(
+    pages_stream: DataFrame,
+    timeout_minutes: int = 0,
+) -> DataFrame:
+    """Custom stateful operator: emit each url the FIRST time it appears in
+    the stream (streaming exact dedup — the training-pipeline form of
+    dedup_exact), implemented with ``applyInPandasWithState``.
+
+    State per url-hash-group: the set of urls already emitted.  New urls in
+    a micro-batch are emitted once with their first warc_ts; repeats are
+    swallowed.  With ``timeout_minutes`` > 0 state expires after processing-
+    time inactivity (bounded state for unbounded key domains — at 10¹²
+    urls, state would instead bucket by url-hash partition + a bloom/exact
+    spill table; the group-by-hash shape below is that design at small N).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import pandas as pd  # noqa: F811
+
+    out_schema = "url string, first_ts timestamp"
+    state_schema = "seen array<string>"
+
+    def _dedup(key, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("warc_ts")
+            for url, ts in zip(pdf["url"], pdf["warc_ts"]):
+                if url not in seen:
+                    seen.add(url)
+                    rows.append((url, ts))
+        state.update((list(seen),))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(rows, columns=["url", "first_ts"])
+
+    keyed = pages_stream.select(
+        F.abs(F.hash("url") % 64).alias("bucket"), "url", "warc_ts"
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if timeout_minutes else GroupStateTimeout.NoTimeout
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        _dedup, out_schema, state_schema, "append", timeout
+    )

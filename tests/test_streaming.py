@@ -80,3 +80,42 @@ def test_foreach_batch_tile_sink(spark, stream_fixture):
     assert set(got) == set(batch)
     for k in batch:
         assert np.array_equal(np.asarray(got[k]), batch[k])
+
+
+def test_stateful_first_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState streaming dedup: each url emitted exactly once
+    across micro-batches, with its first-seen timestamp."""
+    import pandas as pd
+
+    from engine import streaming
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    base = pd.Timestamp("2024-01-01")
+    # batch 1: a,b ; batch 2: b(dup),c ; written as two files
+    df1 = pd.DataFrame({"url": ["a", "b"], "warc_ts": [base, base + pd.Timedelta(hours=1)],
+                        "html": [b"x", b"y"], "text": ["t", "u"], "lang": ["en", "en"]})
+    df2 = pd.DataFrame({"url": ["b", "c"], "warc_ts": [base + pd.Timedelta(hours=2), base + pd.Timedelta(hours=3)],
+                        "html": [b"z", b"w"], "text": ["v", "w"], "lang": ["en", "en"]})
+    import os
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(df1).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(df2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = streaming.stream_pages(spark, src, max_files_per_trigger=1)
+    dedup = streaming.stateful_first_seen(stream)
+    q = (
+        dedup.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+    rows = {r.url: r.first_ts for r in got}
+    assert set(rows) == {"a", "b", "c"}
+    assert len(got) == 3  # b emitted once despite the duplicate
+    assert rows["b"] == base + pd.Timedelta(hours=1)
