@@ -137,3 +137,35 @@ def test_pipeline_resume(spark, geo_points, tmp_path):
     assert rows[6].stage == "burn_base" and rows[6].in_rows == len(pts)
     assert rows[5].stage == "pyramid_reduce"
     assert rows[5].in_rows == rows[6].out_rows  # lineage chains
+
+
+def test_kml_superoverlay_sink(spark):
+    import xml.etree.ElementTree as ET
+
+    import numpy as np
+    import pandas as pd
+
+    from engine import raster, sinks, tiles as tmod
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"zoom": [3, 4], "tx": [2, 4], "ty": [5, 10],
+             "data": [raster.tile_to_bytes(np.zeros((256, 256), dtype=np.int64))] * 2}
+        )
+    )
+    rows = {r.path: r.kml for r in sinks.kml_superoverlay(df, max_zoom=4).collect()}
+    assert set(rows) == {"3/2/5.kml", "4/4/10.kml"}
+    ns = {"k": "http://www.opengis.net/kml/2.2"}
+    root = ET.fromstring(rows["3/2/5.kml"])
+    box = root.find(".//k:Region/k:LatLonAltBox", ns)
+    w, s, e, n = (float(v) for v in tmod.tile_lonlat_bounds(2, 5, 3))
+    assert abs(float(box.find("k:north", ns).text) - n) < 1e-9
+    assert abs(float(box.find("k:west", ns).text) - w) < 1e-9
+    links = root.findall(".//k:NetworkLink", ns)
+    assert len(links) == 4  # z+1 <= max_zoom -> children linked
+    hrefs = {l.find(".//k:href", ns).text for l in links}
+    assert hrefs == {"4/4/10.kml", "4/5/10.kml", "4/4/11.kml", "4/5/11.kml"}
+    # leaf at max_zoom: no child links, unbounded LOD
+    leaf = ET.fromstring(rows["4/4/10.kml"])
+    assert not leaf.findall(".//k:NetworkLink", ns)
+    assert leaf.find(".//k:Lod/k:maxLodPixels", ns).text == "-1"
