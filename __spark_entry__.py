@@ -1801,6 +1801,37 @@ def _sql_st_relations() -> str:
     """
 
 
+def _q_dissolve_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True overlapping-union dissolve (UnionCascaded,
+    ogr/ogrgeometry.cpp:2657): per group two overlapping rectangles whose
+    union area follows inclusion–exclusion: 10·(22+g)."""
+    from engine import geom as geommod
+    from engine import vector
+
+    def rect(x0, y0, x1, y1):
+        return geommod.wkb_polygon([[(x0, y0), (x1, y0), (x1, y1), (x0, y1)]])
+
+    rows = []
+    for g in range(10):
+        dx = 40.0 * g
+        rows.append((g, rect(dx, 0, dx + 15 + g, 10)))
+        rows.append((g, rect(dx + 10, 0, dx + 22 + 2 * g, 10)))
+    pdf = pd.DataFrame(rows, columns=["grp", "geom_wkb"])
+    pdf["grp"] = pdf["grp"].astype("int32")
+    out = vector.dissolve_union(spark.createDataFrame(pdf), "grp")
+    return out.select("grp", "n_members", F.round("area", 6).alias("area"))
+
+
+def _sql_dissolve_union() -> str:
+    # A = [0, 15+g], B = [10, 22+2g] (same y span 10): overlap width 5+g,
+    # union area = 10*((15+g) + (12+2g) - (5+g)) = 10*(22+2g)
+    return """
+        SELECT CAST(g AS INT) AS grp, CAST(2 AS BIGINT) AS n_members,
+               ROUND(CAST(10 * (22 + 2 * g) AS DOUBLE), 6) AS area
+        FROM (SELECT UNNEST(range(10)) AS g)
+    """
+
+
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -1884,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygonize_shapes": _q_polygonize_shapes,
         "median_cut_palette": _q_median_cut_palette,
         "st_relations": _q_st_relations,
+        "dissolve_union": _q_dissolve_union,
         "nearblack_counts": _q_nearblack_counts,
         "convex_hull": _q_convex_hull,
         "centroid_lshape": _q_centroid_lshape,
@@ -1941,6 +1973,7 @@ def oracle_sql() -> dict[str, str]:
         "polygonize_shapes": _sql_polygonize_shapes(),
         "median_cut_palette": _sql_median_cut_palette(),
         "st_relations": _sql_st_relations(),
+        "dissolve_union": _sql_dissolve_union(),
         "nearblack_counts": _sql_nearblack_counts(),
         "convex_hull": _sql_convex_hull(),
         "centroid_lshape": _sql_centroid_lshape(),

@@ -145,6 +145,40 @@ def dissolve(polygons: DataFrame, group_col: str, wkb_col: str = "geom_wkb") -> 
     return polygons.groupBy(group_col).applyInPandas(_merge, out_schema)
 
 
+def dissolve_union(polygons: DataFrame, group_col: str, wkb_col: str = "geom_wkb") -> DataFrame:
+    """TRUE overlapping-union dissolve (UnionCascaded,
+    ogr/ogrgeometry.cpp:2657): per group, polygons fold left through the
+    exact overlay kernel — each member contributes only the pieces outside
+    the union-so-far (``clip.erase_pieces``), so overlap never double-
+    counts and the output is an exact-cover convex dissection of the true
+    union.  Members fold in ascending scan order for determinism.
+
+    Output: (group, n_members, n_pieces, area, geom_wkb MultiPolygon)."""
+    from . import clip
+
+    out_schema = f"{group_col} int, n_members long, n_pieces long, area double, geom_wkb binary"
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_index()
+        rings = [np.asarray(geom.polygon_rings(b)[0], dtype=np.float64) for b in pdf[wkb_col]]
+        pieces: list = []
+        prior: list = []
+        for r in rings:
+            pieces.extend(clip.erase_pieces(r, prior))
+            prior.append(r)
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iat[0]],
+                "n_members": [len(rings)],
+                "n_pieces": [len(pieces)],
+                "area": [clip.pieces_area(pieces)],
+                "geom_wkb": [geom.wkb_multipolygon([[p] for p in pieces]) if pieces else None],
+            }
+        )
+
+    return polygons.groupBy(group_col).applyInPandas(_merge, out_schema)
+
+
 def split_list_fields(df: DataFrame, list_cols: list, max_elems: int = 4) -> DataFrame:
     """-splitlistfields (apps/ogr2ogr.cpp:1299): each array column becomes
     max_elems scalar columns col_1..col_N (OGR names them field1, field2...)."""

@@ -94,3 +94,44 @@ def test_split_list_fields(spark):
     rows = {r.id: (r.vals1, r.vals2, r.vals3) for r in out.collect()}
     assert rows[1] == (10, 20, 30)
     assert rows[2] == (40, None, None)
+
+
+def test_dissolve_union_overlapping(spark):
+    import pandas as pd
+
+    from engine import geom, vector
+
+    def rect(x0, y0, x1, y1):
+        return geom.wkb_polygon([[(x0, y0), (x1, y0), (x1, y1), (x0, y1)]])
+
+    # group 0: two 10x10 squares overlapping in a 5x10 strip -> union 150
+    # group 1: three stacked rects A=[0,20]x[0,10], B=[10,30]x[0,10],
+    #          C=[5,25]x[5,15]: union = 200+100+? inclusion-exclusion:
+    #          |A|=200 |B|=200 |C|=200; A∩B=100 A∩C=75 B∩C=75 A∩B∩C=50
+    #          union = 600-250+50 = 400
+    pdf = pd.DataFrame(
+        {
+            "grp": pd.array([0, 0, 1, 1, 1], dtype="int32"),
+            "geom_wkb": [
+                rect(0, 0, 10, 10), rect(5, 0, 15, 10),
+                rect(0, 0, 20, 10), rect(10, 0, 30, 10), rect(5, 5, 25, 15),
+            ],
+        }
+    )
+    out = {r.grp: r for r in vector.dissolve_union(spark.createDataFrame(pdf), "grp").collect()}
+    assert abs(out[0].area - 150.0) < 1e-9
+    assert abs(out[1].area - 400.0) < 1e-9
+    assert out[0].n_members == 2 and out[1].n_members == 3
+    # piece membership equals union membership at sample points
+    import numpy as np
+
+    from engine import clip as clipmod
+
+    kind, body = geom.wkb_loads(out[0].geom_wkb)
+    pieces = [np.asarray(rings[0])[:-1] for _, rings in body]
+    rng = np.random.default_rng(3)
+    px = rng.uniform(-2, 17, 2000)
+    py = rng.uniform(-2, 12, 2000)
+    in_pieces = clipmod.pieces_contain(pieces, px, py)
+    truth = ((px >= 0) & (px <= 10) | (px >= 5) & (px <= 15)) & (py >= 0) & (py <= 10)
+    assert (in_pieces != truth).mean() < 0.005
