@@ -35,6 +35,12 @@ def _run(name, fn, timings):
     fn()
     timings[name] = round(time.time() - t0, 3)
     print(f"  {name}: {timings[name]}s", file=sys.stderr)
+    # drop dangling python refs (kNN localCheckpoints, grouped-UDF buffers)
+    # so the JVM context cleaner can release block-manager memory before the
+    # next query — keeps per-query numbers independent
+    import gc
+
+    gc.collect()
 
 
 def main():
@@ -50,6 +56,14 @@ def main():
     # flagship pipeline: points → tile assign → PIP join → density + pyramid
     pts = entrymod._points(spark, sf_dir).cache()
     n_pages = pts.count()
+
+    # pre-warm the input parquet through the page cache so per-query numbers
+    # measure the engine, not the host's post-eviction disk state
+    for t in ("events", "lineitem", "documents", "embeddings", "orders", "nation"):
+        try:
+            entrymod._read(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
 
     t0 = time.time()
     _run("pip_tile_join", lambda: _force(q["pip_tile_join"](spark, sf_dir)), timings)
