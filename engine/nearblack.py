@@ -39,6 +39,8 @@ def nearblack(tile_df: DataFrame, threshold: int = 10, nodata: int = 0) -> DataF
     T = TILE_SIZE
     src = tile_df.select("tx", "ty", "data")
     ext = src.agg(F.min("tx").alias("x0"), F.max("tx").alias("x1")).collect()[0]
+    if ext.x0 is None:  # empty tile table → empty result
+        return src
     tx_min, tx_max = int(ext.x0), int(ext.x1)
 
     def _runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -126,6 +126,10 @@ def warp_mercator_to_geodetic(
         F.min("tx").alias("x0"), F.min("ty").alias("y0"),
         F.max("tx").alias("x1"), F.max("ty").alias("y1"),
     ).collect()[0]
+    if ext.x0 is None:  # empty source → empty destination
+        return src_tiles.select(
+            F.col("zoom").cast("int"), "tx", "ty", "data"
+        ).limit(0)
     minlon, minlat, _, _ = (float(v) for v in tiles.tile_lonlat_bounds(ext.x0, ext.y0, src_zoom))
     _, _, maxlon, maxlat = (float(v) for v in tiles.tile_lonlat_bounds(ext.x1, ext.y1, src_zoom))
     tx0, ty0, tx1, ty1 = _dst_tile_range((minlon, minlat, maxlon, maxlat), dst_zoom)
