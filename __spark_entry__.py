@@ -605,6 +605,68 @@ def _sql_embedding_topk() -> str:
     """
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (inverted-file coarse quantizer, nprobe=4 of 16 lists, exact
+    cosine top-3 within): centroids = the first 16 embedding vectors
+    (deterministic quantizer — training is orthogonal to the index); all
+    arithmetic is the same JVM fold forms as embedding_topk so the SQL
+    oracle is bit-identical."""
+    from engine import ann
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    queries = emb.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return ann.ivf_topk(emb, cent, queries, k=3, nprobe=4)
+
+
+def _sql_ann_ivf() -> str:
+    l2 = (
+        "list_dot_product({e}, {e}) - 2.0 * list_dot_product({e}, cvec)"
+        " + list_dot_product(cvec, cvec)"
+    )
+    return f"""
+        WITH cent AS (
+            SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec
+            FROM embeddings WHERE vec_id < 16
+        ), assign AS (
+            SELECT vec_id, cid AS cluster FROM (
+                SELECT e.vec_id, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY {l2.format(e='e.embedding')} ASC, c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rn = 1
+        ), q AS (
+            SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 97 = 0
+        ), probes AS (
+            SELECT qid, qv, cid AS cluster FROM (
+                SELECT q.qid, q.qv, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY q.qid
+                           ORDER BY {l2.format(e='q.qv')} ASC, c.cid ASC) AS rn
+                FROM q CROSS JOIN cent c
+            ) WHERE rn <= 4
+        ), cand AS (
+            SELECT p.qid, e.vec_id,
+                   list_dot_product(p.qv, e.embedding)
+                     / (sqrt(list_dot_product(p.qv, p.qv))
+                        * sqrt(list_dot_product(e.embedding, e.embedding))) AS cos
+            FROM probes p
+            JOIN assign a ON a.cluster = p.cluster
+            JOIN embeddings e ON e.vec_id = a.vec_id
+            WHERE e.vec_id <> p.qid
+        )
+        SELECT qid, vec_id AS neighbor, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM cand
+        ) WHERE rank <= 3
+    """
+
+
 def _q_quadkey_prefix_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-resolution rollup on the quadkey PREFIX (the cell-prefix index
     property: a z8 quadkey's 5-char prefix IS the z5 cell,
@@ -1898,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extent_manifest": _q_extent_manifest,
         "dissolve_area": _q_dissolve_area,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "raster_stats": _q_raster_stats,
         "raster_histogram": _q_raster_histogram,
         "ogrsql_where": _q_ogrsql_where,
@@ -1956,6 +2019,7 @@ def oracle_sql() -> dict[str, str]:
         "extent_manifest": _sql_extent_manifest(),
         "dissolve_area": _sql_dissolve_area(),
         "ann_lsh": _sql_ann_lsh(),
+        "ann_ivf": _sql_ann_ivf(),
         "raster_stats": _sql_raster_stats(),
         "raster_histogram": _sql_raster_histogram(),
         "ogrsql_where": _sql_ogrsql_where(),

@@ -96,3 +96,38 @@ def test_idw_matches_bruteforce(spark):
             assert got[q.qid] == pytest.approx(num / den, rel=1e-9)
         else:
             assert got.get(q.qid) is None or math.isnan(got[q.qid])
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with nprobe=4/16 lists recovers most of the brute-force top-3
+    (recall property), and nprobe=16 (all lists) recovers it exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from engine import ann
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(12)
+    vecs = rng.normal(0, 1, (400, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(400), "embedding": [v.tolist() for v in vecs]})
+    emb = spark.createDataFrame(pdf)
+    cent = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    q = emb.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    got4 = ann.ivf_topk(emb, cent, q, k=3, nprobe=4).collect()
+    got_all = {(r.qid, r.neighbor) for r in ann.ivf_topk(emb, cent, q, k=3, nprobe=16).collect()}
+    # brute force oracle in numpy
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = nv @ nv.T
+    np.fill_diagonal(sims, -2)
+    brute = set()
+    for qid in range(0, 400, 40):
+        order = np.lexsort((np.arange(400), -sims[qid]))[:3]
+        brute.update((qid, int(n)) for n in order)
+    assert got_all == brute  # probing every list == exact search
+    hit4 = {(r.qid, r.neighbor) for r in got4}
+    recall = len(hit4 & brute) / len(brute)
+    assert recall >= 0.5, recall  # 4/16 lists on random data
