@@ -114,7 +114,6 @@ def _overlay_pairs(pairs: DataFrame, op: str) -> DataFrame:
     mapInPandas — each candidate pair is independent, no further shuffle."""
     fn = {
         "intersection": clip.intersection_pieces,
-        "union": clip.union_pieces,
         "sym_difference": clip.sym_difference_pieces,
     }[op]
 

@@ -66,10 +66,15 @@ def ivf_topk(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF cosine top-k: probe the query's ``nprobe`` nearest inverted
     lists, exact cosine rank within.  queries: (qid, qv).
-    Output (qid, neighbor, rank)."""
+    Output (qid, neighbor, rank).
+
+    ``exclude_self`` drops candidates with ``id == qid`` — correct when
+    queries are drawn from the embedding table (qid shares its id space);
+    pass False for external query vectors whose ids are unrelated."""
     assigned = ivf_assign(emb, centroids, vec_col, id_col)
     inv = emb.join(assigned, on=id_col)
 
@@ -86,11 +91,10 @@ def ivf_topk(
     cos = _dot(F.col("qv"), F.col(vec_col)) / (
         F.sqrt(_norm2(F.col("qv"))) * F.sqrt(_norm2(F.col(vec_col)))
     )
-    cand = (
-        probes.join(inv, on="cluster")
-        .where(F.col(id_col) != F.col("qid"))
-        .select("qid", F.col(id_col), cos.alias("cos"))
-    )
+    cand = probes.join(inv, on="cluster")
+    if exclude_self:
+        cand = cand.where(F.col(id_col) != F.col("qid"))
+    cand = cand.select("qid", F.col(id_col), cos.alias("cos"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))

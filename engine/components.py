@@ -132,11 +132,11 @@ def _strips_factory(background: int):
     return _strips
 
 
-def build_seam_uf(src: DataFrame, background: int = 0) -> "_UF":
-    """Driver-side union-find over the (tiny) boundary-strip data: unions
+def _seam_uf_from_strips(strips: list):
+    """(uf, by_edge) from collected boundary-strip rows: unions
     (ty, tx, local_label) keys of equal-valued touching pixels across tile
-    seams.  Shared by connected_components / sieve_filter / polygonize."""
-    strips = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA).collect()
+    seams.  THE single definition of the seam merge — shared by
+    connected_components / sieve_filter / polygonize."""
     uf = _UF()
     by_edge: dict = {}
     for s in strips:
@@ -154,7 +154,13 @@ def build_seam_uf(src: DataFrame, background: int = 0) -> "_UF":
                 uf.union((ty, tx, l), (ty + 1, tx, o[1]) if side == "top" else (ty, tx - 1, o[1]))
     for s in strips:
         uf.find((s.ty, s.tx, s.label))  # path-compress all strip keys
-    return uf
+    return uf, by_edge
+
+
+def build_seam_uf(src: DataFrame, background: int = 0) -> "_UF":
+    """One-call form: collect strips (one scan) and build the union-find."""
+    strips = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA).collect()
+    return _seam_uf_from_strips(strips)[0]
 
 
 def connected_components(tile_df: DataFrame, background: int = 0) -> DataFrame:
@@ -213,21 +219,7 @@ def connected_components(tile_df: DataFrame, background: int = 0) -> DataFrame:
     strips = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA).collect()  # small: edges only
 
     # driver-side union-find across tile seams
-    uf = _UF()
-    by_edge: dict = {}
-    for s in strips:
-        by_edge.setdefault((s.tx, s.ty, s.side), {})[s.pos] = (s.value, s.label)
-    for (tx, ty, side), cells in by_edge.items():
-        if side == "top":
-            other = by_edge.get((tx, ty + 1, "bottom"), {})
-        elif side == "left":
-            other = by_edge.get((tx - 1, ty, "right"), {})
-        else:
-            continue  # each seam processed once from one side
-        for pos, (v, l) in cells.items():
-            o = other.get(pos)
-            if o and o[0] == v:
-                uf.union((ty, tx, l), (ty + 1, tx, o[1]) if side == "top" else (ty, tx - 1, o[1]))
+    uf, _ = _seam_uf_from_strips(strips)
 
     mapping = {}
     for s in strips:
@@ -348,21 +340,7 @@ def sieve_filter(tile_df: DataFrame, min_pixels: int, background: int = 0) -> Da
 
     # rebuild the local→global map exactly as connected_components did
     strip_rows = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA).collect()
-    uf = _UF()
-    by_edge: dict = {}
-    for s in strip_rows:
-        by_edge.setdefault((s.tx, s.ty, s.side), {})[s.pos] = (s.value, s.label)
-    for (tx, ty, side), cells in by_edge.items():
-        if side == "top":
-            other = by_edge.get((tx, ty + 1, "bottom"), {})
-        elif side == "left":
-            other = by_edge.get((tx - 1, ty, "right"), {})
-        else:
-            continue
-        for pos, (v, l) in cells.items():
-            o = other.get(pos)
-            if o and o[0] == v:
-                uf.union((ty, tx, l), (ty + 1, tx, o[1]) if side == "top" else (ty, tx - 1, o[1]))
+    uf, by_edge = _seam_uf_from_strips(strip_rows)
 
     def gid(tx, ty, label):
         r = uf.find((ty, tx, label))

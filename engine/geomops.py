@@ -184,8 +184,11 @@ def simplify_udf(tol: float):
     @F.pandas_udf("binary")
     def _simp(wkb: pd.Series) -> pd.Series:
         def one(b):
+            if b is None:
+                return None
             kind, body = geom.wkb_loads(b)
-            assert kind == "LineString"
+            if kind != "LineString":
+                raise ValueError(f"simplify expects LineString WKB, got {kind}")
             return _wkb_linestring(douglas_peucker(body, tol))
 
         return wkb.map(one)

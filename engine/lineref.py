@@ -52,8 +52,12 @@ class Polyline:
         deterministic tie rule a SQL transcription reproduces."""
         px = np.asarray(px, dtype=np.float64)[:, None]
         py = np.asarray(py, dtype=np.float64)[:, None]
-        t = ((px - self.x1[None, :]) * self.dx[None, :] + (py - self.y1[None, :]) * self.dy[None, :]) / self.len2[None, :]
-        t = np.clip(t, 0.0, 1.0)
+        # zero-length segments (repeated consecutive vertices, common in
+        # real GPS traces) would yield 0/0 = NaN and poison argmin — treat
+        # them as their start point (t = 0)
+        safe_len2 = np.where(self.len2 > 0, self.len2, 1.0)
+        t = ((px - self.x1[None, :]) * self.dx[None, :] + (py - self.y1[None, :]) * self.dy[None, :]) / safe_len2[None, :]
+        t = np.where(self.len2[None, :] > 0, np.clip(t, 0.0, 1.0), 0.0)
         cx = self.x1[None, :] + t * self.dx[None, :]
         cy = self.y1[None, :] + t * self.dy[None, :]
         d2 = (px - cx) ** 2 + (py - cy) ** 2

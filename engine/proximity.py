@@ -236,8 +236,10 @@ def proximity(tile_df: DataFrame, target_values: tuple, maxdist: float, nodata: 
 
 def fill_nodata(tile_df: DataFrame, nodata: int, maxdist: float, smoothing: int = 0) -> DataFrame:
     """GDALFillNodata analog over the tile table (float64 output)."""
-    if maxdist > TILE_SIZE:
-        raise ValueError("maxdist > TILE_SIZE needs a ring-2 gather (not implemented)")
+    if int(np.ceil(maxdist)) + smoothing > TILE_SIZE:
+        # the composite halo would silently truncate and break the
+        # tiled == whole-raster guarantee near seams
+        raise ValueError("ceil(maxdist) + smoothing > TILE_SIZE needs a ring-2 gather (not implemented)")
 
     def _fn(comp: np.ndarray, exists: np.ndarray) -> np.ndarray:
         return fill_kernel(comp, nodata, maxdist, smoothing, exists=exists)

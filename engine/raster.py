@@ -192,12 +192,13 @@ def pyramid_reduce(tile_df: DataFrame, method: str = "average") -> DataFrame:
         elif method == "nearest":
             out = a
         elif method == "mode":
-            # most frequent of 4; ties → smallest value: count per candidate
+            # most frequent of 4; ties → smallest value.  Two-step select
+            # (max count, then min value among max-count candidates) stays
+            # correct for the full int32 value range
             stack = np.stack([a, b, c, d])
             counts = (stack[:, None, :, :] == stack[None, :, :, :]).sum(axis=0)
-            # score: count desc, then value asc → maximize (count, -value)
-            score = counts * 1_000_000_000 - stack
-            out = stack.reshape(4, -1)[np.argmax(score.reshape(4, -1), axis=0), np.arange(a.size)].reshape(a.shape)
+            maxc = counts.max(axis=0)
+            out = np.where(counts == maxc[None, :, :], stack, np.iinfo(np.int64).max).min(axis=0)
         else:  # gauss
             pad = np.pad(big, 1, mode="edge").astype(np.float64)
             k = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], dtype=np.float64)

@@ -113,6 +113,12 @@ def stateful_first_seen(
     state_schema = "seen array<string>"
 
     def _dedup(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # inactivity expiry: drop the seen-set (bounded state); a url
+            # recurring after expiry re-emits, the documented trade-off
+            state.remove()
+            yield pd.DataFrame({"url": [], "first_ts": []})
+            return
         seen = set(state.get[0]) if state.exists else set()
         rows = []
         for pdf in pdfs:

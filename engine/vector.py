@@ -159,7 +159,9 @@ def dissolve_union(polygons: DataFrame, group_col: str, wkb_col: str = "geom_wkb
     out_schema = f"{group_col} int, n_members long, n_pieces long, area double, geom_wkb binary"
 
     def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_index()
+        # fold order must not depend on shuffle arrival: sort by the wkb
+        # bytes so piece structure (not just area) is run-reproducible
+        pdf = pdf.sort_values(wkb_col, kind="stable", key=lambda s: s.map(bytes))
         rings = [np.asarray(geom.polygon_rings(b)[0], dtype=np.float64) for b in pdf[wkb_col]]
         pieces: list = []
         prior: list = []
