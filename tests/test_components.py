@@ -139,3 +139,62 @@ def test_cross_tile_seam_merge(spark):
     assert rows[7][0] == 56 + 40  # merged across the vertical seam
     assert rows[7][1] == 1 * 256 + 200 and rows[7][2] == 2 * 256 + 39
     assert rows[9][0] == 20  # merged across the horizontal seam
+
+
+def _label_tile_reference(grid, background=0):
+    """The original per-run python implementation, kept as the label-value
+    oracle for the vectorized label_tile."""
+    import numpy as np
+
+    H, W = grid.shape
+    labels = np.zeros((H, W), dtype=np.int32)
+    uf = components._UF()
+    next_label = 1
+    prev_runs = []
+    for r in range(H):
+        row = grid[r]
+        change = np.nonzero(row[1:] != row[:-1])[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [W]])
+        runs = []
+        for s, e in zip(starts, ends):
+            v = row[s]
+            if v == background:
+                continue
+            lab = None
+            for ps, pe, pv, pl in prev_runs:
+                if pv == v and ps < e and s < pe:
+                    if lab is None:
+                        lab = pl
+                    else:
+                        uf.union(lab, pl)
+            if lab is None:
+                lab = next_label
+                next_label += 1
+            labels[r, s:e] = lab
+            runs.append((s, e, v, lab))
+        prev_runs = runs
+    if next_label > 1:
+        flat = labels.ravel()
+        nz = flat != 0
+        roots = np.array([uf.find(int(x)) for x in flat[nz]], dtype=np.int64)
+        uniq, dense = np.unique(roots, return_inverse=True)
+        flat[nz] = (dense + 1).astype(np.int32)
+    return labels
+
+
+def test_label_vectorized_matches_reference():
+    rng = np.random.default_rng(77)
+    cases = [rng.integers(0, 3, (50, 50)) for _ in range(6)]
+    cases.append(rng.integers(0, 2, (64, 64)))      # binary, big components
+    cases.append(np.zeros((20, 20), dtype=np.int64))  # all background
+    g = np.zeros((30, 30), dtype=np.int64)
+    g[::2, :] = 5                                    # stripes: many runs, no vertical joins
+    cases.append(g)
+    s = np.zeros((40, 40), dtype=np.int64)
+    s[0, :] = 1; s[:, 0] = 1; s[-1, :] = 1; s[:, -1] = 1  # ring: late union of arms
+    cases.append(s)
+    for grid in cases:
+        assert np.array_equal(
+            components.label_tile(grid), _label_tile_reference(grid)
+        )
