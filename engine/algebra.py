@@ -25,8 +25,8 @@ non-empty, dimension-preserving results only (area > 0, ogrlayer.cpp:
 (see engine/clip.py module doc) serialized as WKB MultiPolygon.
 
 Layer input contract: DataFrame (id_col int, geom_wkb binary) — bbox
-columns are derived if absent.  Polygons: simple, hole-free (the engine's
-layer fixtures; documented limit).
+columns are derived if absent.  Polygons may carry interior rings (holes
+bridge-cut into the exterior before triangulation).
 """
 
 from __future__ import annotations
@@ -44,8 +44,10 @@ from . import clip, geom
 WORLD_X0, WORLD_Y0 = -180.0, -90.0
 
 
-def _ring(wkb: bytes) -> np.ndarray:
-    return np.asarray(geom.polygon_rings(wkb)[0], dtype=np.float64)
+def _ring(wkb: bytes):
+    """WKB → [exterior, hole, ...] ring-list (holes supported end-to-end
+    via the bridge-cut triangulation in engine.clip)."""
+    return [np.asarray(r, dtype=np.float64) for r in geom.polygon_rings(wkb)]
 
 
 def with_bbox(df: DataFrame, wkb_col: str = "geom_wkb") -> DataFrame:

@@ -21,9 +21,10 @@ from the reference: GDAL emits one merged GEOS geometry per pair; we emit an
 equal-area MultiPolygon dissection (area, coverage and point-membership are
 identical — verified by PIP-sample parity tests).
 
-Holes: subject/clip rings beyond the first are not supported here (the
-engine's polygon layers are hole-free by construction); PIP filtering with
-holes lives in :mod:`engine.geom`.
+Holes: polygons may carry interior rings — :func:`merge_holes` bridge-cuts
+them into the exterior (the earcut device) before ear clipping, so every
+overlay op accepts either a single exterior ring or an
+``[exterior, hole, ...]`` ring-list.
 
 All functions are driver/executor-side pure Python+numpy called from
 ``applyInPandas`` — never per-row Python in a Spark hot path.
@@ -126,6 +127,74 @@ def triangulate(ring) -> list:
     return tris
 
 
+def _seg_blocked(p, q, rings, skip=()):
+    """True if open segment p→q properly crosses any ring edge (shared
+    endpoints don't block) — the visibility test for bridge construction."""
+    px, py = p
+    qx, qy = q
+    for ri, ring in enumerate(rings):
+        n = ring.shape[0]
+        for i in range(n):
+            if (ri, i) in skip:
+                continue
+            a = ring[i]
+            b = ring[(i + 1) % n]
+            if (tuple(a) in (tuple(p), tuple(q))) or (tuple(b) in (tuple(p), tuple(q))):
+                continue
+            d1 = (qx - px) * (a[1] - py) - (qy - py) * (a[0] - px)
+            d2 = (qx - px) * (b[1] - py) - (qy - py) * (b[0] - px)
+            d3 = (b[0] - a[0]) * (py - a[1]) - (b[1] - a[1]) * (px - a[0])
+            d4 = (b[0] - a[0]) * (qy - a[1]) - (b[1] - a[1]) * (qx - a[0])
+            if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+                return True
+    return False
+
+
+def merge_holes(exterior: np.ndarray, holes: list) -> np.ndarray:
+    """Bridge-cut each hole into the exterior (the earcut device): connect
+    the hole's max-x vertex to a visible outer vertex with a zero-width
+    double edge, producing one simple (self-touching) ring whose ear-clip
+    triangulation covers exterior − holes exactly.
+
+    Holes are merged right-to-left (max-x first) so earlier bridges don't
+    occlude later ones.  Visibility = the bridge crosses no current edge.
+    """
+    outer = ensure_ccw(exterior)
+    hs = [ensure_ccw(h)[::-1].copy() for h in holes]  # holes CW
+    for h in sorted(hs, key=lambda r: -r[:, 0].max()):
+        mi = int(np.argmax(h[:, 0]))
+        m = h[mi]
+        # candidate outer vertices to the right of m, nearest first
+        order = np.argsort((outer[:, 0] - m[0]) ** 2 + (outer[:, 1] - m[1]) ** 2)
+        vi = None
+        for j in order:
+            v = outer[int(j)]
+            if v[0] < m[0]:
+                continue
+            if not _seg_blocked(m, v, [outer, h]):
+                vi = int(j)
+                break
+        if vi is None:  # fallback: nearest vertex regardless (degenerate input)
+            vi = int(order[0])
+        # splice: outer[..vi], m, hole cycle from mi, m?  standard form:
+        # outer[0..vi] + [hole[mi..], hole[..mi], hole[mi]] + [outer[vi..]]
+        hole_cycle = np.vstack([h[mi:], h[:mi], h[mi : mi + 1]])
+        outer = np.vstack([outer[: vi + 1], hole_cycle, outer[vi:]])
+    return outer
+
+
+def triangulate_polygon(rings: list) -> list:
+    """Triangulate a polygon given [exterior, hole, hole, ...] rings →
+    disjoint triangles covering exterior − holes (Σ areas == net area,
+    tested).  Hole-free input short-circuits to plain ear clipping."""
+    rings = [np.asarray(r, dtype=np.float64) for r in rings]
+    rings = [r[:-1] if np.array_equal(r[0], r[-1]) else r for r in rings]
+    holes = [r for r in rings[1:] if abs(signed_area(r)) > AREA_EPS]
+    if not holes:
+        return triangulate(rings[0])
+    return triangulate(merge_holes(rings[0], holes))
+
+
 # ---------------------------------------------------------------------------
 # Convex clipping primitives
 # ---------------------------------------------------------------------------
@@ -205,10 +274,19 @@ def _bbox_disjoint(b1, b2) -> bool:
     return b1[2] < b2[0] or b2[2] < b1[0] or b1[3] < b2[1] or b2[3] < b1[1]
 
 
+def _tris(poly) -> list:
+    """Triangles of a polygon given as one exterior ring (ndarray) or a
+    ring-list [exterior, hole, ...]."""
+    if isinstance(poly, (list, tuple)):
+        return triangulate_polygon(list(poly))
+    return triangulate(poly)
+
+
 def intersection_pieces(a_ring, b_ring) -> list:
-    """A ∩ B as disjoint convex pieces (both simple hole-free rings)."""
-    ta = triangulate(a_ring)
-    tb = triangulate(b_ring)
+    """A ∩ B as disjoint convex pieces; operands are simple rings or
+    [exterior, hole, ...] ring-lists (holes via bridge-cut triangulation)."""
+    ta = _tris(a_ring)
+    tb = _tris(b_ring)
     out = []
     boxes_b = [(_bbox(t), t) for t in tb]
     for t1 in ta:
@@ -226,9 +304,9 @@ def erase_pieces(a_ring, b_rings: list) -> list:
     """A \\ (∪ B_k) as disjoint convex pieces.  B polygons may overlap each
     other — subtraction is sequential, so overlap double-removal cannot
     happen (pieces shrink monotonically)."""
-    pieces = triangulate(a_ring)
+    pieces = _tris(a_ring)
     for b_ring in b_rings:
-        tb = triangulate(b_ring)
+        tb = _tris(b_ring)
         boxes_b = [(_bbox(t), t) for t in tb]
         for bb, t2 in boxes_b:
             nxt = []
@@ -248,10 +326,10 @@ def clip_pieces(a_ring, b_rings: list) -> list:
     overlap each other: sequential in/out partition — every A-piece entering
     some B triangle moves to the "in" set and is removed from the remainder,
     so overlapping B regions cannot double-count (Clip, ogrlayer.cpp:3424)."""
-    remaining = triangulate(a_ring)
+    remaining = _tris(a_ring)
     inside: list = []
     for b_ring in b_rings:
-        for t2 in triangulate(b_ring):
+        for t2 in _tris(b_ring):
             bb = _bbox(t2)
             nxt = []
             for p in remaining:

@@ -38,16 +38,20 @@ from .algebra import pair_candidates
 AREA_EPS = 1e-9
 
 
-def _segments(ring: np.ndarray) -> np.ndarray:
-    r = np.asarray(ring, dtype=np.float64)
-    if not np.array_equal(r[0], r[-1]):
-        r = np.vstack([r, r[:1]])
-    return np.hstack([r[:-1], r[1:]])  # (n, 4)
+def _segments(poly) -> np.ndarray:
+    rings = poly if isinstance(poly, (list, tuple)) else [poly]
+    segs = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        segs.append(np.hstack([r[:-1], r[1:]]))
+    return np.vstack(segs)  # (n, 4)
 
 
-def boundaries_intersect(a_ring: np.ndarray, b_ring: np.ndarray) -> bool:
-    """Any-pair segment intersection (proper or touching), vectorized
-    orientation tests over the (n, m) pair grid."""
+def boundaries_intersect(a_ring, b_ring) -> bool:
+    """Any-pair segment intersection (proper or touching) over ALL rings
+    (exterior + holes), vectorized orientation tests on the pair grid."""
     A = _segments(a_ring)
     B = _segments(b_ring)
     ax1, ay1, ax2, ay2 = (A[:, i][:, None] for i in range(4))
@@ -81,7 +85,7 @@ def boundaries_intersect(a_ring: np.ndarray, b_ring: np.ndarray) -> bool:
     return bool(touch.any())
 
 
-def relate(a_ring: np.ndarray, b_ring: np.ndarray) -> str:
+def relate(a_ring, b_ring) -> str:
     """Classify the pair into one relation label (see module doc)."""
     inter = clip.pieces_area(clip.intersection_pieces(a_ring, b_ring))
     if inter <= AREA_EPS:
@@ -107,8 +111,8 @@ def layer_relate(inp: DataFrame, method: DataFrame, res: float = 10.0) -> DataFr
         for pdf in batches:
             out = {"a_id": [], "b_id": [], "relation": []}
             for r in pdf.itertuples():
-                a = np.asarray(geom.polygon_rings(r.a_wkb)[0], dtype=np.float64)
-                b = np.asarray(geom.polygon_rings(r.b_wkb)[0], dtype=np.float64)
+                a = [np.asarray(x, dtype=np.float64) for x in geom.polygon_rings(r.a_wkb)]
+                b = [np.asarray(x, dtype=np.float64) for x in geom.polygon_rings(r.b_wkb)]
                 out["a_id"].append(r.a_id)
                 out["b_id"].append(r.b_id)
                 out["relation"].append(relate(a, b))

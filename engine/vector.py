@@ -162,7 +162,10 @@ def dissolve_union(polygons: DataFrame, group_col: str, wkb_col: str = "geom_wkb
         # fold order must not depend on shuffle arrival: sort by the wkb
         # bytes so piece structure (not just area) is run-reproducible
         pdf = pdf.sort_values(wkb_col, kind="stable", key=lambda s: s.map(bytes))
-        rings = [np.asarray(geom.polygon_rings(b)[0], dtype=np.float64) for b in pdf[wkb_col]]
+        rings = [
+            [np.asarray(r, dtype=np.float64) for r in geom.polygon_rings(b)]
+            for b in pdf[wkb_col]
+        ]
         pieces: list = []
         prior: list = []
         for r in rings:

@@ -190,3 +190,64 @@ def test_owner_cell_dedup_no_duplicate_pairs(spark):
     b = _layer(spark, [(0, _rect(-20, -40, 20, 40))])
     rows = algebra.pair_candidates(a, b, res=10.0).collect()
     assert len(rows) == 1
+
+
+def test_triangulate_polygon_with_holes():
+    ext = _rect(0, 0, 10, 10)
+    h1 = _rect(2, 2, 4, 4)
+    h2 = _rect(6, 5, 8, 8)
+    tris = clip.triangulate_polygon([ext, h1, h2])
+    area = sum(abs(clip.signed_area(t)) for t in tris)
+    assert abs(area - (100 - 4 - 6)) < 1e-9
+    # PIP parity: triangles cover exactly exterior minus holes
+    rng = np.random.default_rng(5)
+    px = rng.uniform(-1, 11, 4000)
+    py = rng.uniform(-1, 11, 4000)
+    in_tris = clip.pieces_contain(tris, px, py)
+    truth = (
+        (px >= 0) & (px <= 10) & (py >= 0) & (py <= 10)
+        & ~((px > 2) & (px < 4) & (py > 2) & (py < 4))
+        & ~((px > 6) & (px < 8) & (py > 5) & (py < 8))
+    )
+    assert (in_tris != truth).mean() < 0.005
+
+
+def test_overlay_with_holes():
+    donut = [_rect(0, 0, 10, 10), _rect(3, 3, 7, 7)]  # area 84
+    probe = _rect(2, 2, 8, 8)                          # area 36; 16 in hole
+    inter = clip.pieces_area(clip.intersection_pieces(donut, probe))
+    assert abs(inter - (36 - 16)) < 1e-9
+    left = clip.pieces_area(clip.erase_pieces(donut, [probe]))
+    assert abs(left - (84 - 20)) < 1e-9
+    # subject entirely inside the hole → empty intersection
+    inside_hole = _rect(4, 4, 6, 6)
+    assert clip.intersection_pieces(donut, inside_hole) == []
+
+
+def test_predicates_with_holes():
+    from engine import predicates
+
+    donut = [_rect(0, 0, 10, 10), _rect(3, 3, 7, 7)]
+    assert predicates.relate(donut, _rect(4, 4, 6, 6)) == "touches" or \
+        predicates.relate(donut, _rect(4.5, 4.5, 5.5, 5.5)) == "disjoint"
+    assert predicates.relate(donut, _rect(4.5, 4.5, 5.5, 5.5)) == "disjoint"
+    assert predicates.relate(donut, _rect(1, 1, 2, 2)) == "contains"
+    assert predicates.relate(donut, _rect(2, 2, 4, 4)) == "overlaps"
+
+
+def test_dissolve_union_with_holes(spark):
+    import pandas as pd
+
+    from engine import geom as geommod
+    from engine import vector
+
+    donut = geommod.wkb_polygon([
+        [(0, 0), (10, 0), (10, 10), (0, 10)],
+        [(3, 3), (7, 3), (7, 7), (3, 7)],
+    ])
+    patch = geommod.wkb_polygon([[(2, 2), (8, 2), (8, 8), (2, 8)]])
+    pdf = pd.DataFrame({"grp": pd.array([0, 0], dtype="int32"), "geom_wkb": [donut, patch]})
+    r = vector.dissolve_union(spark.createDataFrame(pdf), "grp").collect()[0]
+    # union area: donut 84 + patch part inside the hole 16 = 100... patch
+    # covers [2,8]^2=36: overlap with donut = 36-16=20 → union = 84+36-20
+    assert abs(r.area - 100.0) < 1e-9
