@@ -44,10 +44,10 @@ from . import clip, geom
 WORLD_X0, WORLD_Y0 = -180.0, -90.0
 
 
-def _ring(wkb: bytes):
-    """WKB → [exterior, hole, ...] ring-list (holes supported end-to-end
-    via the bridge-cut triangulation in engine.clip)."""
-    return [np.asarray(r, dtype=np.float64) for r in geom.polygon_rings(wkb)]
+def _parts(wkb: bytes):
+    """WKB → list of polygon parts, each [exterior, hole, ...] — holes via
+    bridge-cut triangulation, MultiPolygon members as disjoint parts."""
+    return geom.polygon_parts(wkb)
 
 
 def with_bbox(df: DataFrame, wkb_col: str = "geom_wkb") -> DataFrame:
@@ -123,7 +123,10 @@ def _overlay_pairs(pairs: DataFrame, op: str) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in ("a_id", "b_id", "n_pieces", "area", "geom_wkb")}
             for i in range(len(pdf)):
-                pieces = fn(_ring(pdf["a_wkb"].iat[i]), _ring(pdf["b_wkb"].iat[i]))
+                pieces = []
+                for pa in _parts(pdf["a_wkb"].iat[i]):
+                    for pb in _parts(pdf["b_wkb"].iat[i]):
+                        pieces.extend(fn(pa, pb))
                 if not pieces:
                     continue  # dimension-preserving only (ogrlayer.cpp:2038-2054)
                 out["a_id"].append(pdf["a_id"].iat[i])
@@ -159,9 +162,10 @@ def _grouped_overlay(inp: DataFrame, method: DataFrame, res: float, op: str, kee
     pairs = pair_candidates(inp, method, res)
 
     def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
-        a_ring = _ring(pdf["a_wkb"].iat[0])
-        b_rings = [_ring(b) for b in pdf["b_wkb"]]
-        pieces = fn(a_ring, b_rings)
+        b_polys = [part for b in pdf["b_wkb"] for part in _parts(b)]
+        pieces = []
+        for pa in _parts(pdf["a_wkb"].iat[0]):
+            pieces.extend(fn(pa, b_polys))
         if not pieces:
             return pd.DataFrame({k: [] for k in ("a_id", "n_pieces", "area", "geom_wkb")})
         return pd.DataFrame(

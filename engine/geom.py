@@ -416,3 +416,20 @@ def _edges_contains(e: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray
             & (pyc <= np.maximum(y1, y2))
         ).any(axis=1)
     return ((crossings % 2) == 1) | on_seg
+
+
+def polygon_parts(buf: bytes):
+    """WKB Polygon/MultiPolygon → list of parts, each part a ring-list
+    [exterior, hole, ...] (numpy float64 arrays).  The structured accessor
+    the overlay kernel needs (polygon_rings flattens parts+holes, which is
+    right for even-odd PIP but loses part attribution)."""
+    kind, body = wkb_loads(buf)
+    if kind == "Polygon":
+        return [[np.asarray(r, dtype=np.float64) for r in body]]
+    if kind == "MultiPolygon":
+        out = []
+        for pkind, prings in body:
+            assert pkind == "Polygon"
+            out.append([np.asarray(r, dtype=np.float64) for r in prings])
+        return out
+    raise ValueError(f"expected polygonal WKB, got {kind}")

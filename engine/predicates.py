@@ -38,6 +38,15 @@ from .algebra import pair_candidates
 AREA_EPS = 1e-9
 
 
+def _as_parts(poly):
+    """Normalize ring / ring-list / parts-list to a list of parts."""
+    if isinstance(poly, np.ndarray):
+        return [[poly]]
+    if poly and isinstance(poly[0], np.ndarray):
+        return [list(poly)]  # one polygon: [ext, holes...]
+    return [list(p) for p in poly]
+
+
 def _segments(poly) -> np.ndarray:
     rings = poly if isinstance(poly, (list, tuple)) else [poly]
     segs = []
@@ -85,13 +94,23 @@ def boundaries_intersect(a_ring, b_ring) -> bool:
     return bool(touch.any())
 
 
-def relate(a_ring, b_ring) -> str:
-    """Classify the pair into one relation label (see module doc)."""
-    inter = clip.pieces_area(clip.intersection_pieces(a_ring, b_ring))
+def relate(a_poly, b_poly) -> str:
+    """Classify the pair into one relation label (see module doc).
+    Operands: a single ring, a ring-list [ext, holes...], or a list of
+    parts (MultiPolygon) — normalized to part lists below."""
+    a_parts = _as_parts(a_poly)
+    b_parts = _as_parts(b_poly)
+    inter = sum(
+        clip.pieces_area(clip.intersection_pieces(pa, pb))
+        for pa in a_parts for pb in b_parts
+    )
     if inter <= AREA_EPS:
-        return "touches" if boundaries_intersect(a_ring, b_ring) else "disjoint"
-    ra = clip.pieces_area(clip.erase_pieces(a_ring, [b_ring]))
-    rb = clip.pieces_area(clip.erase_pieces(b_ring, [a_ring]))
+        touch = any(
+            boundaries_intersect(pa, pb) for pa in a_parts for pb in b_parts
+        )
+        return "touches" if touch else "disjoint"
+    ra = sum(clip.pieces_area(clip.erase_pieces(pa, b_parts)) for pa in a_parts)
+    rb = sum(clip.pieces_area(clip.erase_pieces(pb, a_parts)) for pb in b_parts)
     if ra <= AREA_EPS and rb <= AREA_EPS:
         return "equals"
     if rb <= AREA_EPS:
@@ -111,8 +130,8 @@ def layer_relate(inp: DataFrame, method: DataFrame, res: float = 10.0) -> DataFr
         for pdf in batches:
             out = {"a_id": [], "b_id": [], "relation": []}
             for r in pdf.itertuples():
-                a = [np.asarray(x, dtype=np.float64) for x in geom.polygon_rings(r.a_wkb)]
-                b = [np.asarray(x, dtype=np.float64) for x in geom.polygon_rings(r.b_wkb)]
+                a = geom.polygon_parts(r.a_wkb)
+                b = geom.polygon_parts(r.b_wkb)
                 out["a_id"].append(r.a_id)
                 out["b_id"].append(r.b_id)
                 out["relation"].append(relate(a, b))

@@ -162,19 +162,17 @@ def dissolve_union(polygons: DataFrame, group_col: str, wkb_col: str = "geom_wkb
         # fold order must not depend on shuffle arrival: sort by the wkb
         # bytes so piece structure (not just area) is run-reproducible
         pdf = pdf.sort_values(wkb_col, kind="stable", key=lambda s: s.map(bytes))
-        rings = [
-            [np.asarray(r, dtype=np.float64) for r in geom.polygon_rings(b)]
-            for b in pdf[wkb_col]
-        ]
+        members = [geom.polygon_parts(b) for b in pdf[wkb_col]]
         pieces: list = []
         prior: list = []
-        for r in rings:
-            pieces.extend(clip.erase_pieces(r, prior))
-            prior.append(r)
+        for parts in members:
+            for part in parts:
+                pieces.extend(clip.erase_pieces(part, prior))
+                prior.append(part)
         return pd.DataFrame(
             {
                 group_col: [pdf[group_col].iat[0]],
-                "n_members": [len(rings)],
+                "n_members": [len(members)],
                 "n_pieces": [len(pieces)],
                 "area": [clip.pieces_area(pieces)],
                 "geom_wkb": [geom.wkb_multipolygon([[p] for p in pieces]) if pieces else None],

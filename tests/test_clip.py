@@ -251,3 +251,25 @@ def test_dissolve_union_with_holes(spark):
     # union area: donut 84 + patch part inside the hole 16 = 100... patch
     # covers [2,8]^2=36: overlap with donut = 36-16=20 → union = 84+36-20
     assert abs(r.area - 100.0) < 1e-9
+
+
+def test_multipolygon_parts_overlay(spark):
+    import pandas as pd
+
+    # A = MultiPolygon of two disjoint squares (each 4x4); B = rect covering
+    # half of each → intersection area = 8 + 8
+    mp = geom.wkb_multipolygon([[_rect(0, 0, 4, 4)], [_rect(10, 0, 14, 4)]])
+    probe = geom.wkb_polygon([[(2, 0), (12, 0), (12, 4), (2, 4)]])
+    a = spark.createDataFrame(pd.DataFrame({"pid": pd.array([0], dtype="int32"), "geom_wkb": [mp]}))
+    b = spark.createDataFrame(pd.DataFrame({"pid": pd.array([0], dtype="int32"), "geom_wkb": [probe]}))
+    r = algebra.layer_intersection(a, b).collect()[0]
+    assert abs(r.area - (2 * 4 + 2 * 4)) < 1e-9
+    e = algebra.layer_erase(a, b).collect()[0]
+    assert abs(e.area - (32 - 16)) < 1e-9
+    # predicates on multipolygon: B overlaps A
+    from engine import predicates
+
+    assert predicates.relate(geom.polygon_parts(mp), geom.polygon_parts(probe)) == "overlaps"
+    # contained multipolygon
+    small = geom.wkb_multipolygon([[_rect(1, 1, 2, 2)], [_rect(11, 1, 12, 2)]])
+    assert predicates.relate(geom.polygon_parts(mp), geom.polygon_parts(small)) == "contains"
