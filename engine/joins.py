@@ -442,8 +442,16 @@ def knn_join(
     max_ring: int = 4,
     query_id: str = "qid",
     point_id: str = "name",
+    strategy: str = "auto",
+    broadcast_threshold: int = 20000,
 ) -> DataFrame:
     """k nearest neighbors (euclidean in lon/lat degrees, ties by point id).
+
+    ``strategy``: "rings" = the cell-ring expansion below (both sides
+    large); "broadcast" = queries collected + one vectorized point scan
+    (exact, no iteration — the fast path when the probe set is small);
+    "auto" counts the queries and picks broadcast under
+    ``broadcast_threshold``.  Both plans emit identical rows.
 
     Plan per round r (ring radius r): unsatisfied queries explode to the
     (2r+1)² candidate cells → equi-join points on cell → window top-k.  A
@@ -456,6 +464,10 @@ def knn_join(
 
     Output: (qid, neighbor, nbr_lon, nbr_lat, dist, rank).
     """
+    if strategy == "auto":
+        strategy = "broadcast" if queries.count() <= broadcast_threshold else "rings"
+    if strategy == "broadcast":
+        return knn_join_broadcast(queries, points, k, query_id, point_id)
     pts = with_cell(points, zoom, "lon", "lat").select(
         F.col(point_id).alias("_nbr"), F.col("lon").alias("_nlon"), F.col("lat").alias("_nlat"), "cell"
     )
@@ -634,4 +646,69 @@ def grid_metrics(
             avg_dist,
         )
         .where(F.col("count") >= min_points)
+    )
+
+
+def knn_join_broadcast(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int = 5,
+    query_id: str = "qid",
+    point_id: str = "name",
+) -> DataFrame:
+    """Exact kNN for a SMALL query set: queries broadcast into a single
+    vectorized scan of the points (per-partition top-k, combiner-style),
+    then one tiny shuffle merges partials — no rings, no iteration.
+
+    The mirror of the reference's quadtree loop for the inverted cardinality
+    case (few probes, huge point set); the ring join (knn_join) remains the
+    path when both sides are large.  Global top-k is exact because each
+    partition keeps its own top-k per query (the global answer is a subset
+    of the union of partials).  Output matches knn_join: (qid, neighbor,
+    nbr_lon, nbr_lat, dist, rank), ties broken by point id ascending.
+    """
+    qrows = queries.select(query_id, "lon", "lat").collect()
+    qid_arr = np.array([r[0] for r in qrows])
+    qlon = np.array([float(r[1]) for r in qrows])
+    qlat = np.array([float(r[2]) for r in qrows])
+    qid_type = dict(queries.dtypes)[query_id]
+    nbr_type = dict(points.dtypes)[point_id]
+    out_schema = (
+        f"{query_id} {qid_type}, neighbor {nbr_type}, "
+        "nbr_lon double, nbr_lat double, dist double"
+    )
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf) or qid_arr.size == 0:
+                continue
+            plon = pdf["lon"].to_numpy(np.float64)
+            plat = pdf["lat"].to_numpy(np.float64)
+            pid = pdf[point_id].to_numpy()
+            # (P, Q) distance matrix in manageable column chunks
+            for s in range(0, qid_arr.size, 512):
+                ql = qlon[s : s + 512]
+                qa = qlat[s : s + 512]
+                d = np.sqrt((plon[:, None] - ql[None, :]) ** 2 + (plat[:, None] - qa[None, :]) ** 2)
+                kk = min(k, d.shape[0])
+                # per query: k smallest by (dist, point_id)
+                order = np.lexsort((np.broadcast_to(pid[:, None], d.shape), d), axis=0)[:kk]
+                qi = np.broadcast_to(np.arange(ql.size)[None, :], order.shape)
+                rows = order.ravel()
+                qs = qi.ravel() + s
+                yield pd.DataFrame(
+                    {
+                        query_id: qid_arr[qs],
+                        "neighbor": pid[rows],
+                        "nbr_lon": plon[rows],
+                        "nbr_lat": plat[rows],
+                        "dist": d[rows, qs - s],
+                    }
+                )
+
+    partials = points.select(F.col(point_id), "lon", "lat").mapInPandas(_partial, out_schema)
+    w = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col("neighbor").asc())
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
     )

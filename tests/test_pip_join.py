@@ -174,3 +174,28 @@ def test_hot_cell_skew_fixture(spark):
         ).collect()
     )
     assert sh == bc and len(bc) > 0
+
+
+def test_knn_broadcast_matches_rings(spark):
+    """Both kNN physical plans emit identical rows."""
+    import pandas as pd
+
+    from engine import joins
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(14)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"name": [f"p{i}" for i in range(3000)],
+                      "lon": rng.uniform(-170, 170, 3000),
+                      "lat": rng.uniform(-75, 75, 3000)})
+    )
+    qs = spark.createDataFrame(
+        pd.DataFrame({"qid": list(range(40)),
+                      "lon": rng.uniform(-170, 170, 40),
+                      "lat": rng.uniform(-75, 75, 40)})
+    )
+    a = joins.knn_join(qs, pts, k=5, zoom=4, max_ring=8, strategy="rings").collect()
+    b = joins.knn_join(qs, pts, k=5, strategy="broadcast").collect()
+    ka = sorted((r.qid, r.rank, r.neighbor, round(r.dist, 9)) for r in a)
+    kb = sorted((r.qid, r.rank, r.neighbor, round(r.dist, 9)) for r in b)
+    assert ka == kb
