@@ -112,21 +112,31 @@ _PAIR_SCHEMA = "a_id int, b_id int, n_pieces long, area double, geom_wkb binary"
 
 
 def _overlay_pairs(pairs: DataFrame, op: str) -> DataFrame:
-    """Pairwise overlay (intersection / union / sym_difference) via
-    mapInPandas — each candidate pair is independent, no further shuffle."""
-    fn = {
-        "intersection": clip.intersection_pieces,
-        "sym_difference": clip.sym_difference_pieces,
-    }[op]
+    """Pairwise overlay (intersection / sym_difference) via mapInPandas —
+    each candidate pair is independent, no further shuffle.
+
+    MultiPolygon semantics: intersection sums over part pairs (parts are
+    disjoint, so pieces can't overlap); sym_difference must subtract
+    JOINTLY (each A part minus ALL B parts and vice versa) — a per-pair
+    sym loop would double-count wherever one operand has several parts."""
+    assert op in ("intersection", "sym_difference")
 
     def _refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("a_id", "b_id", "n_pieces", "area", "geom_wkb")}
             for i in range(len(pdf)):
+                a_parts = _parts(pdf["a_wkb"].iat[i])
+                b_parts = _parts(pdf["b_wkb"].iat[i])
                 pieces = []
-                for pa in _parts(pdf["a_wkb"].iat[i]):
-                    for pb in _parts(pdf["b_wkb"].iat[i]):
-                        pieces.extend(fn(pa, pb))
+                if op == "intersection":
+                    for pa in a_parts:
+                        for pb in b_parts:
+                            pieces.extend(clip.intersection_pieces(pa, pb))
+                else:
+                    for pa in a_parts:
+                        pieces.extend(clip.erase_pieces(pa, b_parts))
+                    for pb in b_parts:
+                        pieces.extend(clip.erase_pieces(pb, a_parts))
                 if not pieces:
                     continue  # dimension-preserving only (ogrlayer.cpp:2038-2054)
                 out["a_id"].append(pdf["a_id"].iat[i])

@@ -11,8 +11,8 @@ kernel built from three primitives:
 2. **Convex ∩ convex** via Sutherland–Hodgman half-plane clipping —
    each output piece is a clean convex ring (no S-H bridge artifacts,
    because both operands are triangles).
-3. **Convex \\ triangle** via the disjoint half-plane decomposition
-   ``T \\ (H1∩H2∩H3) = (T∩¬H1) ⊔ (T∩H1∩¬H2) ⊔ (T∩H1∩H2∩¬H3)``.
+3. **Convex \\ convex** via the disjoint half-plane decomposition
+   ``P \\ (H1∩..∩Hn) = ⊔_i (P ∩ H1..H_{i-1} ∩ ¬H_i)``.
 
 An overlay result is therefore a *dissected exact cover*: a list of disjoint
 convex pieces whose union equals the true GEOS result and whose total area
@@ -21,9 +21,9 @@ from the reference: GDAL emits one merged GEOS geometry per pair; we emit an
 equal-area MultiPolygon dissection (area, coverage and point-membership are
 identical — verified by PIP-sample parity tests).
 
-Holes: polygons may carry interior rings — :func:`merge_holes` bridge-cuts
-them into the exterior (the earcut device) before ear clipping, so every
-overlay op accepts either a single exterior ring or an
+Holes: polygons may carry interior rings — :func:`trapezoid_decompose`
+slices the even-odd region of the ring set into convex trapezoids, so
+every overlay op accepts either a single exterior ring or an
 ``[exterior, hole, ...]`` ring-list.
 
 All functions are driver/executor-side pure Python+numpy called from
@@ -127,72 +127,80 @@ def triangulate(ring) -> list:
     return tris
 
 
-def _seg_blocked(p, q, rings, skip=()):
-    """True if open segment p→q properly crosses any ring edge (shared
-    endpoints don't block) — the visibility test for bridge construction."""
-    px, py = p
-    qx, qy = q
-    for ri, ring in enumerate(rings):
-        n = ring.shape[0]
-        for i in range(n):
-            if (ri, i) in skip:
-                continue
-            a = ring[i]
-            b = ring[(i + 1) % n]
-            if (tuple(a) in (tuple(p), tuple(q))) or (tuple(b) in (tuple(p), tuple(q))):
-                continue
-            d1 = (qx - px) * (a[1] - py) - (qy - py) * (a[0] - px)
-            d2 = (qx - px) * (b[1] - py) - (qy - py) * (b[0] - px)
-            d3 = (b[0] - a[0]) * (py - a[1]) - (b[1] - a[1]) * (px - a[0])
-            d4 = (b[0] - a[0]) * (qy - a[1]) - (b[1] - a[1]) * (qx - a[0])
-            if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
-                return True
-    return False
+def trapezoid_decompose(rings: list) -> list:
+    """Disjoint convex pieces exactly covering the EVEN-ODD region of a
+    ring set [exterior, hole, ...] — vertical slab decomposition:
 
-
-def merge_holes(exterior: np.ndarray, holes: list) -> np.ndarray:
-    """Bridge-cut each hole into the exterior (the earcut device): connect
-    the hole's max-x vertex to a visible outer vertex with a zero-width
-    double edge, producing one simple (self-touching) ring whose ear-clip
-    triangulation covers exterior − holes exactly.
-
-    Holes are merged right-to-left (max-x first) so earlier bridges don't
-    occlude later ones.  Visibility = the bridge crosses no current edge.
-    """
-    outer = ensure_ccw(exterior)
-    hs = [ensure_ccw(h)[::-1].copy() for h in holes]  # holes CW
-    for h in sorted(hs, key=lambda r: -r[:, 0].max()):
-        mi = int(np.argmax(h[:, 0]))
-        m = h[mi]
-        # candidate outer vertices to the right of m, nearest first
-        order = np.argsort((outer[:, 0] - m[0]) ** 2 + (outer[:, 1] - m[1]) ** 2)
-        vi = None
-        for j in order:
-            v = outer[int(j)]
-            if v[0] < m[0]:
-                continue
-            if not _seg_blocked(m, v, [outer, h]):
-                vi = int(j)
-                break
-        if vi is None:  # fallback: nearest vertex regardless (degenerate input)
-            vi = int(order[0])
-        # splice: outer[..vi], m, hole cycle from mi, m?  standard form:
-        # outer[0..vi] + [hole[mi..], hole[..mi], hole[mi]] + [outer[vi..]]
-        hole_cycle = np.vstack([h[mi:], h[:mi], h[mi : mi + 1]])
-        outer = np.vstack([outer[: vi + 1], hole_cycle, outer[vi:]])
-    return outer
+    Between consecutive distinct vertex y-values no vertex lies strictly
+    inside the band, so every edge crossing the band's midline spans the
+    whole band; sorting those edges by x-at-midline and pairing them
+    even-odd yields convex trapezoids whose union IS the region.  Robust
+    for holes, islands-in-holes, and self-touching input — no bridge
+    construction, no visibility tests (the earlier bridge-cut approach
+    silently over-covered when ear clipping jammed on the duplicated
+    bridge vertices)."""
+    edges = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if np.array_equal(r[0], r[-1]):
+            r = r[:-1]
+        if r.shape[0] < 3:
+            continue
+        nxt = np.roll(r, -1, axis=0)
+        edges.append(np.hstack([r, nxt]))
+    if not edges:
+        return []
+    E = np.vstack(edges)  # (n, 4): x1 y1 x2 y2
+    x1, y1, x2, y2 = E[:, 0], E[:, 1], E[:, 2], E[:, 3]
+    ys = np.unique(np.concatenate([y1, y2]))
+    out = []
+    for yb, yt in zip(ys[:-1], ys[1:]):
+        if yt - yb <= 0:
+            continue
+        ym = 0.5 * (yb + yt)
+        lo = np.minimum(y1, y2)
+        hi = np.maximum(y1, y2)
+        m = (lo < ym) & (hi > ym)
+        if not m.any():
+            continue
+        ex1, ey1, ex2, ey2 = x1[m], y1[m], x2[m], y2[m]
+        t_mid = (ym - ey1) / (ey2 - ey1)
+        xm = ex1 + t_mid * (ex2 - ex1)
+        order = np.argsort(xm, kind="stable")
+        xb = ex1 + (yb - ey1) / (ey2 - ey1) * (ex2 - ex1)
+        xt = ex1 + (yt - ey1) / (ey2 - ey1) * (ex2 - ex1)
+        xb, xt = xb[order], xt[order]
+        for i in range(0, order.shape[0] - 1, 2):
+            quad = np.array(
+                [
+                    (xb[i], yb), (xb[i + 1], yb),
+                    (xt[i + 1], yt), (xt[i], yt),
+                ]
+            )
+            # drop duplicate corners (triangle bands) and slivers
+            keep = [0]
+            for j in range(1, 4):
+                if not np.array_equal(quad[j], quad[keep[-1]]):
+                    keep.append(j)
+            if np.array_equal(quad[keep[-1]], quad[keep[0]]):
+                keep.pop()
+            q = quad[keep]
+            if q.shape[0] >= 3 and abs(signed_area(q)) > AREA_EPS:
+                out.append(ensure_ccw(q))
+    return out
 
 
 def triangulate_polygon(rings: list) -> list:
-    """Triangulate a polygon given [exterior, hole, hole, ...] rings →
-    disjoint triangles covering exterior − holes (Σ areas == net area,
-    tested).  Hole-free input short-circuits to plain ear clipping."""
+    """Convex decomposition of [exterior, hole, hole, ...] covering
+    exterior − holes exactly (Σ piece areas == net area, tested + fuzzed).
+    Hole-free input uses ear clipping (fewer pieces); holes use the robust
+    trapezoid decomposition."""
     rings = [np.asarray(r, dtype=np.float64) for r in rings]
     rings = [r[:-1] if np.array_equal(r[0], r[-1]) else r for r in rings]
     holes = [r for r in rings[1:] if abs(signed_area(r)) > AREA_EPS]
     if not holes:
         return triangulate(rings[0])
-    return triangulate(merge_holes(rings[0], holes))
+    return trapezoid_decompose([rings[0]] + holes)
 
 
 # ---------------------------------------------------------------------------
@@ -241,17 +249,19 @@ def clip_convex_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     return out
 
 
-def convex_minus_triangle(piece: np.ndarray, tri: np.ndarray) -> list:
-    """Disjoint convex decomposition of ``piece \\ tri``.
+def convex_minus_convex(piece: np.ndarray, conv: np.ndarray) -> list:
+    """Disjoint convex decomposition of ``piece \\ conv`` for ANY convex
+    CCW clip polygon (triangle, trapezoid, ...).
 
-    ``tri`` CCW = ∩ of left half-planes H1,H2,H3 of its edges, so
-    piece\\tri = ⊔_i (piece ∩ H1..H_{i-1} ∩ ¬H_i) — each term convex, terms
-    pairwise disjoint (alg/gdalcutline.cpp computes the same set membership
-    via rasterized masks; we keep it vector-exact)."""
+    ``conv`` = ∩ of left half-planes H1..Hn of its edges, so
+    piece\\conv = ⊔_i (piece ∩ H1..H_{i-1} ∩ ¬H_i) — each term convex,
+    terms pairwise disjoint (alg/gdalcutline.cpp computes the same set
+    membership via rasterized masks; we keep it vector-exact)."""
     out = []
     cur = piece
-    for i in range(3):
-        a, b = tri[i], tri[(i + 1) % 3]
+    n = conv.shape[0]
+    for i in range(n):
+        a, b = conv[i], conv[(i + 1) % n]
         neg = clip_halfplane(cur, a[0], a[1], b[0], b[1], keep_left=False)
         if neg.shape[0] >= 3 and abs(signed_area(neg)) > AREA_EPS:
             out.append(neg)
@@ -314,7 +324,7 @@ def erase_pieces(a_ring, b_rings: list) -> list:
                 if _bbox_disjoint(_bbox(p), bb):
                     nxt.append(p)
                 else:
-                    nxt.extend(convex_minus_triangle(p, t2))
+                    nxt.extend(convex_minus_convex(p, t2))
             pieces = nxt
             if not pieces:
                 return pieces
@@ -339,7 +349,7 @@ def clip_pieces(a_ring, b_rings: list) -> list:
                 hit = clip_convex_convex(p, t2)
                 if hit.shape[0] >= 3 and abs(signed_area(hit)) > AREA_EPS:
                     inside.append(hit)
-                    nxt.extend(convex_minus_triangle(p, t2))
+                    nxt.extend(convex_minus_convex(p, t2))
                 else:
                     nxt.append(p)
             remaining = nxt

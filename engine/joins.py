@@ -448,10 +448,13 @@ def knn_join(
     """k nearest neighbors (euclidean in lon/lat degrees, ties by point id).
 
     ``strategy``: "rings" = the cell-ring expansion below (both sides
-    large); "broadcast" = queries collected + one vectorized point scan
-    (exact, no iteration — the fast path when the probe set is small);
-    "auto" counts the queries and picks broadcast under
-    ``broadcast_threshold``.  Both plans emit identical rows.
+    large; MAXDIST-bounded — at ``max_ring`` the search is accepted
+    as-is); "broadcast" = queries collected + one vectorized point scan
+    (always exact global top-k, ``zoom``/``max_ring`` not applicable);
+    "auto" probes the query count with a bounded limit-collect and picks
+    broadcast under ``broadcast_threshold``.  The plans emit identical
+    rows whenever the ring search isn't truncated; callers relying on
+    MAXDIST-bounded semantics must pass strategy="rings" explicitly.
 
     Plan per round r (ring radius r): unsatisfied queries explode to the
     (2r+1)² candidate cells → equi-join points on cell → window top-k.  A
@@ -465,7 +468,12 @@ def knn_join(
     Output: (qid, neighbor, nbr_lon, nbr_lat, dist, rank).
     """
     if strategy == "auto":
-        strategy = "broadcast" if queries.count() <= broadcast_threshold else "rings"
+        # bounded probe: evaluates the query lineage once, and the collected
+        # rows are reused directly by the broadcast branch (no second pass)
+        probe = queries.select(query_id, "lon", "lat").limit(broadcast_threshold + 1).collect()
+        if len(probe) <= broadcast_threshold:
+            return knn_join_broadcast(queries, points, k, query_id, point_id, _rows=probe)
+        strategy = "rings"
     if strategy == "broadcast":
         return knn_join_broadcast(queries, points, k, query_id, point_id)
     pts = with_cell(points, zoom, "lon", "lat").select(
@@ -655,6 +663,7 @@ def knn_join_broadcast(
     k: int = 5,
     query_id: str = "qid",
     point_id: str = "name",
+    _rows: list | None = None,
 ) -> DataFrame:
     """Exact kNN for a SMALL query set: queries broadcast into a single
     vectorized scan of the points (per-partition top-k, combiner-style),
@@ -667,7 +676,7 @@ def knn_join_broadcast(
     of the union of partials).  Output matches knn_join: (qid, neighbor,
     nbr_lon, nbr_lat, dist, rank), ties broken by point id ascending.
     """
-    qrows = queries.select(query_id, "lon", "lat").collect()
+    qrows = _rows if _rows is not None else queries.select(query_id, "lon", "lat").collect()
     qid_arr = np.array([r[0] for r in qrows])
     qlon = np.array([float(r[1]) for r in qrows])
     qlat = np.array([float(r[2]) for r in qrows])

@@ -27,20 +27,22 @@ def register_sql_udfs(spark: SparkSession) -> None:
     ST_Contains / ST_Within / ST_Relate / ST_ConvexHull_Area /
     ST_Simplify_NPoints into the session catalog."""
     from . import geom, geomops, predicates
-
-    @F.pandas_udf(DoubleType())
-    def st_area(wkb: pd.Series) -> pd.Series:
-        from .vector import shoelace_area_py
-
-        return wkb.map(lambda b: shoelace_area_py(b) if b is not None else None)
+    from .vector import st_area  # the one shoelace UDF (exterior − holes)
 
     def _cen(i):
         def one(b):
             if b is None:
                 return None
-            return geomops.polygon_area_centroid(
-                np.asarray(geom.polygon_rings(b)[0], dtype=np.float64)
-            )[i]
+            # area-weighted over ALL parts, holes negative (parts-aware)
+            num = 0.0
+            den = 0.0
+            for part in geom.polygon_parts(b):
+                for k, ring in enumerate(part):
+                    a, cx, cy = geomops.polygon_area_centroid(np.asarray(ring, dtype=np.float64))
+                    w = abs(a) if k == 0 else -abs(a)
+                    num += w * (cx if i == 1 else cy)
+                    den += w
+            return num / den if den else None
 
         return one
 
@@ -56,9 +58,7 @@ def register_sql_udfs(spark: SparkSession) -> None:
         def one(x, y):
             if x is None or y is None:
                 return None
-            ra = np.asarray(geom.polygon_rings(x)[0], dtype=np.float64)
-            rb = np.asarray(geom.polygon_rings(y)[0], dtype=np.float64)
-            return predicates.relate(ra, rb)
+            return predicates.relate(geom.polygon_parts(x), geom.polygon_parts(y))
 
         return pd.Series([one(x, y) for x, y in zip(a, b)])
 
@@ -78,7 +78,7 @@ def register_sql_udfs(spark: SparkSession) -> None:
         def one(b):
             if b is None:
                 return None
-            pts = np.asarray(geom.polygon_rings(b)[0], dtype=np.float64)
+            pts = np.vstack([np.asarray(r, dtype=np.float64) for r in geom.polygon_rings(b)])
             h = geomops.convex_hull(pts)
             if h.shape[0] < 3:
                 return 0.0
@@ -87,7 +87,7 @@ def register_sql_udfs(spark: SparkSession) -> None:
 
         return wkb.map(one)
 
-    spark.udf.register("ST_Area", st_area)
+    spark.udf.register("ST_Area", st_area)  # vector.st_area, parts/hole-correct
     spark.udf.register("ST_Centroid_X", st_centroid_x)
     spark.udf.register("ST_Centroid_Y", st_centroid_y)
     spark.udf.register("ST_Relate", st_relate)

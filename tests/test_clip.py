@@ -228,8 +228,9 @@ def test_predicates_with_holes():
     from engine import predicates
 
     donut = [_rect(0, 0, 10, 10), _rect(3, 3, 7, 7)]
-    assert predicates.relate(donut, _rect(4, 4, 6, 6)) == "touches" or \
-        predicates.relate(donut, _rect(4.5, 4.5, 5.5, 5.5)) == "disjoint"
+    # probe exactly filling the hole: zero intersection area but boundary
+    # contact along the hole ring -> touches
+    assert predicates.relate(donut, _rect(3, 3, 7, 7)) == "touches"
     assert predicates.relate(donut, _rect(4.5, 4.5, 5.5, 5.5)) == "disjoint"
     assert predicates.relate(donut, _rect(1, 1, 2, 2)) == "contains"
     assert predicates.relate(donut, _rect(2, 2, 4, 4)) == "overlaps"
@@ -273,3 +274,59 @@ def test_multipolygon_parts_overlay(spark):
     # contained multipolygon
     small = geom.wkb_multipolygon([[_rect(1, 1, 2, 2)], [_rect(11, 1, 12, 2)]])
     assert predicates.relate(geom.polygon_parts(mp), geom.polygon_parts(small)) == "contains"
+
+
+def test_layer_sym_difference_multipart_no_double_count(spark):
+    import pandas as pd
+
+    # A = two unit squares; B = rect covering both: true AΔB = B minus the
+    # two squares = 3*1 - 2 = 1.0 (a per-part sym loop yields 4.0)
+    mp = geom.wkb_multipolygon([[_rect(0, 0, 1, 1)], [_rect(2, 0, 3, 1)]])
+    cover = geom.wkb_polygon([[(0, 0), (3, 0), (3, 1), (0, 1)]])
+    a = spark.createDataFrame(pd.DataFrame({"pid": pd.array([0], dtype="int32"), "geom_wkb": [mp]}))
+    b = spark.createDataFrame(pd.DataFrame({"pid": pd.array([0], dtype="int32"), "geom_wkb": [cover]}))
+    r = algebra.layer_sym_difference(a, b).collect()[0]
+    assert abs(r.area - 1.0) < 1e-9
+    # pieces must be disjoint: no sample point in more than one piece
+    kind, body = geom.wkb_loads(r.geom_wkb)
+    pieces = [np.asarray(rings[0])[:-1] for _, rings in body]
+    rng = np.random.default_rng(4)
+    px = rng.uniform(-0.5, 3.5, 3000)
+    py = rng.uniform(-0.5, 1.5, 3000)
+    counts = np.zeros(px.shape[0])
+    for p in pieces:
+        n = p.shape[0]
+        ok = np.ones(px.shape[0], dtype=bool)
+        for i in range(n):
+            aa, bb = p[i], p[(i + 1) % n]
+            ok &= (bb[0] - aa[0]) * (py - aa[1]) - (bb[1] - aa[1]) * (px - aa[0]) >= 1e-9
+        counts += ok
+    assert counts.max() <= 1
+
+
+def test_triangulate_polygon_multi_hole_fuzz():
+    """The bridge-cut bug class (reviewed): multi-hole and concave-exterior
+    decompositions must cover exactly exterior − holes."""
+    # the review's exact repro: was 96.0 with the bridge-cut ear clip
+    tris = clip.triangulate_polygon([_rect(0, 0, 10, 10), _rect(2, 1, 6, 3), _rect(4, 6, 6, 8)])
+    assert abs(sum(abs(clip.signed_area(t)) for t in tris) - 88.0) < 1e-9
+    rng = np.random.default_rng(0)
+    for _ in range(60):
+        n = int(rng.integers(4, 9))
+        ext = _star(n, 10, float(rng.uniform(3, 6)))
+        cx, cy = rng.uniform(-1.2, 1.2, 2)
+        w, h = rng.uniform(0.3, 1.2, 2)
+        hole = _rect(cx - w, cy - h, cx + w, cy + h)
+        tris = clip.triangulate_polygon([ext, hole])
+        area = sum(abs(clip.signed_area(t)) for t in tris)
+        expect = abs(clip.signed_area(ext)) - abs(clip.signed_area(hole))
+        assert abs(area - expect) < 1e-6
+
+
+def test_convex_minus_convex_quad():
+    """Subtracting a 4-edge convex clip (trapezoid) must remove its whole
+    footprint — the hardcoded-3-edges bug left the 4th half-plane behind."""
+    piece = _rect(0, 0, 4, 4)
+    quad = np.array([(1.0, 1.0), (3.0, 1.0), (3.5, 3.0), (0.5, 3.0)])
+    pieces = clip.convex_minus_convex(piece, quad)
+    assert abs(clip.pieces_area(pieces) - (16.0 - abs(clip.signed_area(quad)))) < 1e-9

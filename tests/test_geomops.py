@@ -146,3 +146,17 @@ def test_registered_st_udfs(spark):
     assert [r.cont for r in rows] == [True, False, False]
     assert [r.rel for r in rows] == ["contains", "overlaps", "disjoint"]
     assert [r.hull for r in rows] == [100.0] * 3
+    # parts/holes awareness: probe inside a donut's hole is NOT contained
+    donut = geom.wkb_polygon([
+        [(0, 0), (10, 0), (10, 10), (0, 10)], [(3, 3), (7, 3), (7, 7), (3, 7)]
+    ])
+    inner = rect(4, 4, 6, 6)
+    spark.createDataFrame(
+        pd.DataFrame({"a": [donut], "b": [inner]})
+    ).createOrReplaceTempView("donuts")
+    dr = spark.sql(
+        "SELECT ST_Relate(a, b) AS rel, ST_Area(a) AS area, ST_Centroid_X(a) AS cx FROM donuts"
+    ).collect()[0]
+    assert dr.rel == "disjoint"
+    assert dr.area == 84.0
+    assert abs(dr.cx - 5.0) < 1e-9
