@@ -16,14 +16,14 @@ Reference operators:
   iterations), then optional 3×3 average smoothing restricted to filled
   pixels.
 
-Distributed pattern (both ops): **3×3 neighbor-tile gather** — each tile is
-shuffled to itself and its 8 neighbors (one explode + groupBy = one
-shuffle), the kernel runs on the 768×768 composite, and the center
-256×256 window is emitted.  Exact for search radii ≤ TILE_SIZE (256 px);
-wider radii would gather ring-2 neighbors (5×5) the same way.  At cluster
-scale the 9× replication is bytes-proportional and embarrassingly parallel
-— the same cost GDAL pays re-reading neighbor blocks, made explicit as one
-shuffle.
+Distributed pattern (both ops): **ring-k neighbor-strip gather** — each
+tile ships only the ``maxdist``-wide strips its neighbors need (one
+mapInPandas + one groupBy shuffle), the kernel runs on the
+(T+2·halo)² composite, and the center T×T window is emitted.  Ring
+count = ceil(maxdist/T), so radii beyond one tile (up to the 4-ring cap)
+gather 5×5/7×7/9×9 neighborhoods with shuffle bytes still proportional
+to the halo width — the same cost GDAL pays re-reading neighbor blocks,
+made explicit as one shuffle.
 """
 
 from __future__ import annotations
@@ -149,13 +149,30 @@ def fill_kernel(grid: np.ndarray, nodata: int, maxdist: float, smoothing: int = 
 _TILE_SCHEMA = "tx long, ty long, data binary"
 
 
-def _gather_3x3(tile_df: DataFrame, halo: int) -> DataFrame:
-    """Each tile contributes to its 9 (self + neighbors) composite groups —
-    but a neighbor only needs the ``halo``-wide strip facing it, so the
-    shuffle carries ~(1 + 4·halo/T)× the tile bytes instead of 9×.
-    (otx, oty) = receiving composite; (dx, dy) = sender's position in it."""
+def _strip_extents(p: int, h: int):
+    """For a sender at tile offset ``p`` from the receiver (one axis):
+    (slice into the sender tile, needed width) — 0 width ⇒ nothing to send.
+    |p| = 1 neighbors face the receiver directly; ring-2+ neighbors send
+    only the ``h − (|p|−1)·T`` pixels still inside the halo."""
     T = TILE_SIZE
-    h = min(int(halo), T)
+    if p == 0:
+        return slice(None), T
+    w = min(max(h - (abs(p) - 1) * T, 0), T)
+    if w == 0:
+        return None, 0
+    # sender east/north of receiver → its west/bottom side faces the halo
+    return (slice(0, w) if p > 0 else slice(T - w, T)), w
+
+
+def _gather_halo(tile_df: DataFrame, halo: int) -> DataFrame:
+    """Each tile contributes its facing strips to every composite within
+    ``ceil(halo/T)`` rings — the ring-1 case degenerates to the classic
+    3×3 neighbor gather; shuffle bytes stay proportional to halo width.
+    (otx, oty) = receiving composite; (dx, dy) = sender's tile offset in
+    it (dy > 0 = sender north of the receiver)."""
+    T = TILE_SIZE
+    h = int(halo)
+    k = max(1, -(-h // T))  # ceil
     strip_schema = "otx long, oty long, dx int, dy int, data binary"
 
     def _emit(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -163,19 +180,27 @@ def _gather_3x3(tile_df: DataFrame, halo: int) -> DataFrame:
             rows = []
             for r in pdf.itertuples():
                 g = bytes_to_tile(r.data)
-                for dx in (-1, 0, 1):
-                    for dy in (-1, 0, 1):
-                        if dx == 0 and dy == 0:
+                for rx in range(-k, k + 1):
+                    for ry in range(-k, k + 1):
+                        if rx == 0 and ry == 0:
                             rows.append((int(r.tx), int(r.ty), 0, 0, r.data))
                             continue
-                        # receiver at (tx+dx, ty+dy) sees this tile at
-                        # composite offset (-dx, -dy); it needs only the
-                        # strip facing it: x-side width h, y-side height h
-                        cols = {-1: slice(0, h), 0: slice(None), 1: slice(T - h, T)}[dx]
-                        rws = {1: slice(0, h), 0: slice(None), -1: slice(T - h, T)}[dy]
+                        # receiver at (tx+rx, ty+ry); sender offset = (-rx, -ry)
+                        px, py = -rx, -ry
+                        cols, wx = _strip_extents(px, h)
+                        if wx == 0:
+                            continue
+                        # y axis: py > 0 (north sender) → bottom rows face in
+                        if py == 0:
+                            rws, wy = slice(None), T
+                        else:
+                            wy = min(max(h - (abs(py) - 1) * T, 0), T)
+                            if wy == 0:
+                                continue
+                            rws = slice(T - wy, T) if py > 0 else slice(0, wy)
                         sub = np.ascontiguousarray(g[rws, cols])
                         rows.append(
-                            (int(r.tx) + dx, int(r.ty) + dy, -dx, -dy, sub.astype("<i4").tobytes())
+                            (int(r.tx) + rx, int(r.ty) + ry, px, py, sub.astype("<i4").tobytes())
                         )
             yield pd.DataFrame(rows, columns=["otx", "oty", "dx", "dy", "data"])
 
@@ -186,9 +211,10 @@ def _composite_apply(tile_df: DataFrame, fn, out_float: bool, pad_value: int = 0
                      halo: int = TILE_SIZE) -> DataFrame:
     """groupBy composite target tile → assemble (T+2h)² composite (missing
     neighbors = ``pad_value``), run ``fn(composite, exists)``, emit the
-    center T×T window.  ``halo`` = required support width in pixels."""
+    center T×T window.  ``halo`` = required support width in pixels (any
+    width — ring count scales as ceil(halo/T))."""
     T = TILE_SIZE
-    h = min(int(halo), T)
+    h = int(halo)
 
     def _apply(key, pdf: pd.DataFrame) -> pd.DataFrame:
         otx, oty = key
@@ -200,27 +226,42 @@ def _composite_apply(tile_df: DataFrame, fn, out_float: bool, pad_value: int = 0
         exists = np.zeros((S, S), dtype=bool)
         for r in pdf.itertuples():
             # dy: +1 = sender north of center; rows grow southward in-array
-            hgt = T if r.dy == 0 else h
-            wid = T if r.dx == 0 else h
-            g = np.frombuffer(r.data, dtype="<i4").reshape(hgt, wid)
-            r0 = {1: h - hgt, 0: h, -1: h + T}[int(r.dy)]
-            c0 = {-1: h - wid, 0: h, 1: h + T}[int(r.dx)]
-            comp[max(r0, 0) : r0 + hgt, max(c0, 0) : c0 + wid] = g
-            exists[max(r0, 0) : r0 + hgt, max(c0, 0) : c0 + wid] = True
+            px, py = int(r.dx), int(r.dy)
+            wy = T if py == 0 else min(max(h - (abs(py) - 1) * T, 0), T)
+            wx = T if px == 0 else min(max(h - (abs(px) - 1) * T, 0), T)
+            g = np.frombuffer(r.data, dtype="<i4").reshape(wy, wx)
+            # placement: sender tile spans composite rows [h − py·T, +T)
+            # (rows grow southward, py>0 = north); only the facing strip of
+            # that span was shipped
+            if py == 0:
+                r0 = h
+            elif py > 0:
+                r0 = h - (py - 1) * T - wy
+            else:
+                r0 = h - py * T
+            if px == 0:
+                c0 = h
+            elif px > 0:
+                c0 = h + px * T
+            else:
+                c0 = h + (px + 1) * T - wx
+            comp[r0 : r0 + wy, c0 : c0 + wx] = g
+            exists[r0 : r0 + wy, c0 : c0 + wx] = True
         out = fn(comp, exists)[h : h + T, h : h + T]
         buf = out.astype("<f8").tobytes() if out_float else np.asarray(out, dtype="<i4").tobytes()
         return pd.DataFrame({"tx": [otx], "ty": [oty], "data": [buf]})
 
-    return _gather_3x3(tile_df, h).groupBy("otx", "oty").applyInPandas(_apply, _TILE_SCHEMA)
+    return _gather_halo(tile_df, h).groupBy("otx", "oty").applyInPandas(_apply, _TILE_SCHEMA)
 
 
 def proximity(tile_df: DataFrame, target_values: tuple, maxdist: float, nodata: float = -1.0) -> DataFrame:
     """GDALComputeProximity analog: per-pixel exact euclidean distance (in
     pixels) to the nearest pixel whose value ∈ target_values, bounded by
-    ``maxdist`` ≤ TILE_SIZE; beyond it → ``nodata``.  Output tiles carry
-    float64 pixel data."""
-    if maxdist > TILE_SIZE:
-        raise ValueError("maxdist > TILE_SIZE needs a ring-2 gather (not implemented)")
+    ``maxdist``; beyond it → ``nodata``.  Output tiles carry float64 pixel
+    data.  The halo gather spans ceil(maxdist/T) tile rings; the practical
+    cap keeps composite memory bounded."""
+    if maxdist > 4 * TILE_SIZE:
+        raise ValueError("maxdist > 4*TILE_SIZE: composite would exceed 9x9 tiles")
     tv = tuple(target_values)
     pad = int(max(tv)) + 1  # missing neighbors can never be targets
 
@@ -236,10 +277,8 @@ def proximity(tile_df: DataFrame, target_values: tuple, maxdist: float, nodata: 
 
 def fill_nodata(tile_df: DataFrame, nodata: int, maxdist: float, smoothing: int = 0) -> DataFrame:
     """GDALFillNodata analog over the tile table (float64 output)."""
-    if int(np.ceil(maxdist)) + smoothing > TILE_SIZE:
-        # the composite halo would silently truncate and break the
-        # tiled == whole-raster guarantee near seams
-        raise ValueError("ceil(maxdist) + smoothing > TILE_SIZE needs a ring-2 gather (not implemented)")
+    if int(np.ceil(maxdist)) + smoothing > 4 * TILE_SIZE:
+        raise ValueError("halo > 4*TILE_SIZE: composite would exceed 9x9 tiles")
 
     def _fn(comp: np.ndarray, exists: np.ndarray) -> np.ndarray:
         return fill_kernel(comp, nodata, maxdist, smoothing, exists=exists)

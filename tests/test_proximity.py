@@ -192,3 +192,27 @@ def test_sieve_filter_matches_mosaic_oracle(spark):
     for (tx, ty), arr in got.items():
         r0, c0 = (ty1 - ty) * T, (tx - tx0) * T
         assert (arr == exp_big[r0 : r0 + T, c0 : c0 + T]).all(), (tx, ty)
+
+
+def test_proximity_ring2_matches_mosaic(spark):
+    """maxdist > TILE_SIZE: the ring-2 gather must still equal the
+    whole-mosaic EDT (targets reachable across two tile boundaries)."""
+    grids = {}
+    for tx in (0, 1, 2):
+        for ty in (0, 1, 2):
+            g = np.zeros((T, T), dtype=np.int64)
+            grids[(tx, ty)] = g
+    # single target in the center tile: distances in corner tiles exceed T
+    grids[(1, 1)][128, 128] = 7
+    md = 1.5 * T
+    out = proximity.proximity(_tile_table(spark, grids), (7,), maxdist=md, nodata=-1.0)
+    got = {(r.tx, r.ty): np.frombuffer(r.data, dtype="<f8").reshape(T, T) for r in out.collect()}
+    big, tx0, ty1 = _mosaic(grids)
+    exp_big = proximity.edt(big == 7, md)
+    exp_big[np.isinf(exp_big)] = -1.0
+    for (tx, ty), arr in got.items():
+        r0, c0 = (ty1 - ty) * T, (tx - tx0) * T
+        assert np.allclose(arr, exp_big[r0 : r0 + T, c0 : c0 + T]), (tx, ty)
+    # sanity: a corner-tile pixel farther than T from the target is resolved
+    corner = got[(0, 0)]
+    assert corner[40, 40] > T or corner[40, 40] == -1.0
