@@ -19,8 +19,29 @@ extract   deterministic, byte-exact html→text extraction
 fixtures  seeded synthetic pages / gazetteer / polygons generators
 geotag    text → (lon, lat) broadcast gazetteer join    (ogr/ogr_geocoding.cpp)
 joins     broadcast + shuffle PIP joins, salting, kNN   (ogrlayer.cpp:1954+)
-raster    density burn, pyramid reduce, GDAL checksum   (alg/gdalrasterize.cpp)
+raster    density burn, pyramid reduce (avg/mode/gauss), GDAL checksum
 sqlcompat OGR SQL expression semantics                  (ogr/swq_op_general.cpp)
+ogrsql    OGR SQL dialect compiler: SQL string → DataFrame
+clip      exact polygon overlay kernel (triangulation + convex clipping)
+algebra   distributed layer algebra (Intersection..Erase)
+predicates polygon spatial predicates (DE-9IM via overlay areas)
+polygonize raster components → polygon rings with holes
+components connected components, sieve filter           (alg/gdalsievefilter.cpp)
+proximity exact EDT + nodata fill (ring-k strip halo)   (alg/gdalproximity.cpp)
+contour   marching squares + polyline stitching         (alg/contour.cpp)
+focal     3×3 DEM kernels with halo exchange            (apps/gdaldem.cpp)
+warp      reprojection (nearest/bilinear/cubic, cutline), raster calc
+geomops   convex hull, simplify, centroid, segmentize, buffer
+lineref   linear referencing                            (apps/ogrlineref.cpp)
+quantize  median-cut palette + Floyd–Steinberg dither   (alg/gdalmediancut.cpp)
+nearblack collar removal                                (apps/nearblack.cpp)
+sinks     KML superoverlay serializer                   (frmts/kmlsuperoverlay/)
+sqludfs   registered ST_* SQL functions                 (ogrsqlitesqlfunctions.cpp)
+ann       IVF approximate nearest neighbors
+textops   MinHash/SimHash/Jaccard/lang-id/quality/fingerprints
+multimodal binary media columns + stubbed decode plumbing
+streaming Structured-Streaming seam + stateful dedup
+vector    spatial filters, extents, dissolve (disjoint + true union)
 pipeline  stage runner: lineage/metrics manifest + resume
 oracle    single-process pure-Python reference implementation
 session   SparkSession builder tuned for this engine
