@@ -736,21 +736,26 @@ def _sql_orderby_topk() -> str:
 
 def _q_like_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Case-insensitive LIKE with ESCAPE (swq_test_like,
-    ogr/swq_op_general.cpp:42-82)."""
+    ogr/swq_op_general.cpp:42-82).  First branch forces the escape path:
+    the probe string is p_type || '%', and '!%' in the pattern must match
+    that literal '%', not wildcard (ECONOMY rows match 'ECONOMY!%').
+    Second branch is plain ci-LIKE ('%edium%' matches MEDIUM).  Both are
+    non-empty on the fixture's p_type domain."""
     part = _read(spark, sf_dir, "part")
-    return part.where(sqlcompat.ogr_like(F.col("p_type"), "%BRUSHED!%%", escape="!")).select(
+    probed = part.withColumn("_probe", F.concat(F.col("p_type"), F.lit("%")))
+    return probed.where(sqlcompat.ogr_like(F.col("_probe"), "ECONOMY!%", escape="!")).select(
         "p_partkey", "p_type"
     ).unionByName(
-        part.where(sqlcompat.ogr_like(F.col("p_type"), "%polished%")).select("p_partkey", "p_type")
+        part.where(sqlcompat.ogr_like(F.col("p_type"), "%edium%")).select("p_partkey", "p_type")
     )
 
 
 def _sql_like_escape() -> str:
     return """
         SELECT p_partkey, p_type FROM part
-        WHERE lower(p_type) LIKE lower('%BRUSHED!%%') ESCAPE '!'
+        WHERE lower(p_type || '%') LIKE lower('ECONOMY!%') ESCAPE '!'
         UNION ALL
-        SELECT p_partkey, p_type FROM part WHERE lower(p_type) LIKE '%polished%'
+        SELECT p_partkey, p_type FROM part WHERE lower(p_type) LIKE '%edium%'
     """
 
 
@@ -759,7 +764,9 @@ def _q_spatial_filter_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine import vector
 
     pts = _points(spark, sf_dir)
-    return vector.spatial_filter_rect(pts, -30.0, -20.0, 60.5, 45.25).select(
+    # rect sits inside the fixture's lon span at EVERY sf (event_id % 36000
+    # reaches only lon ∈ [-180, -170) at sf0.001) so the filter is non-vacuous
+    return vector.spatial_filter_rect(pts, -179.0, -60.0, -172.0, 60.0).select(
         "event_id", "lon", "lat"
     )
 
@@ -770,7 +777,7 @@ def _sql_spatial_filter_rect() -> str:
             SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
         )
         SELECT event_id, lon, lat FROM pts
-        WHERE lon >= -30.0 AND lon <= 60.5 AND lat >= -20.0 AND lat <= 45.25
+        WHERE lon >= -179.0 AND lon <= -172.0 AND lat >= -60.0 AND lat <= 60.0
     """
 
 
@@ -981,7 +988,8 @@ def _q_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points(spark, sf_dir)
     base = raster.burn_base_tiles(pts, 5)
     return raster.raster_statistics(base).select(
-        "zoom", "n_pixels", "n_nonzero", "sum_val", "min_val", "max_val", "mean_val"
+        "zoom", "n_pixels", "n_nonzero", "sum_val", "min_val", "max_val",
+        F.round("mean_val", 9).alias("mean_val"),
     )
 
 
@@ -1004,8 +1012,8 @@ def _sql_raster_stats() -> str:
                (SELECT SUM(c) FROM cnts) AS sum_val,
                CAST(0 AS BIGINT) AS min_val,
                (SELECT MAX(c) FROM cnts) AS max_val,
-               CAST((SELECT SUM(c) FROM cnts) AS DOUBLE)
-                   / CAST((SELECT COUNT(*) FROM tiles) * 65536 AS DOUBLE) AS mean_val
+               ROUND(CAST((SELECT SUM(c) FROM cnts) AS DOUBLE)
+                   / CAST((SELECT COUNT(*) FROM tiles) * 65536 AS DOUBLE), 9) AS mean_val
     """
 
 
@@ -1497,9 +1505,11 @@ def _q_grid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     32×32 grid of cell centers covering lon,lat ∈ [-16,16)."""
     from engine import joins
 
+    # grid anchored at lon=-180 so it overlaps the fixture's point span at
+    # every sf (sf0.001 points only reach lon ∈ [-180, -170))
     centers = spark.range(32 * 32).select(
         F.col("id").cast("int").alias("qid"),
-        (-16.0 + (F.col("id") % 32) + 0.5).alias("lon"),
+        (-180.0 + (F.col("id") % 32) + 0.5).alias("lon"),
         (-16.0 + F.floor(F.col("id") / 32) + 0.5).alias("lat"),
     )
     pts = _points(spark, sf_dir).select(
@@ -1516,7 +1526,7 @@ def _sql_grid_metrics() -> str:
     return f"""
         WITH centers AS (
             SELECT CAST(i AS INT) AS qid,
-                   -16.0 + (i % 32) + 0.5 AS clon,
+                   -180.0 + (i % 32) + 0.5 AS clon,
                    -16.0 + floor(i / 32) + 0.5 AS clat
             FROM (SELECT UNNEST(range(1024)) AS i)
         ), pts AS (

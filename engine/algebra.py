@@ -112,14 +112,12 @@ _PAIR_SCHEMA = "a_id int, b_id int, n_pieces long, area double, geom_wkb binary"
 
 
 def _overlay_pairs(pairs: DataFrame, op: str) -> DataFrame:
-    """Pairwise overlay (intersection / sym_difference) via mapInPandas —
-    each candidate pair is independent, no further shuffle.
+    """Pairwise intersection via mapInPandas — each candidate pair is
+    independent, no further shuffle.
 
     MultiPolygon semantics: intersection sums over part pairs (parts are
-    disjoint, so pieces can't overlap); sym_difference must subtract
-    JOINTLY (each A part minus ALL B parts and vice versa) — a per-pair
-    sym loop would double-count wherever one operand has several parts."""
-    assert op in ("intersection", "sym_difference")
+    disjoint, so pieces can't overlap)."""
+    assert op == "intersection"
 
     def _refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -128,15 +126,9 @@ def _overlay_pairs(pairs: DataFrame, op: str) -> DataFrame:
                 a_parts = _parts(pdf["a_wkb"].iat[i])
                 b_parts = _parts(pdf["b_wkb"].iat[i])
                 pieces = []
-                if op == "intersection":
-                    for pa in a_parts:
-                        for pb in b_parts:
-                            pieces.extend(clip.intersection_pieces(pa, pb))
-                else:
-                    for pa in a_parts:
-                        pieces.extend(clip.erase_pieces(pa, b_parts))
+                for pa in a_parts:
                     for pb in b_parts:
-                        pieces.extend(clip.erase_pieces(pb, a_parts))
+                        pieces.extend(clip.intersection_pieces(pa, pb))
                 if not pieces:
                     continue  # dimension-preserving only (ogrlayer.cpp:2038-2054)
                 out["a_id"].append(pdf["a_id"].iat[i])
@@ -156,8 +148,20 @@ def layer_intersection(inp: DataFrame, method: DataFrame, res: float = 10.0) -> 
 
 
 def layer_sym_difference(inp: DataFrame, method: DataFrame, res: float = 10.0) -> DataFrame:
-    """OGRLayer::SymDifference (ogrlayer.cpp:2564), pairwise rows."""
-    return _overlay_pairs(pair_candidates(inp, method, res), "sym_difference")
+    """OGRLayer::SymDifference (ogrlayer.cpp:2564): one row per input
+    feature = that input minus ALL intersecting method features (b_id
+    NULL), plus the symmetric method-side rows (a_id NULL) — the
+    reference's per-feature difference loop, not a pairwise A△B.  Features
+    intersecting nothing pass through whole (the loop is a no-op for
+    them).  Reuses the Erase grouping in both directions."""
+    left = layer_erase(inp, method, res).select(
+        "a_id", F.lit(None).cast("int").alias("b_id"), "n_pieces", "area", "geom_wkb"
+    )
+    right = layer_erase(method, inp, res).select(
+        F.lit(None).cast("int").alias("a_id"), F.col("a_id").alias("b_id"),
+        "n_pieces", "area", "geom_wkb",
+    )
+    return left.unionByName(right)
 
 
 _GROUP_SCHEMA = "a_id int, n_pieces long, area double, geom_wkb binary"

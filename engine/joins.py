@@ -481,7 +481,20 @@ def knn_join(
     )
 
     remaining = queries.select(query_id, "lon", "lat")
-    results = None
+    # typed empty seed so an empty queries input returns an empty DataFrame
+    # with the output schema instead of None (explicit strategy="rings")
+    results = (
+        remaining.limit(0)
+        .join(pts.limit(0), F.lit(True), "inner")
+        .select(
+            query_id,
+            F.col("_nbr").alias("neighbor"),
+            F.col("_nlon").alias("nbr_lon"),
+            F.col("_nlat").alias("nbr_lat"),
+            F.lit(0.0).alias("dist"),
+            F.lit(0).alias("rank"),
+        )
+    )
     # geometric ring growth (1, 2, 4, ... max_ring): each driver round costs
     # a fixed few hundred ms of job overhead, so fewer-but-larger rounds beat
     # per-ring iteration; the (2r+1)² candidate blowup only hits queries
@@ -529,7 +542,7 @@ def knn_join(
             "dist",
             "rank",
         )
-        results = done if results is None else results.unionByName(done)
+        results = results.unionByName(done)
         if last:
             break
         # materialize the shrinking remainder — without this each round's

@@ -134,28 +134,44 @@ def warp_mercator_to_geodetic(
     _, _, maxlon, maxlat = (float(v) for v in tiles.tile_lonlat_bounds(ext.x1, ext.y1, src_zoom))
     tx0, ty0, tx1, ty1 = _dst_tile_range((minlon, minlat, maxlon, maxlat), dst_zoom)
 
-    # destination chunk list (CollectChunkList analog) + source windows
-    rows = []
+    # destination chunk list (CollectChunkList analog): generated as a
+    # DataFrame range, NOT a driver loop — at dst_zoom ≥ 12 the tile
+    # rectangle is millions of rows and must never materialize driver-side.
+    # Per-dst-tile source windows computed batch-vectorized with the exact
+    # same numpy tile math the driver loop used (bit parity preserved).
     res = tiles.geodetic_resolution(dst_zoom)
     lat_lim = tiles.MERCATOR_LAT_MAX
-    for dtx in range(tx0, tx1 + 1):
-        for dty in range(ty0, ty1 + 1):
-            dminlon = dtx * TILE_SIZE * res - 180.0
-            dmaxlon = (dtx + 1) * TILE_SIZE * res - 180.0
-            dminlat = dty * TILE_SIZE * res - 90.0
-            dmaxlat = (dty + 1) * TILE_SIZE * res - 90.0
-            cminlat = min(max(dminlat, -lat_lim), lat_lim)
-            cmaxlat = min(max(dmaxlat, -lat_lim), lat_lim)
-            sx0, sy0 = tiles.lonlat_to_tile(np.array([dminlon + 1e-12]), np.array([cminlat + 1e-12]), src_zoom)
-            sx1, sy1 = tiles.lonlat_to_tile(np.array([dmaxlon - 1e-12]), np.array([cmaxlat - 1e-12]), src_zoom)
+    pad = 0 if resampling == "nearest" else 1
+    ntx = tx1 - tx0 + 1
+    dst = spark.range((tx1 - tx0 + 1) * (ty1 - ty0 + 1)).select(
+        (F.lit(tx0) + (F.col("id") % ntx)).cast("int").alias("dtx"),
+        (F.lit(ty0) + F.floor(F.col("id") / ntx)).cast("int").alias("dty"),
+    )
+
+    def _windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dtx_a = pdf["dtx"].to_numpy(np.int64)
+            dty_a = pdf["dty"].to_numpy(np.int64)
+            dminlon = dtx_a * TILE_SIZE * res - 180.0
+            dmaxlon = (dtx_a + 1) * TILE_SIZE * res - 180.0
+            cminlat = np.clip(dty_a * TILE_SIZE * res - 90.0, -lat_lim, lat_lim)
+            cmaxlat = np.clip((dty_a + 1) * TILE_SIZE * res - 90.0, -lat_lim, lat_lim)
+            sx0, sy0 = tiles.lonlat_to_tile(dminlon + 1e-12, cminlat + 1e-12, src_zoom)
+            sx1, sy1 = tiles.lonlat_to_tile(dmaxlon - 1e-12, cmaxlat - 1e-12, src_zoom)
             # widen by one src tile: bilinear needs 1 px, cubic 2 px support
             # beyond the window (GDAL's nResWinSize source-window padding)
-            pad = 0 if resampling == "nearest" else 1
-            for sx in range(int(sx0[0]) - pad, int(sx1[0]) + 1 + pad):
-                for sy in range(int(sy0[0]) - pad, int(sy1[0]) + 1 + pad):
-                    rows.append((dtx, dty, sx, sy))
-    cover = spark.createDataFrame(
-        pd.DataFrame(rows, columns=["dtx", "dty", "tx", "ty"])
+            yield pd.DataFrame(
+                {
+                    "dtx": pdf["dtx"], "dty": pdf["dty"],
+                    "wx0": sx0 - pad, "wy0": sy0 - pad,
+                    "wx1": sx1 + pad, "wy1": sy1 + pad,
+                }
+            )
+
+    cover = (
+        dst.mapInPandas(_windows, "dtx int, dty int, wx0 long, wy0 long, wx1 long, wy1 long")
+        .withColumn("tx", F.explode(F.sequence("wx0", "wx1")))
+        .withColumn("ty", F.explode(F.sequence("wy0", "wy1")))
     )
 
     joined = cover.join(src_tiles.select("tx", "ty", "data"), on=["tx", "ty"], how="inner")
@@ -194,12 +210,14 @@ def warp_mercator_to_geodetic(
                 if g is not None:
                     out[rows_sel] = g[srow[rows_sel], ix[rows_sel]]
         else:
-            # local source mosaic over the joined tiles (absent tiles = 0),
-            # then one vectorized bilinear/cubic gather
-            SX0 = min(k[0] for k in srcs)
-            SX1 = max(k[0] for k in srcs)
-            SY0 = min(k[1] for k in srcs)
-            SY1 = max(k[1] for k in srcs)
+            # local source mosaic sized by the COVER WINDOW (incl. the pad
+            # tiles), not just the present tiles: absent regions stay 0, so
+            # edge pixels sample nodata-as-0 like the nearest branch instead
+            # of replicating the nearest present-tile edge (extrapolation)
+            SX0 = int(pdf["wx0"].iat[0])
+            SX1 = int(pdf["wx1"].iat[0])
+            SY0 = int(pdf["wy0"].iat[0])
+            SY1 = int(pdf["wy1"].iat[0])
             mos = np.zeros(((SY1 - SY0 + 1) * TILE_SIZE, (SX1 - SX0 + 1) * TILE_SIZE), dtype=np.int64)
             for (sx, sy), g in srcs.items():
                 r0 = (SY1 - sy) * TILE_SIZE

@@ -280,12 +280,17 @@ def test_layer_sym_difference_multipart_no_double_count(spark):
     import pandas as pd
 
     # A = two unit squares; B = rect covering both: true AΔB = B minus the
-    # two squares = 3*1 - 2 = 1.0 (a per-part sym loop yields 4.0)
+    # two squares = 3*1 - 2 = 1.0 (a per-part sym loop yields 4.0).
+    # Grouped semantics (ogrlayer.cpp:2564): the A-side row (A minus ALL of
+    # B) is empty and dropped; the single surviving row is B minus A.
     mp = geom.wkb_multipolygon([[_rect(0, 0, 1, 1)], [_rect(2, 0, 3, 1)]])
     cover = geom.wkb_polygon([[(0, 0), (3, 0), (3, 1), (0, 1)]])
     a = spark.createDataFrame(pd.DataFrame({"pid": pd.array([0], dtype="int32"), "geom_wkb": [mp]}))
     b = spark.createDataFrame(pd.DataFrame({"pid": pd.array([0], dtype="int32"), "geom_wkb": [cover]}))
-    r = algebra.layer_sym_difference(a, b).collect()[0]
+    rows = algebra.layer_sym_difference(a, b).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.a_id is None and r.b_id == 0
     assert abs(r.area - 1.0) < 1e-9
     # pieces must be disjoint: no sample point in more than one piece
     kind, body = geom.wkb_loads(r.geom_wkb)
@@ -302,6 +307,46 @@ def test_layer_sym_difference_multipart_no_double_count(spark):
             ok &= (bb[0] - aa[0]) * (py - aa[1]) - (bb[1] - aa[1]) * (px - aa[0]) >= 1e-9
         counts += ok
     assert counts.max() <= 1
+
+
+def test_layer_sym_difference_grouped_multi_method(spark):
+    import pandas as pd
+
+    # input A overlaps TWO method features: the reference subtracts BOTH
+    # from the single A-side row (ogrlayer.cpp:2564) — pairwise rows would
+    # each retain the other's overlap.  A=4×1 strip, B1/B2 unit squares
+    # inside it: A-side row = 4−1−1 = 2; both B-side rows are empty.
+    a = spark.createDataFrame(
+        pd.DataFrame({"pid": pd.array([0], dtype="int32"),
+                      "geom_wkb": [geom.wkb_polygon([_rect(0, 0, 4, 1)])]})
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame({"pid": pd.array([0, 1], dtype="int32"),
+                      "geom_wkb": [geom.wkb_polygon([_rect(0, 0, 1, 1)]),
+                                   geom.wkb_polygon([_rect(2, 0, 3, 1)])]})
+    )
+    rows = algebra.layer_sym_difference(a, b).collect()
+    assert len(rows) == 1
+    assert rows[0].a_id == 0 and rows[0].b_id is None
+    assert abs(rows[0].area - 2.0) < 1e-9
+
+
+def test_layer_sym_difference_passthrough(spark):
+    import pandas as pd
+
+    # disjoint features pass through whole on both sides
+    a = spark.createDataFrame(
+        pd.DataFrame({"pid": pd.array([7], dtype="int32"),
+                      "geom_wkb": [geom.wkb_polygon([_rect(0, 0, 2, 2)])]})
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame({"pid": pd.array([9], dtype="int32"),
+                      "geom_wkb": [geom.wkb_polygon([_rect(10, 10, 11, 11)])]})
+    )
+    rows = sorted(algebra.layer_sym_difference(a, b).collect(), key=lambda r: r.area)
+    assert len(rows) == 2
+    assert rows[0].b_id == 9 and abs(rows[0].area - 1.0) < 1e-9
+    assert rows[1].a_id == 7 and abs(rows[1].area - 4.0) < 1e-9
 
 
 def test_triangulate_polygon_multi_hole_fuzz():
