@@ -7,17 +7,23 @@ labeling of equal-valued pixels (4-connectivity).  Distributed form:
 1. **per-tile labeling** — pure-numpy two-pass row-run union-find inside a
    grouped UDF (no scipy in the runtime);
 2. **cross-tile merge** — every tile emits its 4 boundary strips (value +
-   local label per edge pixel, ~1.5% of tile bytes); the driver unions
-   touching equal-valued labels across adjacent tiles (a tiny union-find
-   over strip data) and broadcasts the local→global map;
-3. **relabel + stats** — a second pass maps local labels to global
-   component ids and aggregates per-component pixel counts and bounds.
+   local label per edge pixel, ~1.5% of tile bytes); equal-valued touching
+   labels across adjacent tiles become edges of a (tile, label) graph, and
+   the component id of every boundary label is found by DISTRIBUTED
+   hash-to-min label propagation (:func:`seam_component_map`): iterative
+   neighbor-min equi-joins plus pointer jumping, O(log diameter) rounds,
+   seam data never leaves the executors;
+3. **relabel + stats** — per-(tile,label) partial stats join the mapping
+   DataFrame (plain equi-join — AQE broadcasts it when small) and
+   aggregate per-component pixel counts and bounds.
 
 Output: (component_id, value, pixel_count, min_gx, min_gy, max_gx, max_gy)
-with deterministic component ids (the lexicographically smallest
-(ty, tx, local_label) member).  Ring tracing to WKB polygons is the
-documented next step (COVERAGE.md); counts/bounds already pin the
-component structure exactly against a single-process oracle.
+with deterministic component ids (the numerically smallest
+(ty, tx, local_label) member — struct min over the propagation lattice).
+At 100-TB scale nothing proportional to pixels, seams, or component count
+is ever collected to the driver; the only driver-side structure is the
+sieve's SMALL-component merge graph (components ≪ pixels, pruned to the
+small-component neighborhood — see :func:`sieve_filter`).
 """
 
 from __future__ import annotations
@@ -26,7 +32,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .raster import TILE_SIZE, bytes_to_tile
@@ -138,50 +144,131 @@ def _strips_factory(background: int):
     return _strips
 
 
-def _seam_uf_from_strips(strips: list):
-    """(uf, by_edge) from collected boundary-strip rows: unions
-    (ty, tx, local_label) keys of equal-valued touching pixels across tile
-    seams.  THE single definition of the seam merge — shared by
-    connected_components / sieve_filter / polygonize."""
-    uf = _UF()
-    by_edge: dict = {}
-    for s in strips:
-        by_edge.setdefault((s.tx, s.ty, s.side), {})[s.pos] = (s.value, s.label)
-    for (tx, ty, side), cells in by_edge.items():
-        if side == "top":
-            other = by_edge.get((tx, ty + 1, "bottom"), {})
-        elif side == "left":
-            other = by_edge.get((tx - 1, ty, "right"), {})
-        else:
-            continue  # each seam processed once from one side
-        for pos, (v, l) in cells.items():
-            o = other.get(pos)
-            if o and o[0] == v:
-                uf.union((ty, tx, l), (ty + 1, tx, o[1]) if side == "top" else (ty, tx - 1, o[1]))
-    for s in strips:
-        uf.find((s.ty, s.tx, s.label))  # path-compress all strip keys
-    return uf, by_edge
+def _seam_pixel_pairs(strips: DataFrame) -> DataFrame:
+    """Touching nonbackground pixel pairs across tile seams, one row per
+    pair: (atx, aty, alab, aval, btx, bty, blab, bval).  THE single
+    definition of seam adjacency — shared by connected_components /
+    sieve_filter / polygonize.  'top' of (tx,ty) faces 'bottom' of
+    (tx,ty+1); 'right' of (tx,ty) faces 'left' of (tx+1,ty)."""
+    s = strips
+    a_cols = [
+        F.col("tx").alias("atx"), F.col("ty").alias("aty"),
+        F.col("label").alias("alab"), F.col("value").alias("aval"), "pos",
+    ]
+    b_cols = [
+        F.col("tx").alias("btx"), F.col("ty").alias("bty"),
+        F.col("label").alias("blab"), F.col("value").alias("bval"), "pos",
+    ]
+    top = s.where(F.col("side") == "top").select(*a_cols)
+    bottom = s.where(F.col("side") == "bottom").select(*b_cols)
+    v = top.join(
+        bottom,
+        (F.col("atx") == F.col("btx")) & (F.col("aty") + 1 == F.col("bty"))
+        & (top["pos"] == bottom["pos"]),
+    ).select("atx", "aty", "alab", "aval", "btx", "bty", "blab", "bval")
+    right = s.where(F.col("side") == "right").select(*a_cols)
+    left = s.where(F.col("side") == "left").select(*b_cols)
+    h = right.join(
+        left,
+        (F.col("atx") + 1 == F.col("btx")) & (F.col("aty") == F.col("bty"))
+        & (right["pos"] == left["pos"]),
+    ).select("atx", "aty", "alab", "aval", "btx", "bty", "blab", "bval")
+    return v.unionByName(h)
 
 
-def build_seam_uf(src: DataFrame, background: int = 0) -> "_UF":
-    """One-call form: collect strips (one scan) and build the union-find."""
-    strips = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA).collect()
-    return _seam_uf_from_strips(strips)[0]
-
-
-def connected_components(tile_df: DataFrame, background: int = 0) -> DataFrame:
-    """Distributed connected components over a (zoom, tx, ty, data) table.
-
-    Returns (component_id string, value long, pixel_count long,
-    min_gx, min_gy, max_gx, max_gy) in GLOBAL pixel coordinates
-    (gx = tx*256+col, gy = raster row within the world grid, top-origin
-    per-tile rows mapped via ty).
-    """
-    # pass 1: per-tile labeling + per-(tile,label) partial stats + strips
-    stats_schema = (
-        "tx long, ty long, label int, value long, pixel_count long, "
-        "min_gx long, min_gy long, max_gx long, max_gy long"
+def _key(ty, tx, label):
+    """(ty, tx, label) node key as a struct — Spark orders structs
+    field-by-field, so min() over keys = the numerically smallest member,
+    reproducing the deterministic component-id rule."""
+    return F.struct(
+        F.col(ty).cast("long").alias("ty"),
+        F.col(tx).cast("long").alias("tx"),
+        F.col(label).cast("int").alias("label"),
     )
+
+
+def _cid(comp_col: str) -> Column:
+    return F.concat_ws(
+        "_", F.col(f"{comp_col}.ty"), F.col(f"{comp_col}.tx"), F.col(f"{comp_col}.label")
+    )
+
+
+def seam_component_map(src: DataFrame, background: int = 0, max_rounds: int = 50) -> DataFrame:
+    """Distributed hash-to-min label propagation over the tile-seam graph.
+
+    Nodes are boundary-touching (tile, local_label) pairs; edges connect
+    equal-valued touching pixels across seams.  Each round does (a) a
+    neighbor-min equi-join and (b) a pointer jump (comp ← comp(comp)),
+    which converges in O(log diameter) rounds; each round's result is
+    localCheckpoint'ed so lineage stays flat.  Replaces the round-1
+    driver-side union-find: nothing seam-proportional reaches the driver.
+
+    Returns (tx long, ty long, label int, component_id string) for every
+    boundary-touching label.  Interior labels are absent — their id is the
+    identity ``ty_tx_label`` (callers coalesce).  Reference semantics:
+    alg/polygonize.cpp:495 (first-appearance component identity),
+    alg/gdalsievefilter.cpp:133.
+    """
+    # strips are consumed twice (edges + node seed): checkpoint so the tile
+    # scan runs once
+    strips = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA).localCheckpoint(eager=True)
+    pairs = _seam_pixel_pairs(strips).where(F.col("aval") == F.col("bval"))
+    e = pairs.select(
+        _key("aty", "atx", "alab").alias("ka"), _key("bty", "btx", "blab").alias("kb")
+    )
+    edges = (
+        e.unionByName(e.select(F.col("kb").alias("ka"), F.col("ka").alias("kb")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lbl = (
+        strips.select(_key("ty", "tx", "label").alias("k"))
+        .distinct()
+        .withColumn("comp", F.col("k"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        # (a) neighbor-min: comp ← min(comp, min over neighbors' comp)
+        nbr = (
+            edges.join(lbl.select(F.col("k").alias("kb"), F.col("comp").alias("nc")), on="kb")
+            .groupBy("ka")
+            .agg(F.min("nc").alias("nmin"))
+            .withColumnRenamed("ka", "k")
+        )
+        stepped = lbl.join(nbr, on="k", how="left").select(
+            "k", F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp")
+        )
+        # (b) pointer jump: comp ← comp(comp) (comp is itself a node key)
+        jumped = stepped.join(
+            stepped.select(F.col("k").alias("comp"), F.col("comp").alias("jc")),
+            on="comp",
+            how="left",
+        ).select("k", F.least(F.col("comp"), F.coalesce(F.col("jc"), F.col("comp"))).alias("comp"))
+        nxt = jumped.localCheckpoint(eager=True)
+        changed = (
+            nxt.alias("n")
+            .join(lbl.alias("o"), on="k")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        lbl = nxt
+        if changed == 0:
+            break
+    return lbl.select(
+        F.col("k.tx").alias("tx"), F.col("k.ty").alias("ty"), F.col("k.label").alias("label"),
+        _cid("comp").alias("component_id"),
+    )
+
+
+_STATS_SCHEMA = (
+    "tx long, ty long, label int, value long, pixel_count long, "
+    "min_gx long, min_gy long, max_gx long, max_gy long"
+)
+
+
+def _label_stats_factory(background: int = 0):
+    """Per-tile labeling + per-(tile,label) partial stats (pass 1)."""
 
     def _label_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -220,26 +307,37 @@ def connected_components(tile_df: DataFrame, background: int = 0) -> DataFrame:
                 ],
             )
 
+    return _label_stats
+
+
+def attach_component_id(per_label: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Join a (tx, ty, label, ...) table with the seam mapping; labels not
+    in the mapping (interior) get the identity id ``ty_tx_label``.  A plain
+    equi-join — AQE picks broadcast when the mapping is small, shuffle-hash
+    at scale (never a Python UDF)."""
+    return per_label.join(mapping, on=["tx", "ty", "label"], how="left").withColumn(
+        "component_id",
+        F.coalesce(F.col("component_id"), F.concat_ws("_", F.col("ty"), F.col("tx"), F.col("label"))),
+    )
+
+
+def connected_components(tile_df: DataFrame, background: int = 0) -> DataFrame:
+    """Distributed connected components over a (zoom, tx, ty, data) table.
+
+    Returns (component_id string, value long, pixel_count long,
+    min_gx, min_gy, max_gx, max_gy) in GLOBAL pixel coordinates
+    (gx = tx*256+col, gy = raster row within the world grid, top-origin
+    per-tile rows mapped via ty).
+
+    Plan: one labeling scan → per-(tile,label) stats; the seam mapping from
+    :func:`seam_component_map` (distributed label propagation); one
+    relabel join + one aggregate.  No driver-side structures.
+    """
     src = tile_df.select("tx", "ty", "data")
-    stats = src.mapInPandas(_label_stats, stats_schema)
-    strips = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA).collect()  # small: edges only
-
-    # driver-side union-find across tile seams
-    uf, _ = _seam_uf_from_strips(strips)
-
-    mapping = {}
-    for s in strips:
-        key = (s.ty, s.tx, s.label)
-        root = uf.find(key)
-        mapping[(s.tx, s.ty, s.label)] = f"{root[0]}_{root[1]}_{root[2]}"
-    bc = tile_df.sparkSession.sparkContext.broadcast(mapping)
-
-    @F.udf("string")
-    def _global_id(tx, ty, label):
-        return bc.value.get((tx, ty, label), f"{ty}_{tx}_{label}")
-
+    stats = src.mapInPandas(_label_stats_factory(background), _STATS_SCHEMA)
+    mapping = seam_component_map(src, background)
     return (
-        stats.withColumn("component_id", _global_id("tx", "ty", "label"))
+        attach_component_id(stats, mapping)
         .groupBy("component_id", "value")
         .agg(
             F.sum("pixel_count").alias("pixel_count"),
@@ -316,11 +414,24 @@ def sieve_filter(tile_df: DataFrame, min_pixels: int, background: int = 0) -> Da
     neighboring component (4-connect); background pixels are never rewritten
     and never absorb.  Returns a new (tx, ty, data) tile table.
 
-    Plan: one labeling pass emits per-component stats + seam strips +
-    within-tile adjacency; the driver merges the (small) component graph and
-    broadcasts only the labels whose value changes; a second pass rewrites
-    pixels.  Two mapInPandas scans + one broadcast — no pixel shuffle.
+    Plan (all heavy stages distributed):
+    1. per-(tile,label) stats + seam mapping (label propagation) → component
+       sizes/values;
+    2. component adjacency = within-tile label pairs + cross-seam
+       differing-value pairs, mapped to component ids by equi-join, distinct
+       at component granularity;
+    3. the merge loop itself is GDAL's inherently sequential greedy
+       (merge-into-largest-neighbor with growing sizes) — it runs on the
+       driver, but over a graph PRUNED to small components and their direct
+       neighbors (components untouched by any small component never
+       participate), so driver data is small-component-neighborhood-sized,
+       never pixel-, seam-, or total-component-sized;
+    4. pixel rewrite: the changed (component → value) set joins back to the
+       per-(tile,label) table and cogroups with the tile table — a
+       vectorized numpy relabel per tile, no Python-dict broadcast, no
+       per-row UDF.
     """
+    spark = tile_df.sparkSession
     src = tile_df.select("tx", "ty", "data")
     adj_schema = "tx long, ty long, la int, lb int"
 
@@ -339,70 +450,106 @@ def sieve_filter(tile_df: DataFrame, min_pixels: int, background: int = 0) -> Da
                         rows.extend((int(r.tx), int(r.ty), int(x), int(y)) for x, y in pairs)
             yield pd.DataFrame(rows, columns=["tx", "ty", "la", "lb"])
 
-    # component stats with global ids (reuses the seam union-find)
-    comps = connected_components(tile_df, background).collect()
-    sizes = {c.component_id: int(c.pixel_count) for c in comps}
-    values = {c.component_id: int(c.value) for c in comps}
+    mapping = seam_component_map(src, background).localCheckpoint(eager=True)
+    labels = attach_component_id(
+        src.mapInPandas(_label_stats_factory(background), _STATS_SCHEMA), mapping
+    ).select("tx", "ty", "label", "value", "pixel_count", "component_id").localCheckpoint(eager=True)
+    comps = labels.groupBy("component_id", "value").agg(F.sum("pixel_count").alias("pixel_count"))
 
-    # rebuild the local→global map exactly as connected_components did
-    strip_rows = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA).collect()
-    uf, by_edge = _seam_uf_from_strips(strip_rows)
-
-    def gid(tx, ty, label):
-        r = uf.find((ty, tx, label))
-        return f"{r[0]}_{r[1]}_{r[2]}"
-
-    # adjacency: within-tile pairs + cross-seam differing-value pairs
-    adj: dict = {}
-
-    def _edge(a, b):
-        if a != b:
-            adj.setdefault(a, set()).add(b)
-            adj.setdefault(b, set()).add(a)
-
-    for r in src.mapInPandas(_adj, adj_schema).collect():
-        _edge(gid(r.tx, r.ty, r.la), gid(r.tx, r.ty, r.lb))
-    for (tx, ty, side), cells in by_edge.items():
-        if side == "top":
-            other, om = by_edge.get((tx, ty + 1, "bottom"), {}), (tx, ty + 1)
-        elif side == "left":
-            other, om = by_edge.get((tx - 1, ty, "right"), {}), (tx - 1, ty)
-        else:
-            continue
-        for pos, (v, l) in cells.items():
-            o = other.get(pos)
-            if o and o[0] != v:
-                _edge(gid(tx, ty, l), gid(om[0], om[1], o[1]))
-
-    final_value = merge_small_components(sizes, values, adj, min_pixels)
-    # broadcast only the components whose value changes + the seam union-find
-    # parents (labels are re-derived per tile at rewrite time)
-    bc_final = tile_df.sparkSession.sparkContext.broadcast(
-        ({k: v for k, v in final_value.items() if values.get(k) != v}, dict(uf.p))
+    # --- component adjacency, fully distributed --------------------------
+    cid_of = labels.select("tx", "ty", "label", F.col("component_id").alias("cid"))
+    within = src.mapInPandas(_adj, adj_schema)
+    adj_a = within.join(
+        cid_of.withColumnRenamed("label", "la").withColumnRenamed("cid", "cid_a"),
+        on=["tx", "ty", "la"],
+    )
+    adj_ab = adj_a.join(
+        cid_of.withColumnRenamed("label", "lb").withColumnRenamed("cid", "cid_b"),
+        on=["tx", "ty", "lb"],
+    ).select("cid_a", "cid_b")
+    # cross-seam differing-value pixel adjacency (strips recomputed — one
+    # extra edge-only scan, still nothing pixel-sized shuffled)
+    strips = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA)
+    seam_diff = _seam_pixel_pairs(strips).where(F.col("aval") != F.col("bval"))
+    sd_a = seam_diff.join(
+        cid_of.select(
+            F.col("tx").alias("atx"), F.col("ty").alias("aty"),
+            F.col("label").alias("alab"), F.col("cid").alias("cid_a"),
+        ),
+        on=["atx", "aty", "alab"],
+    )
+    sd_ab = sd_a.join(
+        cid_of.select(
+            F.col("tx").alias("btx"), F.col("ty").alias("bty"),
+            F.col("label").alias("blab"), F.col("cid").alias("cid_b"),
+        ),
+        on=["btx", "bty", "blab"],
+    ).select("cid_a", "cid_b")
+    adj_pairs = (
+        adj_ab.unionByName(sd_ab)
+        .where(F.col("cid_a") != F.col("cid_b"))
+        .select(
+            F.least("cid_a", "cid_b").alias("cid_a"), F.greatest("cid_a", "cid_b").alias("cid_b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
     )
 
-    def _rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        changed_vals, parents = bc_final.value
+    # --- prune to the small-component neighborhood, then collect ---------
+    small = comps.where(F.col("pixel_count") < min_pixels).select("component_id")
+    touched = (
+        adj_pairs.join(small, adj_pairs["cid_a"] == small["component_id"]).select(F.col("cid_b").alias("component_id"))
+        .unionByName(
+            adj_pairs.join(small, adj_pairs["cid_b"] == small["component_id"]).select(F.col("cid_a").alias("component_id"))
+        )
+        .unionByName(small)
+        .distinct()
+    )
+    graph_comps = comps.join(touched, on="component_id", how="left_semi").collect()
+    graph_edges = adj_pairs.join(small, adj_pairs["cid_a"] == small["component_id"], "left_semi").unionByName(
+        adj_pairs.join(small, adj_pairs["cid_b"] == small["component_id"], "left_semi")
+    ).distinct().collect()
 
-        def find(key):
-            seen = []
-            while parents.get(key, key) != key:
-                seen.append(key)
-                key = parents[key]
-            return key
+    sizes = {c.component_id: int(c.pixel_count) for c in graph_comps}
+    values = {c.component_id: int(c.value) for c in graph_comps}
+    adj: dict = {}
+    for e in graph_edges:
+        adj.setdefault(e.cid_a, set()).add(e.cid_b)
+        adj.setdefault(e.cid_b, set()).add(e.cid_a)
 
-        for pdf in batches:
-            out = []
-            for r in pdf.itertuples():
-                g = bytes_to_tile(r.data).copy()
+    final_value = merge_small_components(dict(sizes), dict(values), adj, min_pixels)
+    changed = [(c, v) for c, v in final_value.items() if values.get(c) != v]
+
+    # --- pixel rewrite: changed ids join back to labels, cogroup tiles ---
+    chdf = spark.createDataFrame(
+        pd.DataFrame(changed, columns=["component_id", "new_value"]).astype(
+            {"component_id": "string", "new_value": "int64"}
+        )
+    )
+    ch_labels = labels.select("tx", "ty", "label", "component_id").join(
+        chdf, on="component_id"
+    ).select("tx", "ty", "label", "new_value")
+
+    def _rewrite(key, tiles_pdf: pd.DataFrame, ch_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        remap = dict(zip(ch_pdf["label"].astype(int), ch_pdf["new_value"].astype(int)))
+        for r in tiles_pdf.itertuples():
+            g = bytes_to_tile(r.data).copy()
+            if remap:
                 lab = label_tile(g, background)
-                for ll in np.unique(lab[lab != 0]):
-                    root = find((int(r.ty), int(r.tx), int(ll)))
-                    cid = f"{root[0]}_{root[1]}_{root[2]}"
-                    nv = changed_vals.get(cid)
-                    if nv is not None:
-                        g[lab == ll] = nv
-                out.append((int(r.tx), int(r.ty), g.astype("<i4").tobytes()))
-            yield pd.DataFrame(out, columns=["tx", "ty", "data"])
+                kmax = int(lab.max())
+                has = np.zeros(kmax + 1, dtype=bool)
+                val = np.zeros(kmax + 1, dtype=np.int64)
+                for ll, nv in remap.items():
+                    if 0 < ll <= kmax:
+                        has[ll] = True
+                        val[ll] = nv
+                g = np.where(has[lab], val[lab], g)
+            out.append((int(r.tx), int(r.ty), g.astype("<i4").tobytes()))
+        return pd.DataFrame(out, columns=["tx", "ty", "data"])
 
-    return src.mapInPandas(_rewrite, "tx long, ty long, data binary")
+    return (
+        src.groupBy("tx", "ty")
+        .cogroup(ch_labels.groupBy("tx", "ty"))
+        .applyInPandas(_rewrite, "tx long, ty long, data binary")
+    )

@@ -3,32 +3,36 @@
 Reference: ``GDALPolygonize`` (alg/polygonize.cpp:495, wrapper
 swig/python/scripts/gdal_polygonize.py:209) — equal-valued 4-connected
 pixel regions become polygons (exterior ring + holes) with the region value
-as attribute.  Distributed form:
+as attribute.  Distributed form (round-2: per-tile partial chaining, so the
+final stitch handles pre-chained arcs, never unit edges):
 
-1. **edge emission** — per tile (with the focal 1-px value halo): every
-   pixel side whose 4-neighbor has a different value emits one directed
-   unit edge in global pixel-corner coordinates, oriented with the region
-   interior on the RIGHT (y grows downward), so shared sides cancel by
-   construction and each region's edge set forms closed loops;
-2. **component keying** — edges carry the global component id (per-tile
-   labels + the broadcast seam union-find of engine.components);
-3. **ring assembly** — one shuffle groups each component's edges; a grouped
-   UDF walks them (at pinch corners the rightmost turn w.r.t. the incoming
-   direction keeps rings non-crossing — the same disambiguation GDAL's
-   polygon enumerator applies), compresses collinear runs, classifies
-   exterior (positive signed area in y-down coords) vs holes, and emits
-   WKB.
+1. **edge emission + local chaining** — per tile (with the focal 1-px value
+   halo): every pixel side whose 4-neighbor has a different value is a
+   directed unit edge (interior on the RIGHT, y-down).  The tile then walks
+   its own edges with the rightmost-turn rule, taking each turn decision
+   from the HALO'D VALUE ARRAY (the turn at a corner depends only on the 4
+   pixel values around it, all visible through the halo), so the local walk
+   is bit-consistent with a global walk.  A walk stops only where its
+   successor edge is owned by a neighbor tile (or at the 4 tile-corner
+   points, where the diagonal halo pixel is unknown).  Output per
+   (tile, label): CLOSED rings (loops entirely local) and OPEN chains
+   (collinear-compressed arcs ending at seam corners);
+2. **component keying** — chains/rings join the distributed seam mapping of
+   :func:`engine.components.seam_component_map` (equi-join, no broadcast
+   dict, no driver union-find);
+3. **chain stitch** — one shuffle groups each component's pieces; closed
+   rings pass through; open chains are stitched at CHAIN granularity with
+   the same rightmost-turn rule applied to chain end/start directions.
+   Per-component stitch work is O(#chain endpoints) = seam crossings, not
+   O(perimeter): a continent-sized component costs its seam-crossing count
+   in the stitch task, while its perimeter-proportional tracing cost was
+   already paid in parallel by stage 1.
 
 Area invariant: Σ signed ring areas == component pixel count (tested).
-The edge shuffle is perimeter-proportional (≪ pixel data); a continent-
-sized component concentrates its ring assembly in one task — the same
-sequential cost GDALPolygonize pays for the whole raster, paid here only
-per component.
 """
 
 from __future__ import annotations
 
-from collections import defaultdict
 from typing import Iterator
 
 import numpy as np
@@ -37,7 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import geom
-from .components import _UF, build_seam_uf, label_tile
+from .components import attach_component_id, label_tile, seam_component_map
 from .focal import _emit_halo_slivers
 from .raster import TILE_SIZE, bytes_to_tile
 
@@ -45,7 +49,10 @@ from .raster import TILE_SIZE, bytes_to_tile
 def trace_rings(edges: list) -> list:
     """Directed unit edges [((x1,y1),(x2,y2))] → list of rings
     [np.ndarray (N,2)], collinear-compressed, walk deterministic (smallest
-    unused edge first; rightmost turn at junctions)."""
+    unused edge first; rightmost turn at junctions).  Single-process form,
+    kept as the unit-level oracle for the distributed chaining path."""
+    from collections import defaultdict
+
     succ = defaultdict(list)
     for a, b in edges:
         succ[a].append(b)
@@ -87,8 +94,227 @@ def ring_signed_area(r: np.ndarray) -> float:
     return float(0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
 
 
-_EDGE_SCHEMA = "gid string, value long, x1 long, y1 long, x2 long, y2 long"
+# directions as (dx, dy), y-down
+_DIRS = {"E": (1, 0), "W": (-1, 0), "S": (0, 1), "N": (0, -1)}
+
+
+def _compress_polyline(pts: list) -> np.ndarray:
+    """Drop collinear midpoints of an open polyline (keep endpoints)."""
+    arr = np.asarray(pts, dtype=np.int64)
+    if arr.shape[0] <= 2:
+        return arr
+    d = np.diff(arr, axis=0)
+    turn = d[:-1, 0] * d[1:, 1] - d[:-1, 1] * d[1:, 0]
+    keep = np.ones(arr.shape[0], dtype=bool)
+    keep[1:-1] = turn != 0
+    return arr[keep]
+
+
+def _compress_ring(pts: list) -> np.ndarray:
+    """Drop collinear midpoints of a closed ring given WITHOUT the repeated
+    last vertex (cyclic compression)."""
+    r = np.asarray(pts, dtype=np.int64)
+    d = np.diff(np.vstack([r[-1:], r, r[:1]]), axis=0)
+    keep = (d[:-1, 0] * d[1:, 1] - d[:-1, 1] * d[1:, 0]) != 0
+    return r[keep]
+
+
+def _chain_tile(pv: np.ndarray, lab: np.ndarray, background: int):
+    """Per-tile boundary chaining (stage 1).
+
+    ``pv``: (T+2, T+2) halo'd value array; ``lab``: (T, T) local labels.
+    Returns list of (label, value, kind, pts) with pts an (N, 2) int64
+    array in LOCAL corner coordinates (x = col 0..T, y = row 0..T, y-down);
+    kind ∈ {"ring", "chain"}.  The rightmost-turn decision at each corner
+    reads the halo'd values, so it is identical to what a global
+    single-process walk (trace_rings over all tiles' edges) would decide;
+    a walk stops where its successor edge belongs to a neighbor tile.
+    """
+    T = lab.shape[0]
+
+    def val(r, c):
+        return int(pv[r + 1, c + 1])
+
+    def edge_exists(x, y, dname, v):
+        if dname == "E":
+            return val(y, x) == v and val(y - 1, x) != v
+        if dname == "W":
+            return val(y - 1, x - 1) == v and val(y, x - 1) != v
+        if dname == "S":
+            return val(y, x - 1) == v and val(y, x) != v
+        return val(y - 1, x) == v and val(y - 1, x - 1) != v  # N
+
+    def edge_local(x, y, dname):
+        # interior (right-side) pixel of the directed edge must be a tile
+        # pixel for the edge to be owned (= emitted) by this tile
+        if dname == "E":
+            r, c = y, x
+        elif dname == "W":
+            r, c = y - 1, x - 1
+        elif dname == "S":
+            r, c = y, x - 1
+        else:
+            r, c = y - 1, x
+        return 0 <= r < T and 0 <= c < T
+
+    corner_pts = {(0, 0), (0, T), (T, 0), (T, T)}
+
+    def nxt(b, d, v):
+        """Successor edge of an edge ending at corner b with direction d for
+        region value v → ((b2, d2) local) or None (stop: neighbor-owned
+        successor, unknown tile-corner, or malformed)."""
+        x, y = b
+        if (x, y) in corner_pts:
+            return None  # diagonal halo pixel unknown
+        best = None
+        best_cross = None
+        for dname, (ex, ey) in _DIRS.items():
+            if (ex, ey) == (-d[0], -d[1]):
+                continue
+            if not edge_exists(x, y, dname, v):
+                continue
+            cr = d[0] * ey - d[1] * ex
+            if best_cross is None or cr > best_cross:
+                best_cross = cr
+                best = dname
+        if best is None:
+            return None
+        if not edge_local(x, y, best):
+            return None
+        ex, ey = _DIRS[best]
+        return ((x + ex, y + ey), (ex, ey))
+
+    # vectorized unit-edge emission per side (same masks as round 1)
+    nz = lab != 0
+    center = pv[1:-1, 1:-1]
+    sides = (
+        (pv[0:T, 1 : T + 1], 0, 0, 1, 0),        # top: (x,y)→(x+1,y)  E
+        (pv[1 : T + 1, 2 : T + 2], 1, 0, 1, 1),  # right: (x+1,y)→(x+1,y+1) S
+        (pv[2 : T + 2, 1 : T + 1], 1, 1, 0, 1),  # bottom: (x+1,y+1)→(x,y+1) W
+        (pv[1 : T + 1, 0:T], 0, 1, 0, 0),        # left: (x,y+1)→(x,y)  N
+    )
+    per_label: dict = {}
+    for nbr, ax, ay, bx_, by_ in sides:
+        m = nz & (nbr != center)
+        if not m.any():
+            continue
+        rr, cc = np.nonzero(m)
+        for r_, c_ in zip(rr, cc):
+            l = int(lab[r_, c_])
+            a = (int(c_) + ax, int(r_) + ay)
+            b = (int(c_) + bx_, int(r_) + by_)
+            per_label.setdefault(l, {"v": int(center[r_, c_]), "edges": []})["edges"].append((a, b))
+
+    out = []
+    for l, info in per_label.items():
+        v = info["v"]
+        edges = sorted(info["edges"])
+        eset = set(edges)
+        # successor of each local edge (None = stops at a seam/corner)
+        succ_of = {}
+        targeted = set()
+        for e in edges:
+            a, b = e
+            d = (b[0] - a[0], b[1] - a[1])
+            s = nxt(b, d, v)
+            if s is not None:
+                se = (b, s[0])
+                succ_of[e] = se
+                targeted.add(se)
+            else:
+                succ_of[e] = None
+        used = set()
+        # open chains start at edges with no local predecessor
+        for e in edges:
+            if e in targeted or e in used:
+                continue
+            pts = [e[0], e[1]]
+            used.add(e)
+            cur = succ_of[e]
+            while cur is not None and cur not in used:
+                used.add(cur)
+                pts.append(cur[1])
+                cur = succ_of[cur]
+            out.append((l, v, "chain", _compress_polyline(pts)))
+        # remaining edges form closed local loops
+        for e in edges:
+            if e in used:
+                continue
+            ring = [e[0]]
+            cur = e
+            ok = True
+            while True:
+                used.add(cur)
+                nxt_e = succ_of[cur]
+                if nxt_e is None:  # malformed; bail
+                    ok = False
+                    break
+                if nxt_e == e:
+                    break
+                ring.append(nxt_e[0])
+                cur = nxt_e
+            if ok and len(ring) >= 4:
+                out.append((l, v, "ring", _compress_ring(ring)))
+    return out
+
+
+_PIECE_SCHEMA = "tx long, ty long, label int, value long, kind string, pts binary"
 _POLY_SCHEMA = "component_id string, value long, n_rings int, area double, geom_wkb binary"
+
+
+def _stitch_chains(chains: list) -> list:
+    """Stitch open chains (each an (N,2) int64 array in global corner
+    coords) into closed rings with the rightmost-turn rule applied at chain
+    endpoints — the chain-granularity form of the trace_rings walk.
+    Returns list of (N,2) arrays (no repeated last vertex)."""
+    recs = []
+    for arr in chains:
+        start = (int(arr[0, 0]), int(arr[0, 1]))
+        end = (int(arr[-1, 0]), int(arr[-1, 1]))
+        fd = (int(np.sign(arr[1, 0] - arr[0, 0])), int(np.sign(arr[1, 1] - arr[0, 1])))
+        ld = (int(np.sign(arr[-1, 0] - arr[-2, 0])), int(np.sign(arr[-1, 1] - arr[-2, 1])))
+        recs.append({"pts": arr, "start": start, "end": end, "fd": fd, "ld": ld})
+    # deterministic processing order: sort by full content
+    recs.sort(key=lambda r: r["pts"].ravel().tolist())
+    by_start: dict = {}
+    for i, r in enumerate(recs):
+        by_start.setdefault(r["start"], []).append(i)
+    unused = set(range(len(recs)))
+    rings = []
+    for i0 in range(len(recs)):
+        if i0 not in unused:
+            continue
+        unused.discard(i0)
+        pts = [recs[i0]["pts"]]
+        cur = i0
+        closed = False
+        while True:
+            e = recs[cur]["end"]
+            d = recs[cur]["ld"]
+            # candidates: unused chains starting at e, plus the walk's own
+            # start chain (choosing it closes the ring)
+            cands = [j for j in by_start.get(e, []) if j in unused]
+            if recs[i0]["start"] == e:
+                cands.append(i0)
+            if not cands:
+                break  # malformed; drop
+            best = max(
+                cands, key=lambda j: (d[0] * recs[j]["fd"][1] - d[1] * recs[j]["fd"][0], -j)
+            )
+            if best == i0:
+                closed = True
+                break
+            unused.discard(best)
+            pts.append(recs[best]["pts"][1:])  # skip shared junction corner
+            cur = best
+        if not closed:
+            continue
+        whole = np.vstack([pts[0]] + [p for p in pts[1:]])
+        # the walk returns to the start corner: drop the repeated last vertex
+        if whole.shape[0] > 1 and tuple(whole[-1]) == tuple(whole[0]):
+            whole = whole[:-1]
+        rings.append(_compress_ring(whole.tolist()))
+    return rings
 
 
 def polygonize(tile_df: DataFrame, background: int = 0) -> DataFrame:
@@ -96,8 +322,7 @@ def polygonize(tile_df: DataFrame, background: int = 0) -> DataFrame:
     area, geom_wkb) with geometry in global pixel-corner coordinates
     (x = tx·T + col, y = −ty·T + row, y downward)."""
     src = tile_df.select("tx", "ty", "data")
-    uf = build_seam_uf(src, background)
-    bc = tile_df.sparkSession.sparkContext.broadcast(dict(uf.p))
+    mapping = seam_component_map(src, background)
     sliver_schema = "zoom int, tx long, ty long, dx int, dy int, data binary"
 
     def _emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -106,14 +331,7 @@ def polygonize(tile_df: DataFrame, background: int = 0) -> DataFrame:
                 pdf = pdf.assign(zoom=0)
             yield _emit_halo_slivers(pdf)
 
-    def _edges(pdf: pd.DataFrame) -> pd.DataFrame:
-        parents = bc.value
-
-        def find(key):
-            while parents.get(key, key) != key:
-                key = parents[key]
-            return key
-
+    def _pieces(pdf: pd.DataFrame) -> pd.DataFrame:
         center = None
         slivers = {}
         for r in pdf.itertuples():
@@ -121,8 +339,9 @@ def polygonize(tile_df: DataFrame, background: int = 0) -> DataFrame:
                 center = bytes_to_tile(r.data)
             else:
                 slivers[(r.dx, r.dy)] = np.frombuffer(r.data, dtype="<i4")
+        cols = ["tx", "ty", "label", "value", "kind", "pts"]
         if center is None:
-            return pd.DataFrame({k: [] for k in ("gid", "value", "x1", "y1", "x2", "y2")})
+            return pd.DataFrame({k: [] for k in cols})
         T = TILE_SIZE
         tx = int(pdf["tx"].iat[0])
         ty = int(pdf["ty"].iat[0])
@@ -141,79 +360,50 @@ def polygonize(tile_df: DataFrame, background: int = 0) -> DataFrame:
         if bot is not None:
             pv[-1, 1:-1] = bot
         lab = label_tile(center, background)
-        nz = lab != 0
-        # per-LABEL gid lookup table (labels are dense 1..K) — the edge
-        # emission below is then fully vectorized per side
-        kmax = int(lab.max())
-        gid_lut = np.empty(kmax + 1, dtype=object)
-        for l in range(1, kmax + 1):
-            root = find((ty, tx, l))
-            gid_lut[l] = f"{root[0]}_{root[1]}_{root[2]}"
-        # directed edges, interior on the right (y-down): top L→R, right
-        # T→B, bottom R→L, left B→T
-        sides = (
-            (pv[0:T, 1 : T + 1], 0, 0, 1, 0),        # top: (gx,gy)→(gx+1,gy)
-            (pv[1 : T + 1, 2 : T + 2], 1, 0, 1, 1),  # right: (gx+1,gy)→(gx+1,gy+1)
-            (pv[2 : T + 2, 1 : T + 1], 1, 1, 0, 1),  # bottom: (gx+1,gy+1)→(gx,gy+1)
-            (pv[1 : T + 1, 0:T], 0, 1, 0, 0),        # left: (gx,gy+1)→(gx,gy)
-        )
-        frames = []
-        for nbr, ax, ay, bx_, by_ in sides:
-            m = nz & (nbr != center)
-            if not m.any():
-                continue
-            rr, cc = np.nonzero(m)
-            gx = tx * T + cc
-            gy = -(ty * T) + rr
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "gid": gid_lut[lab[rr, cc]],
-                        "value": center[rr, cc].astype(np.int64),
-                        "x1": gx + ax,
-                        "y1": gy + ay,
-                        "x2": gx + bx_,
-                        "y2": gy + by_,
-                    }
-                )
-            )
-        if not frames:
-            return pd.DataFrame({k: [] for k in ("gid", "value", "x1", "y1", "x2", "y2")})
-        return pd.concat(frames, ignore_index=True)
-
-    def _assemble_one(gid: str, sub: pd.DataFrame, out: dict):
-        arr = sub[["x1", "y1", "x2", "y2"]].to_numpy(np.int64).tolist()
-        edges = [((a, b), (c, d)) for a, b, c, d in arr]
-        rings = trace_rings(edges)
-        if not rings:
-            return
-        areas = [ring_signed_area(r) for r in rings]
-        order = sorted(range(len(rings)), key=lambda i: -areas[i])
-        ordered = [rings[i] for i in order]  # exterior (max positive) first
-        out["component_id"].append(gid)
-        out["value"].append(int(sub["value"].iat[0]))
-        out["n_rings"].append(len(rings))
-        out["area"].append(float(sum(areas)))
-        out["geom_wkb"].append(geom.wkb_polygon(ordered))
+        rows = []
+        for l, v, kind, pts in _chain_tile(pv, lab, background):
+            gpts = pts.copy()
+            gpts[:, 0] += tx * T
+            gpts[:, 1] += -(ty * T)
+            rows.append((tx, ty, l, v, kind, gpts.astype("<i8").tobytes()))
+        return pd.DataFrame(rows, columns=cols)
 
     def _assemble_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # a hash partition holds MANY components (all of each one's edges);
-        # pandas groupby inside one task avoids Spark's per-group
-        # applyInPandas overhead, which dominates when components are tiny
-        # (world-scattered single-pixel regions).  Batches of one partition
-        # must be concatenated first — a component's rows can straddle
-        # Arrow batches.
+        # a hash partition holds MANY components (all of each one's chains);
+        # pandas groupby inside one task avoids per-group applyInPandas
+        # overhead, which dominates when components are tiny
         parts = list(batches)
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
         out: dict = {k: [] for k in ("component_id", "value", "n_rings", "area", "geom_wkb")}
-        for gid, sub in pdf.groupby("gid", sort=False):
-            _assemble_one(gid, sub, out)
+        for gid, sub in pdf.groupby("component_id", sort=False):
+            rings = []
+            chains = []
+            for r in sub.itertuples():
+                arr = np.frombuffer(r.pts, dtype="<i8").reshape(-1, 2)
+                if r.kind == "ring":
+                    rings.append(arr)
+                else:
+                    chains.append(arr)
+            if chains:
+                rings.extend(_stitch_chains(chains))
+            if not rings:
+                continue
+            ringf = [r.astype(np.float64) for r in rings]
+            areas = [ring_signed_area(r) for r in ringf]
+            order = sorted(range(len(ringf)), key=lambda i: -areas[i])
+            ordered = [ringf[i] for i in order]  # exterior (max positive) first
+            out["component_id"].append(gid)
+            out["value"].append(int(sub["value"].iat[0]))
+            out["n_rings"].append(len(ringf))
+            out["area"].append(float(sum(areas)))
+            out["geom_wkb"].append(geom.wkb_polygon(ordered))
         yield pd.DataFrame(out)
 
     slivers = src.withColumn("zoom", F.lit(0)).select("zoom", "tx", "ty", "data").mapInPandas(
         _emit, sliver_schema
     )
-    edges = slivers.groupBy("tx", "ty").applyInPandas(lambda k, p: _edges(p), _EDGE_SCHEMA)
-    return edges.repartition(F.col("gid")).mapInPandas(_assemble_part, _POLY_SCHEMA)
+    pieces = slivers.groupBy("tx", "ty").applyInPandas(lambda k, p: _pieces(p), _PIECE_SCHEMA)
+    keyed = attach_component_id(pieces, mapping).select("component_id", "value", "kind", "pts")
+    return keyed.repartition(F.col("component_id")).mapInPandas(_assemble_part, _POLY_SCHEMA)

@@ -84,6 +84,30 @@ def test_polygonize_seam_crossing(spark):
     assert xs.min() == 1 * T + (T - 10) and xs.max() == 2 * T + 20
 
 
+def test_polygonize_component_spanning_3x3_tiles(spark):
+    """Chain stitching across many seams: a hollow rectangular frame through
+    all 9 tiles of a 3×3 block must assemble into ONE polygon with exactly
+    2 rings (exterior + hole), exact area, stitched from per-tile chains."""
+    big = np.zeros((3 * T, 3 * T), dtype=np.int64)
+    big[100:-100, 100:-100] = 7
+    big[120:-120, 120:-120] = 0
+    grids = {}
+    for i in range(3):
+        for j in range(3):
+            grids[(j, 2 - i)] = big[i * T : (i + 1) * T, j * T : (j + 1) * T]
+    out = polygonize.polygonize(_tile_table(spark, grids)).collect()
+    assert len(out) == 1
+    r = out[0]
+    side = 3 * T - 200
+    assert r.value == 7 and r.n_rings == 2
+    assert r.area == side * side - (side - 40) * (side - 40)
+    kind, rings = geom.wkb_loads(r.geom_wkb)
+    assert polygonize.ring_signed_area(rings[0][:-1]) == side * side
+    assert polygonize.ring_signed_area(rings[1][:-1]) == -(side - 40) * (side - 40)
+    # rectangle rings compress to 4 corners + closure even across seams
+    assert rings[0].shape[0] == 5 and rings[1].shape[0] == 5
+
+
 def test_polygonize_area_equals_pixel_count(spark):
     rng = np.random.default_rng(8)
     grids = {}
