@@ -193,40 +193,28 @@ def _cid(comp_col: str) -> Column:
     )
 
 
-def seam_component_map(src: DataFrame, background: int = 0, max_rounds: int = 50) -> DataFrame:
-    """Distributed hash-to-min label propagation over the tile-seam graph.
+def min_label_propagate(edges: DataFrame, nodes: DataFrame | None = None, max_rounds: int = 50) -> DataFrame:
+    """Generic distributed hash-to-min connected components.
 
-    Nodes are boundary-touching (tile, local_label) pairs; edges connect
-    equal-valued touching pixels across seams.  Each round does (a) a
-    neighbor-min equi-join and (b) a pointer jump (comp ← comp(comp)),
-    which converges in O(log diameter) rounds; each round's result is
-    localCheckpoint'ed so lineage stays flat.  Replaces the round-1
-    driver-side union-find: nothing seam-proportional reaches the driver.
+    ``edges``: (ka, kb) of any orderable column type (struct fields order
+    field-by-field); ``nodes``: optional (k) seed including isolated nodes.
+    Each round does (a) a neighbor-min equi-join and (b) a pointer jump
+    (comp ← comp(comp)), which converges in O(log diameter) rounds; each
+    round's result is localCheckpoint'ed so lineage stays flat.  Nothing
+    component- or edge-proportional ever reaches the driver (the per-round
+    convergence probe is a limit-1 count).
 
-    Returns (tx long, ty long, label int, component_id string) for every
-    boundary-touching label.  Interior labels are absent — their id is the
-    identity ``ty_tx_label`` (callers coalesce).  Reference semantics:
-    alg/polygonize.cpp:495 (first-appearance component identity),
-    alg/gdalsievefilter.cpp:133.
+    Returns (k, comp) with comp = the minimum key of k's component.
     """
-    # strips are consumed twice (edges + node seed): checkpoint so the tile
-    # scan runs once
-    strips = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA).localCheckpoint(eager=True)
-    pairs = _seam_pixel_pairs(strips).where(F.col("aval") == F.col("bval"))
-    e = pairs.select(
-        _key("aty", "atx", "alab").alias("ka"), _key("bty", "btx", "blab").alias("kb")
-    )
     edges = (
-        e.unionByName(e.select(F.col("kb").alias("ka"), F.col("ka").alias("kb")))
+        edges.unionByName(edges.select(F.col("kb").alias("ka"), F.col("ka").alias("kb")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    lbl = (
-        strips.select(_key("ty", "tx", "label").alias("k"))
-        .distinct()
-        .withColumn("comp", F.col("k"))
-        .localCheckpoint(eager=True)
-    )
+    seed = edges.select(F.col("ka").alias("k"))
+    if nodes is not None:
+        seed = seed.unionByName(nodes.select(F.col(nodes.columns[0]).alias("k")))
+    lbl = seed.distinct().withColumn("comp", F.col("k")).localCheckpoint(eager=True)
     for _ in range(max_rounds):
         # (a) neighbor-min: comp ← min(comp, min over neighbors' comp)
         nbr = (
@@ -255,6 +243,32 @@ def seam_component_map(src: DataFrame, background: int = 0, max_rounds: int = 50
         lbl = nxt
         if changed == 0:
             break
+    return lbl
+
+
+def seam_component_map(src: DataFrame, background: int = 0, max_rounds: int = 50) -> DataFrame:
+    """Distributed hash-to-min label propagation over the tile-seam graph.
+
+    Nodes are boundary-touching (tile, local_label) pairs; edges connect
+    equal-valued touching pixels across seams; the propagation itself is
+    :func:`min_label_propagate`.  Replaces the round-1 driver-side
+    union-find: nothing seam-proportional reaches the driver.
+
+    Returns (tx long, ty long, label int, component_id string) for every
+    boundary-touching label.  Interior labels are absent — their id is the
+    identity ``ty_tx_label`` (callers coalesce).  Reference semantics:
+    alg/polygonize.cpp:495 (first-appearance component identity),
+    alg/gdalsievefilter.cpp:133.
+    """
+    # strips are consumed twice (edges + node seed): checkpoint so the tile
+    # scan runs once
+    strips = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA).localCheckpoint(eager=True)
+    pairs = _seam_pixel_pairs(strips).where(F.col("aval") == F.col("bval"))
+    e = pairs.select(
+        _key("aty", "atx", "alab").alias("ka"), _key("bty", "btx", "blab").alias("kb")
+    )
+    nodes = strips.select(_key("ty", "tx", "label").alias("k")).distinct()
+    lbl = min_label_propagate(e, nodes=nodes, max_rounds=max_rounds)
     return lbl.select(
         F.col("k.tx").alias("tx"), F.col("k.ty").alias("ty"), F.col("k.label").alias("label"),
         _cid("comp").alias("component_id"),

@@ -114,6 +114,43 @@ _CASES = {
 }
 
 
+def _tile_level_segments(pdf: pd.DataFrame, lvls: list):
+    """Grouped halo batch (center tile + slivers) → [(level, x1, y1, x2,
+    y2)] in global coords, or [] when the center is absent."""
+    center = None
+    slivers = {}
+    for r in pdf.itertuples():
+        if r.dx == 0 and r.dy == 0:
+            center = bytes_to_tile(r.data)
+        else:
+            slivers[(r.dx, r.dy)] = np.frombuffer(r.data, dtype="<i4")
+    if center is None:
+        return []
+    T = TILE_SIZE
+    tx = int(pdf["tx"].iat[0])
+    ty = int(pdf["ty"].iat[0])
+    # extended array: +1 col east, +1 row south, NaN when absent —
+    # NaN corners make `v > level` False and interpolation NaN; cells
+    # touching NaN are excluded up front by the validity trim below
+    east = slivers.get((-1, 0))       # sender dx=-1 → sender is our EAST, sent its WEST col
+    south = slivers.get((0, 1))       # sender dy=+1 → sender is SOUTH of us, sent its TOP row
+    se = slivers.get((-1, 1))
+    ext = np.full((T + 1, T + 1), np.nan)
+    ext[:T, :T] = center
+    if east is not None:
+        ext[:T, T] = east
+    if south is not None:
+        ext[T, :T] = south
+    if se is not None:
+        ext[T, T] = se[0]
+    # trim to the largest all-finite prefix: full grid when neighbors
+    # exist, else T×T (interior cells only)
+    H = T + 1 if south is not None else T
+    W = T + 1 if east is not None else T
+    sub = ext[:H, :W]
+    return cell_segments(sub, lvls, x0=float(tx * T), y0=float(-ty * T))
+
+
 def contour_segments(tile_df: DataFrame, levels) -> DataFrame:
     """Distributed marching squares: one sliver shuffle (focal halo), then
     per-tile numpy; cells missing their east/south pixel are skipped (raster
@@ -126,38 +163,7 @@ def contour_segments(tile_df: DataFrame, levels) -> DataFrame:
             yield _emit_halo_slivers(pdf)
 
     def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
-        center = None
-        slivers = {}
-        for r in pdf.itertuples():
-            if r.dx == 0 and r.dy == 0:
-                center = bytes_to_tile(r.data)
-            else:
-                slivers[(r.dx, r.dy)] = np.frombuffer(r.data, dtype="<i4")
-        if center is None:
-            return pd.DataFrame({k: [] for k in ("level", "x1", "y1", "x2", "y2")})
-        T = TILE_SIZE
-        tx = int(pdf["tx"].iat[0])
-        ty = int(pdf["ty"].iat[0])
-        # extended array: +1 col east, +1 row south, NaN when absent —
-        # NaN corners make `v > level` False and interpolation NaN; cells
-        # touching NaN are excluded up front by the validity trim below
-        east = slivers.get((-1, 0))       # east neighbor sent its WEST col... sender dx=-1 means receiver is west of sender → sender is our EAST
-        south = slivers.get((0, 1))       # sender dy=+1 → receiver above sender → sender is SOUTH of us, sent its TOP row
-        se = slivers.get((-1, 1))
-        ext = np.full((T + 1, T + 1), np.nan)
-        ext[:T, :T] = center
-        if east is not None:
-            ext[:T, T] = east
-        if south is not None:
-            ext[T, :T] = south
-        if se is not None:
-            ext[T, T] = se[0]
-        # trim to the largest all-finite prefix: full grid when neighbors
-        # exist, else T×T (interior cells only)
-        H = T + 1 if south is not None else T
-        W = T + 1 if east is not None else T
-        sub = ext[:H, :W]
-        segs = cell_segments(sub, lvls, x0=float(tx * T), y0=float(-ty * T))
+        segs = _tile_level_segments(pdf, lvls)
         return pd.DataFrame(segs, columns=["level", "x1", "y1", "x2", "y2"])
 
     slivers = tile_df.mapInPandas(_emit, sliver_schema)
@@ -232,13 +238,94 @@ def _wkb_linestring(pts: np.ndarray) -> bytes:
     return struct.pack("<BII", 1, _geom.WKB_LINESTRING, pts.shape[0]) + pts.astype("<f8").tobytes()
 
 
+_CHAIN_SCHEMA = "level double, closed boolean, pts binary, e1 string, e2 string"
+_LINE_SCHEMA = (
+    "level double, line_id string, n_points long, length double, closed boolean, geom_wkb binary"
+)
+
+
+def _ekey(level: float, x: float, y: float) -> str:
+    """Float-exact endpoint key (crossing points are bit-identical across
+    tiles — see stitch_segments doc), level-scoped so coincident points of
+    different levels never merge."""
+    return f"{level!r}|{x!r}|{y!r}"
+
+
+def _line_row(level: float, line: np.ndarray, out: dict):
+    d = np.diff(line, axis=0)
+    mn = line.min(axis=0)
+    out["level"].append(float(level))
+    out["line_id"].append(f"{mn[0]:.6f}_{mn[1]:.6f}")
+    out["n_points"].append(int(line.shape[0]))
+    out["length"].append(float(np.hypot(d[:, 0], d[:, 1]).sum()))
+    out["closed"].append(bool(np.array_equal(line[0], line[-1])))
+    out["geom_wkb"].append(_wkb_linestring(line))
+
+
 def contour_polylines(tile_df: DataFrame, levels) -> DataFrame:
     """Assembled contour lines: (level, line_id, n_points, length, closed,
-    geom_wkb).  Segments shuffle once keyed by level (each level's chains
-    assemble in one task — the reference's per-level sequential pass,
-    paid per level instead of per raster); line_id = lexicographically
-    smallest vertex of the line."""
-    segs = contour_segments(tile_df, levels)
+    geom_wkb); line_id = lexicographically smallest vertex of the line.
+
+    Round-2 distributed assembly (the round-1 form shuffled each level into
+    ONE task): (1) each tile stitches ITS OWN segments into partial
+    polylines (stitch_segments per tile×level — parallel across tiles);
+    loops closing inside a tile are final immediately; (2) open chains
+    find their polyline id by distributed hash-to-min over the endpoint
+    graph (:func:`engine.components.min_label_propagate` — contour vertices
+    have degree ≤ 2, so components are exactly paths/loops and no turn
+    disambiguation is needed); (3) one shuffle groups each polyline's
+    pre-chained arcs and concatenates them — per-line work is
+    O(#tile crossings), not O(total points per level)."""
+    lvls = [float(l) for l in levels]
+    sliver_schema = "zoom int, tx long, ty long, dx int, dy int, data binary"
+
+    def _emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _emit_halo_slivers(pdf)
+
+    def _tile_chains(pdf: pd.DataFrame) -> pd.DataFrame:
+        segs = _tile_level_segments(pdf, lvls)
+        cols = ["level", "closed", "pts", "e1", "e2"]
+        if not segs:
+            return pd.DataFrame({k: [] for k in cols})
+        sdf = pd.DataFrame(segs, columns=["level", "x1", "y1", "x2", "y2"])
+        rows = []
+        for level, sub in sdf.groupby("level", sort=False):
+            segs_l = sorted(map(tuple, sub[["x1", "y1", "x2", "y2"]].to_numpy().tolist()))
+            for line in stitch_segments(segs_l):
+                closed = bool(np.array_equal(line[0], line[-1]))
+                rows.append(
+                    (
+                        float(level), closed, line.astype("<f8").tobytes(),
+                        _ekey(level, line[0, 0], line[0, 1]),
+                        _ekey(level, line[-1, 0], line[-1, 1]),
+                    )
+                )
+        return pd.DataFrame(rows, columns=cols)
+
+    from .components import min_label_propagate
+
+    slivers = tile_df.mapInPandas(_emit, sliver_schema)
+    chains = (
+        slivers.groupBy("zoom", "tx", "ty")
+        .applyInPandas(lambda k, p: _tile_chains(p), _CHAIN_SCHEMA)
+        .localCheckpoint(eager=True)
+    )
+    done = chains.where(F.col("closed"))
+    opens = chains.where(~F.col("closed"))
+
+    def _finalize_closed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("level", "line_id", "n_points", "length", "closed", "geom_wkb")}
+            for r in pdf.itertuples():
+                line = np.frombuffer(r.pts, dtype="<f8").reshape(-1, 2)
+                _line_row(r.level, line, out)
+            yield pd.DataFrame(out)
+
+    comp = min_label_propagate(
+        opens.select(F.col("e1").alias("ka"), F.col("e2").alias("kb"))
+    ).withColumnRenamed("k", "e1").withColumnRenamed("comp", "line_comp")
+    keyed = opens.join(comp, on="e1")
 
     def _assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parts = list(batches)
@@ -246,20 +333,54 @@ def contour_polylines(tile_df: DataFrame, levels) -> DataFrame:
             return
         pdf = pd.concat(parts, ignore_index=True)
         out = {k: [] for k in ("level", "line_id", "n_points", "length", "closed", "geom_wkb")}
-        for level, sub in pdf.groupby("level", sort=False):
-            segs_l = sorted(map(tuple, sub[["x1", "y1", "x2", "y2"]].to_numpy().tolist()))
-            for line in stitch_segments(segs_l):
-                d = np.diff(line, axis=0)
-                mn = line.min(axis=0)
-                out["level"].append(float(level))
-                out["line_id"].append(f"{mn[0]:.6f}_{mn[1]:.6f}")
-                out["n_points"].append(int(line.shape[0]))
-                out["length"].append(float(np.hypot(d[:, 0], d[:, 1]).sum()))
-                out["closed"].append(bool(np.array_equal(line[0], line[-1])))
-                out["geom_wkb"].append(_wkb_linestring(line))
+        for (level, _), sub in pdf.groupby(["level", "line_comp"], sort=False):
+            arcs = [np.frombuffer(b, dtype="<f8").reshape(-1, 2) for b in sub["pts"]]
+            arcs.sort(key=lambda a: a.ravel().tolist())
+            # chain-level endpoint adjacency; degree ≤ 2 generically, any
+            # degenerate coincidences fall back to first-unused like the
+            # unit-level stitch
+            adj: dict = {}
+            for i, a in enumerate(arcs):
+                adj.setdefault(tuple(a[0]), []).append(i)
+                adj.setdefault(tuple(a[-1]), []).append(i)
+            used = [False] * len(arcs)
+
+            def _walk(start_v):
+                pieces = []
+                cur = start_v
+                while True:
+                    nxt_i = None
+                    for i in adj.get(cur, ()):
+                        if not used[i]:
+                            nxt_i = i
+                            break
+                    if nxt_i is None:
+                        break
+                    used[nxt_i] = True
+                    a = arcs[nxt_i]
+                    if tuple(a[0]) == cur:
+                        pieces.append(a)
+                        cur = tuple(a[-1])
+                    else:
+                        pieces.append(a[::-1])
+                        cur = tuple(a[0])
+                return pieces
+
+            def _emit_line(pieces):
+                if not pieces:
+                    return
+                whole = np.vstack([pieces[0]] + [p[1:] for p in pieces[1:]])
+                _line_row(float(level), whole, out)
+
+            # open polylines start at odd-degree vertices (sorted)
+            for v in sorted(v for v, lst in adj.items() if len(lst) % 2 == 1):
+                if any(not used[i] for i in adj[v]):
+                    _emit_line(_walk(v))
+            # remaining arcs form loops
+            for i in range(len(arcs)):
+                if not used[i]:
+                    _emit_line(_walk(tuple(arcs[i][0])))
         yield pd.DataFrame(out)
 
-    return segs.repartition(F.col("level")).mapInPandas(
-        _assemble,
-        "level double, line_id string, n_points long, length double, closed boolean, geom_wkb binary",
-    )
+    assembled = keyed.repartition(F.col("line_comp")).mapInPandas(_assemble, _LINE_SCHEMA)
+    return done.mapInPandas(_finalize_closed, _LINE_SCHEMA).unionByName(assembled)

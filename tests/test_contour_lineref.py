@@ -80,6 +80,37 @@ def test_contour_distributed_matches_mosaic(spark):
     assert got == exp
 
 
+def test_contour_polylines_loop_spanning_four_tiles(spark):
+    # radial field centered on the 2×2-tile corner: the r=80.3 contour is a
+    # closed loop crossing all four tiles — must assemble into ONE closed
+    # polyline from the per-tile chains (round-2 distributed stitch)
+    big = np.hypot(*np.mgrid[0 : 2 * T, 0 : 2 * T] - float(T)).astype(np.int64)
+    grids = {
+        (0, 1): big[:T, :T], (1, 1): big[:T, T:],
+        (0, 0): big[T:, :T], (1, 0): big[T:, T:],
+    }
+    out = contour.contour_polylines(_tile_table(spark, grids), [80.3]).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.closed
+    # exact parity with the single-process mosaic stitch (the int-quantized
+    # field makes the loop jagged, so only exact comparison is meaningful)
+    segs = [
+        (x1, y1, x2, y2)
+        for _, x1, y1, x2, y2 in contour.cell_segments(big.astype(float), [80.3], x0=0.0, y0=-256.0)
+    ]
+    lines = contour.stitch_segments(sorted(segs))
+    assert len(lines) == 1
+    L = np.hypot(*np.diff(lines[0], axis=0).T).sum()
+    assert abs(row.length - L) < 1e-9
+    assert row.n_points == lines[0].shape[0]
+    from engine import geom
+
+    kind, body = geom.wkb_loads(row.geom_wkb)
+    assert kind == "LineString" and body.shape[0] == row.n_points
+    assert np.array_equal(body[0], body[-1])
+
+
 def test_polyline_project_matches_bruteforce():
     rng = np.random.default_rng(3)
     pts = [(0, 0), (10, 0), (10, 5), (22, 9), (22, 30)]
