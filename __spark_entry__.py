@@ -1264,6 +1264,145 @@ def _sql_layer_erase() -> str:
     """
 
 
+# line-clip fixture: rect A, holed rect B, horizontal ±2° segments per event
+_LC_R0 = (-175.0, -40.0, -160.0, 40.0)
+_LC_R1 = (-150.0, -20.0, -130.0, 30.0)
+_LC_H = (-145.0, -10.0, -138.0, 10.0)
+
+
+def _line_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizontal 4°-wide segment per event point (lon±2, lat)."""
+    from engine import geom as geommod
+
+    pts = _points(spark, sf_dir).select("event_id", "lon", "lat")
+
+    @F.pandas_udf("binary")
+    def _mk(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                geommod.wkb_linestring([(x - 2.0, y), (x + 2.0, y)])
+                for x, y in zip(lon, lat)
+            ]
+        )
+
+    return pts.select(
+        F.col("event_id").cast("int").alias("lid"), _mk("lon", "lat").alias("geom_wkb")
+    )
+
+
+def _lineclip_polys(spark: SparkSession) -> DataFrame:
+    from engine import geom as geommod
+
+    r0 = geommod.wkb_polygon(
+        [[(_LC_R0[0], _LC_R0[1]), (_LC_R0[2], _LC_R0[1]), (_LC_R0[2], _LC_R0[3]), (_LC_R0[0], _LC_R0[3])]]
+    )
+    r1 = geommod.wkb_polygon(
+        [
+            [(_LC_R1[0], _LC_R1[1]), (_LC_R1[2], _LC_R1[1]), (_LC_R1[2], _LC_R1[3]), (_LC_R1[0], _LC_R1[3])],
+            [(_LC_H[0], _LC_H[1]), (_LC_H[2], _LC_H[1]), (_LC_H[2], _LC_H[3]), (_LC_H[0], _LC_H[3])],
+        ]
+    )
+    return spark.createDataFrame(
+        pd.DataFrame({"pid": pd.array([0, 1], dtype="int32"), "geom_wkb": [r0, r1]})
+    )
+
+
+# shared oracle arithmetic for the line-clip fixture (DuckDB):
+# l0/l1 = segment x-range; per-rect overlap via interval arithmetic, the
+# hole subtracts from one end (segment length 4 < hole width 7, so the
+# inside part of a segment is always a single interval)
+_LC_CTE = f"""
+        pts AS (
+            SELECT CAST(event_id AS INT) AS lid,
+                   {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+        ), seg AS (
+            SELECT lid, lat, lon - 2.0 AS l0, lon + 2.0 AS l1 FROM pts
+        ), iv AS (
+            SELECT lid, l0, l1,
+                   CASE WHEN lat > {_LC_R0[1]} AND lat < {_LC_R0[3]}
+                        THEN greatest(0.0, least(l1, {_LC_R0[2]}) - greatest(l0, {_LC_R0[0]}))
+                        ELSE 0.0 END AS ov0,
+                   CASE WHEN lat > {_LC_R0[1]} AND lat < {_LC_R0[3]}
+                        THEN greatest(l0, {_LC_R0[0]}) ELSE NULL END AS i00,
+                   CASE WHEN lat > {_LC_R0[1]} AND lat < {_LC_R0[3]}
+                        THEN least(l1, {_LC_R0[2]}) ELSE NULL END AS i01,
+                   CASE WHEN lat > {_LC_R1[1]} AND lat < {_LC_R1[3]}
+                        THEN greatest(l0, {_LC_R1[0]}) ELSE NULL END AS a1,
+                   CASE WHEN lat > {_LC_R1[1]} AND lat < {_LC_R1[3]}
+                        THEN least(l1, {_LC_R1[2]}) ELSE NULL END AS b1,
+                   (lat > {_LC_H[1]} AND lat < {_LC_H[3]}) AS hole_y
+            FROM seg
+        ), iv2 AS (
+            SELECT lid, l0, l1, ov0, i00, i01,
+                   COALESCE(greatest(0.0, b1 - a1), 0.0) AS ovl1,
+                   CASE WHEN hole_y AND COALESCE(b1 - a1, 0) > 0
+                        THEN greatest(0.0, least(b1, {_LC_H[2]}) - greatest(a1, {_LC_H[0]}))
+                        ELSE 0.0 END AS hl,
+                   a1, b1,
+                   greatest(a1, {_LC_H[0]}) AS h0, least(b1, {_LC_H[2]}) AS h1
+            FROM iv
+        ), iv3 AS (
+            SELECT lid, l0, l1, ov0, i00, i01,
+                   ovl1 - hl AS ins1_len,
+                   CASE WHEN hl > 0 AND h0 <= a1 + 1e-12 THEN h1 ELSE a1 END AS ins10,
+                   CASE WHEN hl > 0 AND h1 >= b1 - 1e-12 THEN h0 ELSE b1 END AS ins11
+            FROM iv2
+        )
+"""
+
+
+def _q_layer_clip_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-layer Clip (ogr2ogr -clipsrc, apps/ogr2ogr.cpp:3513; layer Clip
+    ogrlayer.cpp:3424 with LineString inputs): parts of each event segment
+    inside rect A ∪ holed rect B — the dimension-preserving line result the
+    type-generic reference algebra emits (ogrlayer.cpp:2038-2054)."""
+    from engine import lineclip
+
+    out = lineclip.layer_clip_lines(_line_layer(spark, sf_dir), _lineclip_polys(spark), res=10.0)
+    return out.select("a_id", "n_parts", F.round("length", 6).alias("length"))
+
+
+def _sql_layer_clip_lines() -> str:
+    return f"""
+        WITH {_LC_CTE}
+        SELECT lid AS a_id,
+               CAST(CASE WHEN ov0 > 0 THEN 1 ELSE 0 END
+                  + CASE WHEN ins1_len > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_parts,
+               ROUND(CAST(ov0 + ins1_len AS DOUBLE), 6) AS length
+        FROM iv3 WHERE ov0 + ins1_len > 0
+    """
+
+
+def _q_layer_erase_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-layer Erase (ogrlayer.cpp:3660 with LineString inputs): parts
+    of each event segment outside every method polygon; untouched segments
+    pass through whole."""
+    from engine import lineclip
+
+    out = lineclip.layer_erase_lines(_line_layer(spark, sf_dir), _lineclip_polys(spark), res=10.0)
+    return out.select("a_id", "n_parts", F.round("length", 6).alias("length"))
+
+
+def _sql_layer_erase_lines() -> str:
+    # the inside part of a segment is a single interval [I0, I1] (at most
+    # one rect overlaps: the rect gap of 10° exceeds the 4° segment)
+    return f"""
+        WITH {_LC_CTE}, ins AS (
+            SELECT lid, l0, l1,
+                   CASE WHEN ov0 > 0 THEN ov0 ELSE ins1_len END AS ins_len,
+                   CASE WHEN ov0 > 0 THEN i00 WHEN ins1_len > 0 THEN ins10 ELSE NULL END AS i0,
+                   CASE WHEN ov0 > 0 THEN i01 WHEN ins1_len > 0 THEN ins11 ELSE NULL END AS i1
+            FROM iv3
+        )
+        SELECT lid AS a_id,
+               CAST(CASE WHEN COALESCE(ins_len, 0) <= 0 THEN 1
+                    ELSE CASE WHEN i0 > l0 + 1e-12 THEN 1 ELSE 0 END
+                       + CASE WHEN i1 < l1 - 1e-12 THEN 1 ELSE 0 END END AS BIGINT) AS n_parts,
+               ROUND(CAST((l1 - l0) - COALESCE(ins_len, 0) AS DOUBLE), 6) AS length
+        FROM ins WHERE (l1 - l0) - COALESCE(ins_len, 0) > 1e-9
+    """
+
+
 _PROX_TARGETS = [((37 * i) % 256, (59 * i + 11) % 256) for i in range(12)]  # (row, col)
 
 
@@ -1979,6 +2118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_prefix_rollup": _q_quadkey_prefix_rollup,
         "layer_intersection": _q_layer_intersection,
         "layer_erase": _q_layer_erase,
+        "layer_clip_lines": _q_layer_clip_lines,
+        "layer_erase_lines": _q_layer_erase_lines,
         "proximity_grid": _q_proximity_grid,
         "sieve_value_counts": _q_sieve_value_counts,
         "contour_linear": _q_contour_linear,
@@ -2038,6 +2179,8 @@ def oracle_sql() -> dict[str, str]:
         "quadkey_prefix_rollup": _sql_quadkey_prefix_rollup(),
         "layer_intersection": _sql_layer_intersection(),
         "layer_erase": _sql_layer_erase(),
+        "layer_clip_lines": _sql_layer_clip_lines(),
+        "layer_erase_lines": _sql_layer_erase_lines(),
         "proximity_grid": _sql_proximity_grid(),
         "sieve_value_counts": _sql_sieve_value_counts(),
         "contour_linear": _sql_contour_linear(),

@@ -95,6 +95,19 @@ def wkb_point(x: float, y: float) -> bytes:
     return struct.pack("<BIdd", 1, WKB_POINT, x, y)
 
 
+def wkb_linestring(pts) -> bytes:
+    pts = np.asarray(pts, dtype=np.float64)
+    return struct.pack("<BII", 1, WKB_LINESTRING, pts.shape[0]) + pts.astype("<f8").tobytes()
+
+
+def wkb_multilinestring(lines) -> bytes:
+    """lines: list of (N,2) arrays."""
+    out = [struct.pack("<BII", 1, WKB_MULTILINESTRING, len(lines))]
+    for pts in lines:
+        out.append(wkb_linestring(pts))
+    return b"".join(out)
+
+
 def wkb_polygon(rings) -> bytes:
     """rings: list of (N,2) arrays/lists, first = exterior. Rings are closed
     automatically (first point appended) if not already closed."""
