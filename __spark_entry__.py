@@ -976,6 +976,74 @@ def _sql_ogrsql_join() -> str:
     return _sql_first_match_join()
 
 
+def _q_ogrsql_special_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR SQL special fields (ogr/ogr_p.h:104-111, ogr/ogr_sql.dox:459-520):
+    FID, OGR_GEOMETRY (type name), OGR_GEOM_AREA — usable in SELECT, WHERE
+    and ORDER BY.  Shapes are the parameterized L-polygons with closed-form
+    areas."""
+    from engine import geom as geommod
+    from engine.ogrsql import execute_ogr_sql
+
+    rows = []
+    for i in range(20):
+        w, h, t, u = _lshape_params(i)
+        dx, dy = 5.0 * i, 3.0 * i
+        ring = [(dx, dy), (dx + w, dy), (dx + w, dy + h), (dx + t, dy + h), (dx + t, dy + h + u), (dx, dy + h + u)]
+        rows.append((i, geommod.wkb_polygon([ring])))
+    shapes = spark.createDataFrame(pd.DataFrame(rows, columns=["sid", "geom_wkb"]))
+    out = execute_ogr_sql(
+        {"shapes": shapes},
+        "SELECT FID, OGR_GEOMETRY, OGR_GEOM_AREA FROM shapes "
+        "WHERE OGR_GEOM_AREA > 12 ORDER BY FID",
+    )
+    return out.select(
+        F.col("FID").alias("fid"),
+        F.col("OGR_GEOMETRY").alias("gtype"),
+        F.round(F.col("OGR_GEOM_AREA"), 6).alias("garea"),
+    )
+
+
+def _sql_ogrsql_special_fields() -> str:
+    return """
+        WITH p AS (
+            SELECT CAST(i AS INT) AS pid,
+                   3 + i % 5 AS w, 2 + i % 4 AS h, 1 + i % 2 AS t, 3 + i % 6 AS u
+            FROM (SELECT UNNEST(range(20)) AS i)
+        )
+        SELECT CAST(pid AS BIGINT) AS fid, 'POLYGON' AS gtype,
+               ROUND(CAST(w * h + t * u AS DOUBLE), 6) AS garea
+        FROM p WHERE w * h + t * u > 12 ORDER BY fid
+    """
+
+
+def _q_summary_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date semantics in summary aggregates (ogr_gensql.cpp:927-945,
+    ogr/swq.cpp:438-445): AVG over a timestamp column = average of unix
+    time (whole seconds); MIN/MAX keep the GetFieldAsString form
+    'YYYY/MM/DD HH:MM:SS'."""
+    ev = _read(spark, sf_dir, "events")
+    out = sqlcompat.summary_select(
+        ev,
+        {
+            "min_ts": ("min", "ts"),
+            "max_ts": ("max", "ts"),
+            "avg_ts": ("avg", "ts"),
+            "n": ("count", "*"),
+        },
+    )
+    return out.select("min_ts", "max_ts", F.round("avg_ts", 6).alias("avg_ts"), "n")
+
+
+def _sql_summary_dates() -> str:
+    return """
+        SELECT strftime(min(ts), '%Y/%m/%d %H:%M:%S') AS min_ts,
+               strftime(max(ts), '%Y/%m/%d %H:%M:%S') AS max_ts,
+               ROUND(AVG(CAST(floor(epoch(ts)) AS BIGINT)), 6) AS avg_ts,
+               COUNT(*) AS n
+        FROM events
+    """
+
+
 # -- raster statistics cross-check: tile-table path vs relational oracle ----
 
 
@@ -2115,6 +2183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogrsql_where": _q_ogrsql_where,
         "ogrsql_summary": _q_ogrsql_summary,
         "ogrsql_join": _q_ogrsql_join,
+        "ogrsql_special_fields": _q_ogrsql_special_fields,
+        "summary_dates": _q_summary_dates,
         "quadkey_prefix_rollup": _q_quadkey_prefix_rollup,
         "layer_intersection": _q_layer_intersection,
         "layer_erase": _q_layer_erase,
@@ -2176,6 +2246,8 @@ def oracle_sql() -> dict[str, str]:
         "ogrsql_where": _sql_ogrsql_where(),
         "ogrsql_summary": _sql_ogrsql_summary(),
         "ogrsql_join": _sql_ogrsql_join(),
+        "ogrsql_special_fields": _sql_ogrsql_special_fields(),
+        "summary_dates": _sql_summary_dates(),
         "quadkey_prefix_rollup": _sql_quadkey_prefix_rollup(),
         "layer_intersection": _sql_layer_intersection(),
         "layer_erase": _sql_layer_erase(),

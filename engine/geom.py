@@ -129,6 +129,55 @@ def wkb_multipolygon(polys) -> bytes:
     return b"".join(out)
 
 
+def _wkt_num(v: float) -> str:
+    """GDAL WKT number format (OGRMakeWktCoordinate %.15g): integral values
+    print without a decimal point."""
+    return f"{v:.15g}"
+
+
+def _wkt_coords(pts) -> str:
+    return ",".join(f"{_wkt_num(x)} {_wkt_num(y)}" for x, y in np.asarray(pts, dtype=np.float64))
+
+
+def wkt_dumps(buf: bytes) -> str:
+    """WKB → WKT (OGRGeometry::exportToWkt analog, GDAL formatting)."""
+    kind, body = wkb_loads(buf)
+    return _wkt_geom(kind, body)
+
+
+def _wkt_geom(kind, body) -> str:
+    if kind == "Point":
+        return f"POINT ({_wkt_num(body[0])} {_wkt_num(body[1])})"
+    if kind == "LineString":
+        return f"LINESTRING ({_wkt_coords(body)})"
+    if kind == "Polygon":
+        rings = ",".join(f"({_wkt_coords(r)})" for r in body)
+        return f"POLYGON ({rings})"
+    if kind == "MultiPoint":
+        pts = ",".join(f"{_wkt_num(b[0])} {_wkt_num(b[1])}" for _, b in body)
+        return f"MULTIPOINT ({pts})"
+    if kind == "MultiLineString":
+        parts = ",".join(f"({_wkt_coords(b)})" for _, b in body)
+        return f"MULTILINESTRING ({parts})"
+    if kind == "MultiPolygon":
+        parts = ",".join(
+            "(" + ",".join(f"({_wkt_coords(r)})" for r in b) + ")" for _, b in body
+        )
+        return f"MULTIPOLYGON ({parts})"
+    raise ValueError(f"WKT export unsupported for {kind}")
+
+
+def wkb_geometry_name(buf: bytes) -> str:
+    """OGRGeometry::getGeometryName: 'POINT', 'POLYGON', ... (the value of
+    the OGR_GEOMETRY special field, ogr/ogr_sql.dox:459)."""
+    kind, _ = wkb_loads(bytes(buf))
+    return {
+        "Point": "POINT", "LineString": "LINESTRING", "Polygon": "POLYGON",
+        "MultiPoint": "MULTIPOINT", "MultiLineString": "MULTILINESTRING",
+        "MultiPolygon": "MULTIPOLYGON", "GeometryCollection": "GEOMETRYCOLLECTION",
+    }[kind]
+
+
 def polygon_rings(buf: bytes):
     """WKB Polygon/MultiPolygon → flat list of rings (exterior+holes mixed).
 

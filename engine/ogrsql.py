@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType, StringType
@@ -451,9 +452,67 @@ class _Compiler:
                 if arg == ("star",):
                     return F.count(F.lit(1)), None
                 return (F.countDistinct(self.col(arg)) if distinct else F.count(self.col(arg))), None
-            c = self.col(arg)
+            c, t = self.typed(arg)
+            from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+            if isinstance(t, (DateType, TimestampType, TimestampNTZType)):
+                # date semantics (ogr_gensql.cpp:927-945, swq.cpp:438-445):
+                # AVG = unix-time average (double); MIN/MAX = string form
+                if fname == "AVG":
+                    return F.avg(F.unix_timestamp(c.cast("timestamp"))), None
+                if fname in ("MIN", "MAX"):
+                    fmt = "yyyy/MM/dd" if isinstance(t, DateType) else "yyyy/MM/dd HH:mm:ss"
+                    return F.date_format({"MIN": F.min, "MAX": F.max}[fname](c), fmt), StringType()
             return {"MIN": F.min, "MAX": F.max, "SUM": F.sum, "AVG": F.avg}[fname](c), None
         raise ValueError(f"OGR SQL: node {kind} unsupported")
+
+
+_SPECIAL_FIELDS = {"FID", "OGR_GEOMETRY", "OGR_GEOM_WKT", "OGR_GEOM_AREA", "OGR_STYLE"}
+
+
+def _special_field(name: str, fid_col: str, geom_col):
+    """OGR SQL special fields (ogr/ogr_p.h:104-111, semantics
+    ogr/ogr_sql.dox:459-520): FID = feature id (first column, scan order);
+    OGR_GEOMETRY = geometry type name; OGR_GEOM_WKT = WKT export;
+    OGR_GEOM_AREA = planar area; OGR_STYLE = feature style string (NULL —
+    the engine's layers carry no style table, matching featureless OGR
+    sources).  Real fields of the same name shadow these (the reference
+    resolves schema fields first)."""
+    from . import geom as geommod
+
+    if name == "FID":
+        return F.col(fid_col).cast("long"), None
+    if name == "OGR_STYLE":
+        return F.lit(None).cast("string"), StringType()
+    if geom_col is None:
+        raise ValueError(f"OGR SQL: {name} requires a geometry column (geom_wkb)")
+
+    if name == "OGR_GEOMETRY":
+        @F.pandas_udf("string")
+        def _gname(wkb: pd.Series) -> pd.Series:
+            return wkb.map(lambda b: geommod.wkb_geometry_name(b) if b is not None else None)
+
+        return _gname(F.col(geom_col)), StringType()
+    if name == "OGR_GEOM_WKT":
+        @F.pandas_udf("string")
+        def _gwkt(wkb: pd.Series) -> pd.Series:
+            return wkb.map(lambda b: geommod.wkt_dumps(bytes(b)) if b is not None else None)
+
+        return _gwkt(F.col(geom_col)), StringType()
+    # OGR_GEOM_AREA: 0.0 for non-surface geometries (OGRGeometry::get_Area)
+    from .vector import shoelace_area_py
+
+    @F.pandas_udf("double")
+    def _garea(wkb: pd.Series) -> pd.Series:
+        def one(b):
+            if b is None:
+                return None
+            kind, _ = geommod.wkb_loads(bytes(b))
+            return shoelace_area_py(bytes(b)) if kind in ("Polygon", "MultiPolygon") else 0.0
+
+        return wkb.map(one)
+
+    return _garea(F.col(geom_col)), None
 
 
 def execute_ogr_sql(spark_or_tables, sql: str) -> DataFrame:
@@ -494,10 +553,16 @@ def _exec(src, ast) -> DataFrame:
         for f in t.schema.fields:
             schema_types.setdefault(f.name, f.dataType)
 
+    fid_col = primary.columns[0]  # scan order = first column (fid by convention)
+    geom_col = "geom_wkb" if "geom_wkb" in primary.columns else None
+
     def resolver(tbl, col):
-        if col not in schema_types:
-            raise ValueError(f"OGR SQL: unknown column {col}")
-        return F.col(col), schema_types[col]
+        if col in schema_types:  # real fields shadow special fields
+            return F.col(col), schema_types[col]
+        cu = col.upper()
+        if cu in _SPECIAL_FIELDS:
+            return _special_field(cu, fid_col, geom_col)
+        raise ValueError(f"OGR SQL: unknown column {col}")
 
     comp = _Compiler(resolver)
 

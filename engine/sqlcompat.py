@@ -155,15 +155,33 @@ def first_match_left_join(
 def summary_select(df: DataFrame, aggs: dict) -> DataFrame:
     """Whole-table summary (no GROUP BY — one output row, SWQM_SUMMARY_RECORD
     ogr_gensql.cpp:761-1005).  ``aggs``: {alias: ("min"|"max"|"avg"|"sum"|
-    "count"|"count_distinct", col)}.  COUNT(*) = ("count", "*")."""
+    "count"|"count_distinct", col)}.  COUNT(*) = ("count", "*").
+
+    Date/timestamp semantics (ogr_gensql.cpp:927-945, ogr/swq.cpp:438-445):
+    AVG over a date/timestamp column averages UNIX TIME (whole seconds —
+    OGRField carries integer seconds) and yields a double; MIN/MAX keep the
+    value as its STRING form (GetFieldAsString 'YYYY/MM/DD HH:MM:SS')."""
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
     exprs = []
     for alias, (fn, col) in aggs.items():
         if fn == "count" and col == "*":
             exprs.append(F.count(F.lit(1)).alias(alias))
-        elif fn == "count_distinct":
+            continue
+        if fn == "count_distinct":
             exprs.append(F.countDistinct(col).alias(alias))
-        else:
-            exprs.append(getattr(F, fn)(col).alias(alias))
+            continue
+        t = dtypes.get(col) if isinstance(col, str) else None
+        if isinstance(t, (DateType, TimestampType, TimestampNTZType)):
+            if fn == "avg":
+                exprs.append(F.avg(F.unix_timestamp(F.col(col).cast("timestamp"))).alias(alias))
+                continue
+            if fn in ("min", "max"):
+                fmt = "yyyy/MM/dd" if isinstance(t, DateType) else "yyyy/MM/dd HH:mm:ss"
+                exprs.append(F.date_format(getattr(F, fn)(F.col(col)), fmt).alias(alias))
+                continue
+        exprs.append(getattr(F, fn)(col).alias(alias))
     return df.agg(*exprs)
 
 

@@ -151,3 +151,49 @@ def test_not_and_parens(tables):
     # NOT(...) : Paris(a,2M)→F; lyon(no a... 'lyon' has no 'a')→T; NICE pop340k no 'a'→T;
     # None-state excluded; Brest pop 0 → NOT(F)=T
     assert got == [2, 3, 5]
+
+
+def test_special_fields(spark, tables):
+    # FID / OGR_GEOMETRY / OGR_GEOM_WKT / OGR_GEOM_AREA / OGR_STYLE
+    # (ogr/ogr_p.h:104-111, ogr/ogr_sql.dox:459-520)
+    from engine import geom
+
+    shapes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "sid": pd.array([7, 8], dtype="int32"),
+                "geom_wkb": [
+                    geom.wkb_polygon([[(0, 0), (4, 0), (4, 3), (0, 3)]]),
+                    geom.wkb_linestring([(0.0, 0.0), (2.5, 0.0)]),
+                ],
+            }
+        )
+    )
+    rows = {r["FID"]: r for r in q(
+        {"shapes": shapes},
+        "SELECT FID, OGR_GEOMETRY, OGR_GEOM_WKT, OGR_GEOM_AREA, OGR_STYLE FROM shapes",
+    ).collect()}
+    assert rows[7]["OGR_GEOMETRY"] == "POLYGON"
+    assert rows[7]["OGR_GEOM_WKT"] == "POLYGON ((0 0,4 0,4 3,0 3,0 0))"
+    assert rows[7]["OGR_GEOM_AREA"] == 12.0
+    assert rows[7]["OGR_STYLE"] is None
+    assert rows[8]["OGR_GEOMETRY"] == "LINESTRING"
+    assert rows[8]["OGR_GEOM_WKT"] == "LINESTRING (0 0,2.5 0)"
+    assert rows[8]["OGR_GEOM_AREA"] == 0.0
+    # usable in WHERE; real fields shadow special names
+    got = q({"shapes": shapes}, "SELECT FID FROM shapes WHERE OGR_GEOMETRY = 'POLYGON'").collect()
+    assert [r["FID"] for r in got] == [7]
+
+
+def test_summary_date_semantics(spark):
+    # AVG over timestamps = unix-time average; MIN/MAX string form
+    # (ogr_gensql.cpp:927-945, ogr/swq.cpp:438-445)
+    ts = pd.to_datetime(["2024-01-01 00:00:10", "2024-01-03 00:00:20"])
+    df = spark.createDataFrame(pd.DataFrame({"fid": [1, 2], "d": ts}))
+    row = q({"t": df}, "SELECT MIN(d), MAX(d), AVG(d) FROM t").collect()[0]
+    assert row[0] == "2024/01/01 00:00:10"
+    assert row[1] == "2024/01/03 00:00:20"
+    import calendar
+    e0 = calendar.timegm((2024, 1, 1, 0, 0, 10))
+    e1 = calendar.timegm((2024, 1, 3, 0, 0, 20))
+    assert row[2] == (e0 + e1) / 2.0
