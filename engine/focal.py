@@ -174,13 +174,67 @@ def hillshade_kernel(pad: np.ndarray) -> np.ndarray:
     return np.clip(np.floor(shaded * 255.0 + 0.5), 0, 255).astype(np.int64)
 
 
+def tpi_kernel(pad: np.ndarray) -> np.ndarray:
+    """Topographic Position Index: center − mean of the 8 neighbors, ×100
+    rounded (apps/gdaldem.cpp:37-125 TPI case) — positive on ridges,
+    negative in valleys."""
+    c = pad[1:-1, 1:-1].astype(np.float64)
+    acc = np.zeros_like(c)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if dr == 0 and dc == 0:
+                continue
+            acc += pad[1 + dr : 1 + dr + TILE_SIZE, 1 + dc : 1 + dc + TILE_SIZE]
+    v = c - acc / 8.0
+    return np.floor(np.abs(v) * 100.0 + 0.5).astype(np.int64) * np.sign(v).astype(np.int64)
+
+
 KERNELS = {
     "slope": slope_kernel,
     "tri": tri_kernel,
     "roughness": roughness_kernel,
     "aspect": aspect_kernel,
     "hillshade": hillshade_kernel,
+    "tpi": tpi_kernel,
 }
+
+
+def color_relief(tile_df: DataFrame, ramp: list) -> DataFrame:
+    """gdaldem color-relief (apps/gdaldem.cpp GDALColorRelief /
+    GDALColorReliefGetRGBA): per-pixel linear interpolation of an
+    (elevation, r, g, b) ramp, GDAL's quirky ``(int)(0.45 + ...)``
+    near-round included; values outside the ramp clamp to the end entries
+    (COLOR_SELECTION_INTERPOLATE default).
+
+    Pointwise (no halo): one mapInPandas over the tile table.  Output
+    packs RGB into one int band (r<<16 | g<<8 | b) so the tile schema is
+    unchanged — a 3-band sink splits it back out.
+    """
+    from typing import Iterator
+
+    ramp = sorted((float(e), int(r), int(g), int(b)) for e, r, g, b in ramp)
+    ev = np.array([e for e, *_ in ramp])
+    chans = [np.array([c[i + 1] for c in ramp], dtype=np.float64) for i in range(3)]
+
+    def _apply(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                g = bytes_to_tile(row.data).astype(np.float64)
+                idx = np.clip(np.searchsorted(ev, g, side="right"), 1, len(ev) - 1)
+                e0 = ev[idx - 1]
+                e1 = ev[idx]
+                ratio = np.clip((g - e0) / np.where(e1 != e0, e1 - e0, 1.0), 0.0, 1.0)
+                rgb = []
+                for ch in chans:
+                    c0 = ch[idx - 1]
+                    c1 = ch[idx]
+                    rgb.append(np.floor(0.45 + c0 + ratio * (c1 - c0)).astype(np.int64))
+                packed = (rgb[0] << 16) | (rgb[1] << 8) | rgb[2]
+                out.append((int(row.tx), int(row.ty), tile_to_bytes(packed)))
+            yield pd.DataFrame(out, columns=["tx", "ty", "data"])
+
+    return tile_df.select("tx", "ty", "data").mapInPandas(_apply, "tx long, ty long, data binary")
 
 
 def focal(tile_df: DataFrame, kernel: str) -> DataFrame:

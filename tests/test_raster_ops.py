@@ -101,7 +101,7 @@ def test_point_raster_lookup(spark, tile_table):
         assert out[2] is None
 
 
-@pytest.mark.parametrize("kernel", ["slope", "tri", "roughness", "aspect", "hillshade"])
+@pytest.mark.parametrize("kernel", ["slope", "tri", "roughness", "aspect", "hillshade", "tpi"])
 def test_focal_matches_numpy(spark, tile_table, kernel):
     """Distributed halo-exchange focal == single-process numpy on the
     mosaicked full grid (cross-tile seams must be exact)."""
@@ -186,3 +186,37 @@ def test_pyramid_methods(spark):
     )
     exp = np.floor(acc / 16.0 + 0.5).astype(np.int64)
     assert (by["gauss"] == exp).all()
+
+
+def test_color_relief_matches_gdal_formula(spark):
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 1000, (256, 256)).astype(np.int64)
+    df = spark.createDataFrame(
+        pd.DataFrame({"zoom": [4], "tx": [2], "ty": [3], "data": [raster.tile_to_bytes(g)]})
+    )
+    ramp = [(0, 0, 0, 255), (500, 0, 255, 0), (1000, 255, 0, 0)]
+    out = focal.color_relief(df, ramp).collect()
+    assert len(out) == 1
+    packed = raster.bytes_to_tile(out[0].data)
+    # direct formula: GDAL's (int)(0.45 + c0 + ratio*(c1-c0)) per channel
+    def expect_px(v):
+        if v <= 500:
+            lo, hi, r = (0, 0, 255), (0, 255, 0), (v - 0) / 500.0
+        else:
+            lo, hi, r = (0, 255, 0), (255, 0, 0), (v - 500) / 500.0
+        return tuple(int(np.floor(0.45 + a + r * (b - a))) for a, b in zip(lo, hi))
+    for (rr, cc) in [(0, 0), (10, 200), (255, 255), (128, 17)]:
+        er, eg, eb = expect_px(float(g[rr, cc]))
+        got = int(packed[rr, cc])
+        assert (got >> 16, (got >> 8) & 255, got & 255) == (er, eg, eb)
+    # clamping below/above the ramp
+    g2 = np.full((256, 256), -50, dtype=np.int64)
+    g2[0, 0] = 2000
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"zoom": [4], "tx": [0], "ty": [0], "data": [raster.tile_to_bytes(g2)]})
+    )
+    p2 = raster.bytes_to_tile(focal.color_relief(df2, ramp).collect()[0].data)
+    assert p2[1, 1] == 255          # clamp to first entry (0,0,255)
+    assert p2[0, 0] == (255 << 16)  # clamp to last entry (255,0,0)
