@@ -1755,6 +1755,84 @@ def _sql_grid_metrics() -> str:
     """
 
 
+def _q_st_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGRGeometry::Distance (ogr/ogrgeometry.cpp:2039) as the ST_Distance
+    kernel: distance from each event point to a fixed rectangle (0 inside);
+    the oracle is the closed-form point-to-box distance."""
+    from engine import geom as geommod
+    from engine import geomops
+
+    rect = geommod.wkb_polygon([[(-170.0, -30.0), (-150.0, -30.0), (-150.0, 20.0), (-170.0, 20.0)]])
+    pts = _points(spark, sf_dir).where(F.col("event_id") < 3000)
+
+    @F.pandas_udf("double")
+    def _dist(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                geomops.geometry_distance(geommod.wkb_point(float(x), float(y)), rect)
+                for x, y in zip(lon, lat)
+            ]
+        )
+
+    return pts.select("event_id", F.round(_dist("lon", "lat"), 6).alias("dist"))
+
+
+def _sql_st_distance() -> str:
+    return f"""
+        WITH pts AS (
+            SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+            WHERE event_id < 3000
+        )
+        SELECT event_id,
+               ROUND(sqrt(greatest(-170.0 - lon, lon - (-150.0), 0.0)
+                          * greatest(-170.0 - lon, lon - (-150.0), 0.0)
+                        + greatest(-30.0 - lat, lat - 20.0, 0.0)
+                          * greatest(-30.0 - lat, lat - 20.0, 0.0)), 6) AS dist
+        FROM pts
+    """
+
+
+def _q_grid_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALGridMovingAverage (alg/gdalgrid.cpp:580): mean of point values
+    within a 1.5° radius per output cell — the plain windowed value-average
+    variant (metrics/IDW are separate queries)."""
+    from engine import joins
+
+    centers = spark.range(32 * 32).select(
+        F.col("id").cast("int").alias("qid"),
+        (-180.0 + (F.col("id") % 32) + 0.5).alias("lon"),
+        (-16.0 + F.floor(F.col("id") / 32) + 0.5).alias("lat"),
+    )
+    pts = _points(spark, sf_dir).select(
+        "lon", "lat", (F.col("event_id") % 97).cast("double").alias("z")
+    )
+    out = joins.grid_moving_average(centers, pts, "z", radius=1.5, zoom=6, ring=1)
+    return out.select("qid", F.round("moving_avg", 6).alias("moving_avg"), "count")
+
+
+def _sql_grid_moving_average() -> str:
+    return f"""
+        WITH centers AS (
+            SELECT CAST(i AS INT) AS qid,
+                   -180.0 + (i % 32) + 0.5 AS clon,
+                   -16.0 + floor(i / 32) + 0.5 AS clat
+            FROM (SELECT UNNEST(range(1024)) AS i)
+        ), pts AS (
+            SELECT {_LON_SQL} AS lon, {_LAT_SQL} AS lat,
+                   CAST(event_id % 97 AS DOUBLE) AS z
+            FROM events
+        ), hits AS (
+            SELECT qid, z
+            FROM centers, pts
+            WHERE (clon - lon) * (clon - lon) + (clat - lat) * (clat - lat) <= 2.25
+        )
+        SELECT qid,
+               ROUND(CAST(SUM(CAST(z AS DECIMAL(26,12))) AS DOUBLE) / COUNT(*), 6) AS moving_avg,
+               COUNT(*) AS "count"
+        FROM hits GROUP BY qid HAVING COUNT(*) >= 1
+    """
+
+
 def _q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConvexHull (ogr/ogrgeometry.cpp:2138) as a distributed combiner:
     per-partition partial hulls → hull-of-hulls.  Lattice diamonds
@@ -2196,6 +2274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour_polylines": _q_contour_polylines,
         "lineref_locate": _q_lineref_locate,
         "grid_metrics": _q_grid_metrics,
+        "grid_moving_average": _q_grid_moving_average,
+        "st_distance": _q_st_distance,
         "polygonize_shapes": _q_polygonize_shapes,
         "median_cut_palette": _q_median_cut_palette,
         "st_relations": _q_st_relations,
@@ -2259,6 +2339,8 @@ def oracle_sql() -> dict[str, str]:
         "contour_polylines": _sql_contour_polylines(),
         "lineref_locate": _sql_lineref_locate(),
         "grid_metrics": _sql_grid_metrics(),
+        "grid_moving_average": _sql_grid_moving_average(),
+        "st_distance": _sql_st_distance(),
         "polygonize_shapes": _sql_polygonize_shapes(),
         "median_cut_palette": _sql_median_cut_palette(),
         "st_relations": _sql_st_relations(),

@@ -201,3 +201,224 @@ def _wkb_linestring(pts: np.ndarray) -> bytes:
 
     pts = np.asarray(pts, dtype=np.float64)
     return struct.pack("<BII", 1, geom.WKB_LINESTRING, pts.shape[0]) + pts.astype("<f8").tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Scalar geometry methods: Distance / Boundary / IsValid /
+# SimplifyPreserveTopology / force-casts (ogr/ogrgeometry.cpp:2039,2227,
+# 1361,3833; ogr/ogrgeometryfactory.cpp:496,575)
+# ---------------------------------------------------------------------------
+
+
+def _geom_segments_points(kind, body):
+    """Any parsed geometry → (segments list [(4,) a..b], points (N,2))."""
+    segs = []
+    pts = []
+
+    def add_line(arr, ring=False):
+        arr = np.asarray(arr, dtype=np.float64)
+        pts.append(arr)
+        n = arr.shape[0]
+        for i in range(n - 1):
+            segs.append((arr[i], arr[i + 1]))
+        if ring and n >= 2 and not np.array_equal(arr[0], arr[-1]):
+            segs.append((arr[-1], arr[0]))
+
+    if kind == "Point":
+        pts.append(np.array([body], dtype=np.float64))
+    elif kind == "LineString":
+        add_line(body)
+    elif kind == "Polygon":
+        for r in body:
+            add_line(r, ring=True)
+    else:  # Multi* / GeometryCollection
+        for pk, pb in body:
+            s2, p2 = _geom_segments_points(pk, pb)
+            segs.extend(s2)
+            pts.extend(p2)
+    return segs, pts
+
+
+def _seg_seg_distance(a0, a1, b0, b1) -> float:
+    """Min distance between two segments (0 when crossing)."""
+    def pt_seg(p, s0, s1):
+        d = s1 - s0
+        L2 = float(d @ d)
+        if L2 == 0.0:
+            return float(np.hypot(*(p - s0)))
+        t = float(np.clip((p - s0) @ d / L2, 0.0, 1.0))
+        return float(np.hypot(*(p - (s0 + t * d))))
+
+    def ccw(p, q, r):
+        return (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+
+    d1, d2 = ccw(a0, a1, b0), ccw(a0, a1, b1)
+    d3, d4 = ccw(b0, b1, a0), ccw(b0, b1, a1)
+    if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+        return 0.0
+    return min(pt_seg(b0, a0, a1), pt_seg(b1, a0, a1), pt_seg(a0, b0, b1), pt_seg(a1, b0, b1))
+
+
+def geometry_distance(a_wkb: bytes, b_wkb: bytes) -> float:
+    """OGRGeometry::Distance (ogrgeometry.cpp:2039): min planar distance;
+    0 when the geometries intersect (including polygon containment)."""
+    ka, ba = geom.wkb_loads(bytes(a_wkb))
+    kb, bb = geom.wkb_loads(bytes(b_wkb))
+    # polygon containment → 0 (a point of one inside the other)
+    for (kp, wp, ko, bo_) in ((ka, a_wkb, kb, bb), (kb, b_wkb, ka, ba)):
+        if kp in ("Polygon", "MultiPolygon"):
+            prep = geom.PreparedPolygon(bytes(wp))
+            _, opts = _geom_segments_points(ko, bo_)
+            for arr in opts:
+                if prep.contains(arr[:, 0], arr[:, 1]).any():
+                    return 0.0
+    sa, pa = _geom_segments_points(ka, ba)
+    sb, pb = _geom_segments_points(kb, bb)
+    best = np.inf
+    if sa and sb:
+        for x0, x1 in sa:
+            for y0, y1 in sb:
+                best = min(best, _seg_seg_distance(x0, x1, y0, y1))
+    elif sa:  # b is point(s)
+        for arr in pb:
+            for p in arr:
+                for x0, x1 in sa:
+                    best = min(best, _seg_seg_distance(x0, x1, p, p))
+    elif sb:
+        for arr in pa:
+            for p in arr:
+                for y0, y1 in sb:
+                    best = min(best, _seg_seg_distance(y0, y1, p, p))
+    else:  # point vs point
+        for arr in pa:
+            for p in arr:
+                for arr2 in pb:
+                    best = min(best, float(np.min(np.hypot(arr2[:, 0] - p[0], arr2[:, 1] - p[1]))))
+    return float(best)
+
+
+def geometry_boundary(wkb: bytes) -> bytes:
+    """OGRGeometry::Boundary (ogrgeometry.cpp:2227): Polygon → the ring set
+    as MultiLineString; LineString → MultiPoint of its endpoints (empty for
+    closed lines); Point → empty GeometryCollection."""
+    import struct
+
+    kind, body = geom.wkb_loads(bytes(wkb))
+    if kind in ("Polygon", "MultiPolygon"):
+        rings = body if kind == "Polygon" else [r for _, prings in body for r in prings]
+        closed = [
+            np.vstack([r, r[:1]]) if not np.array_equal(r[0], r[-1]) else np.asarray(r)
+            for r in rings
+        ]
+        return geom.wkb_multilinestring(closed)
+    if kind == "LineString":
+        arr = np.asarray(body, dtype=np.float64)
+        if np.array_equal(arr[0], arr[-1]):
+            ends = []
+        else:
+            ends = [arr[0], arr[-1]]
+        out = [struct.pack("<BII", 1, geom.WKB_MULTIPOINT, len(ends))]
+        for p in ends:
+            out.append(geom.wkb_point(float(p[0]), float(p[1])))
+        return b"".join(out)
+    # Point → empty GeometryCollection
+    return struct.pack("<BII", 1, geom.WKB_GEOMETRYCOLLECTION, 0)
+
+
+def _segments_self_intersect(arr: np.ndarray) -> bool:
+    """Any two non-adjacent segments of the CLOSED ring cross (proper or
+    collinear-overlap touch)."""
+    r = np.asarray(arr, dtype=np.float64)
+    if np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    n = r.shape[0]
+
+    def ccw(p, q, s):
+        return (q[0] - p[0]) * (s[1] - p[1]) - (q[1] - p[1]) * (s[0] - p[0])
+
+    for i in range(n):
+        a0, a1 = r[i], r[(i + 1) % n]
+        for j in range(i + 1, n):
+            if j == i or (j + 1) % n == i or (i + 1) % n == j:
+                continue
+            b0, b1 = r[j], r[(j + 1) % n]
+            d1, d2 = ccw(a0, a1, b0), ccw(a0, a1, b1)
+            d3, d4 = ccw(b0, b1, a0), ccw(b0, b1, a1)
+            if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+                return True
+    return False
+
+
+def geometry_is_valid(wkb: bytes) -> bool:
+    """OGRGeometry::IsValid (ogrgeometry.cpp:1361) — the practical subset
+    GEOS checks that this kernel family relies on: rings have ≥ 4 points
+    (closed form) and nonzero area, exterior rings don't self-intersect,
+    every hole lies inside its exterior.  Non-polygonal geometries with ≥ 1
+    point are valid (matching GEOS for simple points/lines)."""
+    kind, body = geom.wkb_loads(bytes(wkb))
+    if kind not in ("Polygon", "MultiPolygon"):
+        return True
+    polys = [body] if kind == "Polygon" else [b for _, b in body]
+    from . import clip as clipmod
+
+    for rings in polys:
+        for i, r in enumerate(rings):
+            arr = np.asarray(r, dtype=np.float64)
+            closed = np.array_equal(arr[0], arr[-1])
+            if (arr.shape[0] - (1 if closed else 0)) < 3:
+                return False
+            if abs(clipmod.signed_area(arr)) <= 1e-12:
+                return False
+            if _segments_self_intersect(arr):
+                return False
+        ext = geom.PreparedPolygon(geom.wkb_polygon([rings[0]]))
+        for hole in rings[1:]:
+            h = np.asarray(hole, dtype=np.float64)
+            if not ext.contains(h[:, 0], h[:, 1]).all():
+                return False
+    return True
+
+
+def simplify_preserve_topology(ring: np.ndarray, tol: float) -> np.ndarray:
+    """SimplifyPreserveTopology (ogrgeometry.cpp:3833 → GEOS
+    TopologyPreservingSimplifier): Douglas–Peucker, but the result must
+    stay a valid simple ring (≥ 3 distinct points, no self-intersection);
+    on violation the tolerance halves and the ring re-simplifies (bounded),
+    degrading to the original ring — a documented conservative deviation
+    from GEOS's per-vertex constraint enforcement with identical
+    guarantees (output valid, within tol of the input)."""
+    r = np.asarray(ring, dtype=np.float64)
+    closed = np.array_equal(r[0], r[-1])
+    base = r if closed else np.vstack([r, r[:1]])
+    t = float(tol)
+    for _ in range(8):
+        simp = douglas_peucker(base, t)
+        core = simp[:-1] if np.array_equal(simp[0], simp[-1]) else simp
+        if core.shape[0] >= 3 and not _segments_self_intersect(simp):
+            return simp if closed else core
+        t /= 2.0
+    return base if closed else r
+
+
+def force_polygon(wkb: bytes) -> bytes:
+    """OGRGeometryFactory::forceToPolygon (ogrgeometryfactory.cpp:496):
+    MultiPolygon → one Polygon carrying ALL rings (first part's exterior
+    first, remaining parts' rings appended); Polygon passes through."""
+    kind, body = geom.wkb_loads(bytes(wkb))
+    if kind == "Polygon":
+        return bytes(wkb)
+    if kind == "MultiPolygon":
+        rings = [r for _, prings in body for r in prings]
+        return geom.wkb_polygon(rings)
+    raise ValueError(f"forceToPolygon: unsupported {kind}")
+
+
+def force_multipolygon(wkb: bytes) -> bytes:
+    """OGRGeometryFactory::forceToMultiPolygon (ogrgeometryfactory.cpp:575):
+    Polygon → single-member MultiPolygon; MultiPolygon passes through."""
+    kind, body = geom.wkb_loads(bytes(wkb))
+    if kind == "MultiPolygon":
+        return bytes(wkb)
+    if kind == "Polygon":
+        return geom.wkb_multipolygon([body])
+    raise ValueError(f"forceToMultiPolygon: unsupported {kind}")

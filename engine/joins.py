@@ -670,6 +670,49 @@ def grid_metrics(
     )
 
 
+def grid_moving_average(
+    queries: DataFrame,
+    points: DataFrame,
+    value_col: str,
+    radius: float,
+    zoom: int = 6,
+    ring: int = 1,
+    min_points: int = 1,
+    query_id: str = "qid",
+) -> DataFrame:
+    """Moving average of point VALUES within ``radius`` of each query cell —
+    GDALGridMovingAverage (alg/gdalgrid.cpp:580): value = Σvᵢ/n over the
+    circular search window, rows with fewer than ``min_points`` neighbors
+    dropped (the nodata case).  Same single-shuffle ring/cell plan as
+    :func:`grid_metrics`; the sum accumulates in decimal so the double
+    result is order-independent across partitionings and engines."""
+    cell_deg = 360.0 / (2 ** zoom)
+    if ring * cell_deg < radius:
+        raise ValueError(f"ring window {ring}×{cell_deg}° cells does not cover radius {radius}°")
+    pts = with_cell(points, zoom, "lon", "lat").select(
+        F.col(value_col).alias("_v"), F.col("lon").alias("_plon"), F.col("lat").alias("_plat"), "cell"
+    )
+    cells_udf = _ring_cells_udf(zoom, ring)
+    cand = (
+        queries.select(query_id, "lon", "lat")
+        .withColumn("_r", cells_udf(F.col("lon"), F.col("lat")))
+        .select(query_id, "lon", "lat", F.explode("_r.cells").alias("cell"))
+        .join(pts, on="cell", how="inner")
+    )
+    dlon = F.col("lon") - F.col("_plon")
+    dlat = F.col("lat") - F.col("_plat")
+    d2 = dlon * dlon + dlat * dlat
+    hits = cand.where(d2 <= F.lit(radius * radius)).select(query_id, F.col("_v"))
+    return (
+        hits.groupBy(query_id)
+        .agg(
+            (F.sum(F.col("_v").cast("decimal(26,12)")).cast("double") / F.count(F.lit(1))).alias("moving_avg"),
+            F.count(F.lit(1)).alias("count"),
+        )
+        .where(F.col("count") >= min_points)
+    )
+
+
 def knn_join_broadcast(
     queries: DataFrame,
     points: DataFrame,

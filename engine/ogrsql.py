@@ -421,8 +421,12 @@ class _Compiler:
         if kind == "not":
             return ~self.col(node[1]), None
         if kind == "cast":
-            c = self.col(node[1])
+            c, src_t = self.typed(node[1])
             typ, width = node[2], node[3]
+            from pyspark.sql.types import BinaryType
+
+            if isinstance(src_t, BinaryType) or typ in ("GEOMETRY", "POLYGON", "MULTIPOLYGON"):
+                return self._geometry_cast(c, src_t, typ, width)
             if typ in ("CHARACTER", "VARCHAR", "TEXT", "STRING"):
                 return sqlcompat.ogr_cast_character(c, width), StringType()
             if typ in ("INTEGER", "INT", "BIGINT"):
@@ -465,6 +469,32 @@ class _Compiler:
                     return F.date_format({"MIN": F.min, "MAX": F.max}[fname](c), fmt), StringType()
             return {"MIN": F.min, "MAX": F.max, "SUM": F.sum, "AVG": F.avg}[fname](c), None
         raise ValueError(f"OGR SQL: node {kind} unsupported")
+
+    def _geometry_cast(self, c: Column, src_t, typ: str, width):
+        """Geometry CAST (ogr_gensql.cpp:1226-1260): geometry → CHARACTER
+        gives WKT (truncated to the width); CAST(... AS GEOMETRY) passes
+        through; POLYGON / MULTIPOLYGON apply the force-casts
+        (ogr/ogrgeometryfactory.cpp:496,575)."""
+        from . import geom as geommod
+        from . import geomops
+
+        if typ in ("CHARACTER", "VARCHAR", "TEXT", "STRING"):
+            @F.pandas_udf("string")
+            def _wkt(wkb: pd.Series) -> pd.Series:
+                return wkb.map(lambda b: None if b is None else geommod.wkt_dumps(bytes(b)))
+
+            return sqlcompat.ogr_cast_character(_wkt(c), width), StringType()
+        if typ == "GEOMETRY":
+            return c, src_t
+        if typ in ("POLYGON", "MULTIPOLYGON"):
+            fn = geomops.force_polygon if typ == "POLYGON" else geomops.force_multipolygon
+
+            @F.pandas_udf("binary")
+            def _force(wkb: pd.Series) -> pd.Series:
+                return wkb.map(lambda b: None if b is None else fn(b))
+
+            return _force(c), src_t
+        raise ValueError(f"OGR SQL: CAST of geometry to {typ} unsupported")
 
 
 _SPECIAL_FIELDS = {"FID", "OGR_GEOMETRY", "OGR_GEOM_WKT", "OGR_GEOM_AREA", "OGR_STYLE"}

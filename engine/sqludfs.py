@@ -87,6 +87,41 @@ def register_sql_udfs(spark: SparkSession) -> None:
 
         return wkb.map(one)
 
+    @F.pandas_udf(DoubleType())
+    def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if (x is None or y is None) else geomops.geometry_distance(x, y)
+                for x, y in zip(a, b)
+            ]
+        )
+
+    @F.pandas_udf(BooleanType())
+    def st_is_valid(wkb: pd.Series) -> pd.Series:
+        return wkb.map(lambda b: None if b is None else geomops.geometry_is_valid(b))
+
+    @F.pandas_udf("binary")
+    def st_boundary(wkb: pd.Series) -> pd.Series:
+        return wkb.map(lambda b: None if b is None else geomops.geometry_boundary(b))
+
+    @F.pandas_udf("binary")
+    def st_simplify_preserve_topology(wkb: pd.Series, tol: pd.Series) -> pd.Series:
+        def one(b, t):
+            if b is None:
+                return None
+            kind, body = geom.wkb_loads(bytes(b))
+            if kind == "LineString":
+                return geom.wkb_linestring(
+                    geomops.simplify_preserve_topology(np.asarray(body, dtype=np.float64), float(t))
+                )
+            if kind == "Polygon":
+                return geom.wkb_polygon(
+                    [geomops.simplify_preserve_topology(np.asarray(r, dtype=np.float64), float(t)) for r in body]
+                )
+            raise ValueError(f"ST_SimplifyPreserveTopology: unsupported {kind}")
+
+        return pd.Series([one(b, t) for b, t in zip(wkb, tol)])
+
     spark.udf.register("ST_Area", st_area)  # vector.st_area, parts/hole-correct
     spark.udf.register("ST_Centroid_X", st_centroid_x)
     spark.udf.register("ST_Centroid_Y", st_centroid_y)
@@ -98,3 +133,7 @@ def register_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("ST_Contains", _pred({"contains", "equals"}))
     spark.udf.register("ST_Within", _pred({"within", "equals"}))
     spark.udf.register("ST_ConvexHull_Area", st_convex_hull_area)
+    spark.udf.register("ST_Distance", st_distance)  # ogrgeometry.cpp:2039
+    spark.udf.register("ST_IsValid", st_is_valid)  # :1361
+    spark.udf.register("ST_Boundary", st_boundary)  # :2227
+    spark.udf.register("ST_SimplifyPreserveTopology", st_simplify_preserve_topology)  # :3833

@@ -160,3 +160,106 @@ def test_registered_st_udfs(spark):
     assert dr.rel == "disjoint"
     assert dr.area == 84.0
     assert abs(dr.cx - 5.0) < 1e-9
+
+
+def test_geometry_distance():
+    from engine import geom, geomops
+
+    sq = geom.wkb_polygon([[(0, 0), (10, 0), (10, 10), (0, 10)]])
+    # point outside / inside / touching-ish
+    assert abs(geomops.geometry_distance(geom.wkb_point(15, 5), sq) - 5.0) < 1e-12
+    assert geomops.geometry_distance(geom.wkb_point(5, 5), sq) == 0.0
+    assert abs(geomops.geometry_distance(geom.wkb_point(13, 14), sq) - 5.0) < 1e-12
+    # line crossing the polygon → 0; parallel line → gap
+    ln = geom.wkb_linestring([(-5.0, 5.0), (15.0, 5.0)])
+    assert geomops.geometry_distance(ln, sq) == 0.0
+    ln2 = geom.wkb_linestring([(0.0, 13.0), (10.0, 13.0)])
+    assert abs(geomops.geometry_distance(ln2, sq) - 3.0) < 1e-12
+    # polygon-polygon disjoint / contained
+    sq2 = geom.wkb_polygon([[(20, 0), (30, 0), (30, 10), (20, 10)]])
+    assert abs(geomops.geometry_distance(sq, sq2) - 10.0) < 1e-12
+    inner = geom.wkb_polygon([[(2, 2), (3, 2), (3, 3), (2, 3)]])
+    assert geomops.geometry_distance(sq, inner) == 0.0
+    # point-point
+    assert abs(geomops.geometry_distance(geom.wkb_point(0, 0), geom.wkb_point(3, 4)) - 5.0) < 1e-12
+
+
+def test_geometry_boundary_and_validity():
+    from engine import geom, geomops
+
+    sq = geom.wkb_polygon([[(0, 0), (10, 0), (10, 10), (0, 10)], [(2, 2), (4, 2), (4, 4), (2, 4)]])
+    kind, body = geom.wkb_loads(geomops.geometry_boundary(sq))
+    assert kind == "MultiLineString" and len(body) == 2
+    for _, ring in body:
+        assert np.array_equal(ring[0], ring[-1])  # boundary rings closed
+    ln = geom.wkb_linestring([(0.0, 0.0), (5.0, 5.0)])
+    kind, body = geom.wkb_loads(geomops.geometry_boundary(ln))
+    assert kind == "MultiPoint" and len(body) == 2
+    assert geomops.geometry_is_valid(sq)
+    # bowtie: self-intersecting exterior → invalid
+    bow = geom.wkb_polygon([[(0, 0), (10, 10), (10, 0), (0, 10)]])
+    assert not geomops.geometry_is_valid(bow)
+    # hole outside exterior → invalid
+    bad = geom.wkb_polygon([[(0, 0), (10, 0), (10, 10), (0, 10)], [(20, 20), (22, 20), (22, 22), (20, 22)]])
+    assert not geomops.geometry_is_valid(bad)
+
+
+def test_simplify_preserve_topology():
+    from engine import geomops
+
+    # a ring where plain DP at huge tolerance would collapse: SPT must keep
+    # a valid ≥3-point simple ring
+    ring = np.array([(0, 0), (5, 0.1), (10, 0), (10, 10), (0, 10), (0, 0)], dtype=float)
+    out = geomops.simplify_preserve_topology(ring, 0.5)
+    assert out.shape[0] >= 4 and np.array_equal(out[0], out[-1])
+    assert not geomops._segments_self_intersect(out)
+    big = geomops.simplify_preserve_topology(ring, 1e9)
+    assert big.shape[0] >= 4
+    assert not geomops._segments_self_intersect(big)
+
+
+def test_force_casts():
+    from engine import geom, geomops
+
+    p = geom.wkb_polygon([[(0, 0), (1, 0), (1, 1), (0, 1)]])
+    mp = geomops.force_multipolygon(p)
+    kind, body = geom.wkb_loads(mp)
+    assert kind == "MultiPolygon" and len(body) == 1
+    back = geomops.force_polygon(mp)
+    assert geom.wkb_loads(back)[0] == "Polygon"
+    # multi-part → single polygon carrying all rings (gdal 2.0 behavior)
+    mp2 = geom.wkb_multipolygon([[[(0, 0), (1, 0), (1, 1), (0, 1)]], [[(5, 5), (6, 5), (6, 6), (5, 6)]]])
+    kind, rings = geom.wkb_loads(geomops.force_polygon(mp2))
+    assert kind == "Polygon" and len(rings) == 2
+
+
+def test_sql_geometry_cast_and_st_functions(spark):
+    import pandas as pd
+
+    from engine import geom
+    from engine.ogrsql import execute_ogr_sql
+    from engine.sqludfs import register_sql_udfs
+
+    register_sql_udfs(spark)
+    shapes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "sid": pd.array([1], dtype="int32"),
+                "geom_wkb": [geom.wkb_polygon([[(0, 0), (4, 0), (4, 3), (0, 3)]])],
+            }
+        )
+    )
+    row = execute_ogr_sql(
+        {"shapes": shapes},
+        "SELECT CAST(geom_wkb AS CHARACTER(18)) AS wkt, "
+        "CAST(geom_wkb AS MULTIPOLYGON) AS mp FROM shapes",
+    ).collect()[0]
+    assert row.wkt == "POLYGON ((0 0,4 0,"  # WKT truncated to width 18
+    assert geom.wkb_loads(bytes(row.mp))[0] == "MultiPolygon"
+    shapes.createOrReplaceTempView("shapes_v")
+    got = spark.sql(
+        "SELECT ST_Distance(geom_wkb, geom_wkb) AS d, ST_IsValid(geom_wkb) AS v, "
+        "ST_Boundary(geom_wkb) AS b FROM shapes_v"
+    ).collect()[0]
+    assert got.d == 0.0 and got.v is True
+    assert geom.wkb_loads(bytes(got.b))[0] == "MultiLineString"
