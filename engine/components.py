@@ -536,9 +536,8 @@ def sieve_filter(tile_df: DataFrame, min_pixels: int, background: int = 0) -> Da
 
     # --- pixel rewrite: changed ids join back to labels, cogroup tiles ---
     chdf = spark.createDataFrame(
-        pd.DataFrame(changed, columns=["component_id", "new_value"]).astype(
-            {"component_id": "string", "new_value": "int64"}
-        )
+        pd.DataFrame(changed, columns=["component_id", "new_value"]),
+        schema="component_id string, new_value long",
     )
     ch_labels = labels.select("tx", "ty", "label", "component_id").join(
         chdf, on="component_id"

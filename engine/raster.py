@@ -159,18 +159,23 @@ def burn_base_tiles(points: DataFrame, zoom: int, lon_col: str = "lon", lat_col:
 
 def pyramid_reduce(tile_df: DataFrame, method: str = "average") -> DataFrame:
     """Tile table at zoom z → zoom z−1 by 2×2 reduce; ``method`` ∈
-    average / nearest / mode / gauss (gcore/overview.cpp:1582-1590
-    resampling set; GAUSS_MAGPHASE n/a for scalar bands).
+    average / nearest / mode / gauss / cubic (gcore/overview.cpp:1582-1590
+    resampling set; AVERAGE_MAGPHASE is the complex-band variant —
+    :func:`pyramid_reduce_magphase`).
 
     Each parent mosaics its ≤4 children (missing child = zeros,
     gdal2tiles.py:1369-1387) and downsamples 2×.  AVERAGE:
     floor(sum/4 + 0.5); NEAREST: top-left pixel of each 2×2 block; MODE:
     most frequent of the 4 (ties → smallest value, GDAL's first-bin rule);
     GAUSS: 3×3 [1 2 1;2 4 2;1 2 1]/16 kernel centered on each even pixel
-    (edge-clamped), the GRA Gauss overview.  Child (cx,cy): cy=1 (higher
-    ty = north) lands in the TOP half of the parent raster.
+    (edge-clamped), the GRA Gauss overview; CUBIC: separable 4-tap cubic
+    convolution (A=−0.5) at the 2×2 block center — taps land at distances
+    {1.5, 0.5, 0.5, 1.5} giving fixed weights [−1, 9, 9, −1]/16,
+    edge-clamped (GDALResampleChunk32R_Cubic at exact 2:1).  Child
+    (cx,cy): cy=1 (higher ty = north) lands in the TOP half of the parent
+    raster.
     """
-    if method not in ("average", "nearest", "mode", "gauss"):
+    if method not in ("average", "nearest", "mode", "gauss", "cubic"):
         raise ValueError(f"unknown pyramid method {method!r}")
 
     def _reduce(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -199,7 +204,7 @@ def pyramid_reduce(tile_df: DataFrame, method: str = "average") -> DataFrame:
             counts = (stack[:, None, :, :] == stack[None, :, :, :]).sum(axis=0)
             maxc = counts.max(axis=0)
             out = np.where(counts == maxc[None, :, :], stack, np.iinfo(np.int64).max).min(axis=0)
-        else:  # gauss
+        elif method == "gauss":
             pad = np.pad(big, 1, mode="edge").astype(np.float64)
             k = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], dtype=np.float64)
             acc = np.zeros_like(a, dtype=np.float64)
@@ -207,12 +212,68 @@ def pyramid_reduce(tile_df: DataFrame, method: str = "average") -> DataFrame:
                 for dc in range(3):
                     acc += k[dr, dc] * pad[dr : dr + 2 * TILE_SIZE : 2, dc : dc + 2 * TILE_SIZE : 2]
             out = np.floor(acc / 16.0 + 0.5).astype(np.int64)
+        else:  # cubic: separable [-1, 9, 9, -1]/16 over rows then cols
+            pad = np.pad(big, ((1, 2), (1, 2)), mode="edge").astype(np.float64)
+            w = (-1.0, 9.0, 9.0, -1.0)
+            rows = np.zeros((TILE_SIZE, 2 * TILE_SIZE + 3), dtype=np.float64)
+            for t in range(4):
+                rows += w[t] * pad[t : t + 2 * TILE_SIZE : 2, :]
+            acc = np.zeros((TILE_SIZE, TILE_SIZE), dtype=np.float64)
+            for t in range(4):
+                acc += w[t] * rows[:, t : t + 2 * TILE_SIZE : 2]
+            out = np.floor(acc / 256.0 + 0.5).astype(np.int64)
         return pd.DataFrame(
             {"zoom": [np.int32(zoom)], "tx": [ptx], "ty": [pty], "data": [tile_to_bytes(out)]}
         )
 
     return tile_df.groupBy(F.shiftright("tx", 1), F.shiftright("ty", 1)).applyInPandas(
         _reduce, TILE_SCHEMA
+    )
+
+
+def pyramid_reduce_magphase(tile_df: DataFrame) -> DataFrame:
+    """AVERAGE_MAGPHASE overview for complex bands (gcore/overview.cpp
+    GDALResampleChunkC32R): the 2×2 complex average is rescaled so its
+    MAGNITUDE equals the average of the four magnitudes (phase from the
+    vector average, magnitude from the scalar average).
+
+    Input/output schema: (zoom, tx, ty, data_re, data_im) with the two
+    int-band payloads; components round to int via floor(x+0.5) with the
+    sign of the value (matching the scalar bands' storage convention)."""
+
+    def _reduce(pdf: pd.DataFrame) -> pd.DataFrame:
+        zoom = int(pdf["zoom"].iat[0]) - 1
+        T = TILE_SIZE
+        re = np.zeros((2 * T, 2 * T), dtype=np.float64)
+        im = np.zeros((2 * T, 2 * T), dtype=np.float64)
+        ptx = int(pdf["tx"].iat[0]) >> 1
+        pty = int(pdf["ty"].iat[0]) >> 1
+        for r in pdf.itertuples():
+            cx, cy = int(r.tx) & 1, int(r.ty) & 1
+            r0 = (1 - cy) * T
+            c0 = cx * T
+            re[r0 : r0 + T, c0 : c0 + T] = bytes_to_tile(r.data_re)
+            im[r0 : r0 + T, c0 : c0 + T] = bytes_to_tile(r.data_im)
+        quads_re = [re[0::2, 0::2], re[0::2, 1::2], re[1::2, 0::2], re[1::2, 1::2]]
+        quads_im = [im[0::2, 0::2], im[0::2, 1::2], im[1::2, 0::2], im[1::2, 1::2]]
+        avg_re = sum(quads_re) / 4.0
+        avg_im = sum(quads_im) / 4.0
+        avg_mag = sum(np.hypot(r_, i_) for r_, i_ in zip(quads_re, quads_im)) / 4.0
+        m = np.hypot(avg_re, avg_im)
+        ratio = np.where(m > 0, avg_mag / np.where(m > 0, m, 1.0), 0.0)
+        out_re = avg_re * ratio
+        out_im = avg_im * ratio
+        rnd = lambda x: (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "zoom": [np.int32(zoom)], "tx": [ptx], "ty": [pty],
+                "data_re": [tile_to_bytes(rnd(out_re))],
+                "data_im": [tile_to_bytes(rnd(out_im))],
+            }
+        )
+
+    return tile_df.groupBy(F.shiftright("tx", 1), F.shiftright("ty", 1)).applyInPandas(
+        _reduce, "zoom int, tx long, ty long, data_re binary, data_im binary"
     )
 
 

@@ -83,7 +83,13 @@ def _sample_mosaic(mos: np.ndarray, ax: np.ndarray, ay: np.ndarray, resampling: 
             + m[y1c, x0c] * (1 - wx) * wy
             + m[y1c, x1c] * wx * wy
         )
-    if resampling == "cubic":
+    if resampling in ("cubic", "cubicspline", "lanczos"):
+        if resampling == "cubic":
+            wfn, taps = _cubic_weights, (-1, 0, 1, 2)
+        elif resampling == "cubicspline":
+            wfn, taps = _bspline_weights, (-1, 0, 1, 2)
+        else:  # lanczos, a=3 (GWKLanczosSinc, alg/gdalwarpkernel.cpp)
+            wfn, taps = _lanczos_weights, (-2, -1, 0, 1, 2, 3)
         x0 = np.floor(gx).astype(np.int64)
         y0 = np.floor(gy).astype(np.int64)
         fx = gx - x0
@@ -91,11 +97,11 @@ def _sample_mosaic(mos: np.ndarray, ax: np.ndarray, ay: np.ndarray, resampling: 
         m = mos.astype(np.float64)
         out = np.zeros(ax.shape[0], dtype=np.float64)
         wsum = np.zeros(ax.shape[0], dtype=np.float64)
-        for dy in (-1, 0, 1, 2):
-            wy = _cubic_weights(fy - dy)
+        for dy in taps:
+            wy = wfn(fy - dy)
             yc = np.clip(y0 + dy, 0, H - 1)
-            for dx in (-1, 0, 1, 2):
-                wx = _cubic_weights(fx - dx)
+            for dx in taps:
+                wx = wfn(fx - dx)
                 xc = np.clip(x0 + dx, 0, W - 1)
                 w = wx * wy
                 out += m[yc, xc] * w
@@ -104,13 +110,32 @@ def _sample_mosaic(mos: np.ndarray, ax: np.ndarray, ay: np.ndarray, resampling: 
     raise ValueError(f"unknown resampling {resampling!r}")
 
 
+def _bspline_weights(d: np.ndarray) -> np.ndarray:
+    """Cubic B-spline (GWKBSpline, alg/gdalwarpkernel.cpp GRA_CubicSpline):
+    (1/6)·((2−|x|)³ − 4(1−|x|)³) for |x|<1; (1/6)(2−|x|)³ for 1≤|x|<2."""
+    ad = np.abs(d)
+    t2 = np.maximum(2.0 - ad, 0.0) ** 3
+    t1 = np.maximum(1.0 - ad, 0.0) ** 3
+    return (t2 - 4.0 * t1) / 6.0
+
+
+def _lanczos_weights(d: np.ndarray) -> np.ndarray:
+    """Lanczos windowed sinc, a=3 (GWKLanczosSinc)."""
+    a = 3.0
+    out = np.sinc(d) * np.sinc(d / a)
+    return np.where(np.abs(d) < a, out, 0.0)
+
+
 def warp_mercator_to_geodetic(
     spark: SparkSession, src_tiles: DataFrame, src_zoom: int, dst_zoom: int,
     resampling: str = "nearest", cutline_wkb: bytes | None = None,
 ) -> DataFrame:
     """Mercator (TMS) density-tile table at src_zoom → geodetic (TMS
     tmscompatible) tile table at dst_zoom; ``resampling`` ∈ nearest /
-    bilinear / cubic (GRA_* kernels); ``cutline_wkb`` masks output pixels
+    bilinear / cubic / cubicspline / lanczos / average / mode (the GRA_*
+    kernel set of alg/gdalwarpkernel.cpp:424-425 — average and mode are
+    forward-scatter aggregates over contributing source pixel centers);
+    ``cutline_wkb`` masks output pixels
     whose centers fall outside the polygon to 0 (the gdalwarp -cutline
     validity mask, alg/gdalcutline.cpp — rasterized here as an exact
     prepared-geometry PIP test per destination pixel instead of a scanline
@@ -141,7 +166,10 @@ def warp_mercator_to_geodetic(
     # same numpy tile math the driver loop used (bit parity preserved).
     res = tiles.geodetic_resolution(dst_zoom)
     lat_lim = tiles.MERCATOR_LAT_MAX
-    pad = 0 if resampling == "nearest" else 1
+    # pad widens the source window for interpolation support (bilinear 1 px,
+    # cubic/bspline 2 px, lanczos 3 px — 1 src tile covers all); nearest and
+    # the forward-scatter kernels (average/mode) need the exact window only
+    pad = 0 if resampling in ("nearest", "average", "mode") else 1
     ntx = tx1 - tx0 + 1
     dst = spark.range((tx1 - tx0 + 1) * (ty1 - ty0 + 1)).select(
         (F.lit(tx0) + (F.col("id") % ntx)).cast("int").alias("dtx"),
@@ -209,6 +237,48 @@ def warp_mercator_to_geodetic(
                 g = srcs.get(tk)
                 if g is not None:
                     out[rows_sel] = g[srow[rows_sel], ix[rows_sel]]
+        elif resampling in ("average", "mode"):
+            # GRA_Average / GRA_Mode (alg/gdalwarpkernel.cpp:424-425):
+            # contributing source pixels are those whose CENTERS map into
+            # the destination pixel footprint.  The transform is exact and
+            # invertible, so this is a forward scatter: every present
+            # source pixel center → dst geodetic pixel, then a grouped
+            # aggregate (absent source tiles contribute nothing = nodata).
+            T2 = TILE_SIZE
+            sums = np.zeros(T2 * T2, dtype=np.float64)
+            cnts = np.zeros(T2 * T2, dtype=np.int64)
+            pairs = []
+            jj, ii = np.meshgrid(np.arange(T2), np.arange(T2))
+            for (sx, sy), g in srcs.items():
+                pxc = (sx * T2 + jj + 0.5).ravel()
+                pyc = ((sy + 1) * T2 - ii - 0.5).ravel()
+                mx2, my2 = tiles.pixels_to_meters(pxc, pyc, src_zoom)
+                lon2, lat2 = tiles.meters_to_lonlat(mx2, my2)
+                gpx = (180.0 + lon2) / res
+                gpy = (90.0 + lat2) / res
+                cx2 = np.floor(gpx).astype(np.int64) - dtx * T2
+                cy2 = np.floor(gpy).astype(np.int64) - dty * T2
+                sel = (cx2 >= 0) & (cx2 < T2) & (cy2 >= 0) & (cy2 < T2)
+                idx = (T2 - 1 - cy2[sel]) * T2 + cx2[sel]
+                v = g.ravel()[sel]
+                if resampling == "average":
+                    np.add.at(sums, idx, v.astype(np.float64))
+                    np.add.at(cnts, idx, 1)
+                else:
+                    pairs.append(np.stack([idx, v], axis=1))
+            out = np.zeros(T2 * T2, dtype=np.int64)
+            if resampling == "average":
+                nz2 = cnts > 0
+                out[nz2] = np.floor(sums[nz2] / cnts[nz2] + 0.5).astype(np.int64)
+            elif pairs:
+                allp = np.concatenate(pairs)
+                uniq, counts = np.unique(allp, axis=0, return_counts=True)
+                # per dst pixel: max count wins, ties → smallest value
+                order = np.lexsort((uniq[:, 1], -counts, uniq[:, 0]))
+                u = uniq[order]
+                first = np.ones(u.shape[0], dtype=bool)
+                first[1:] = u[1:, 0] != u[:-1, 0]
+                out[u[first, 0]] = u[first, 1]
         else:
             # local source mosaic sized by the COVER WINDOW (incl. the pad
             # tiles), not just the present tiles: absent regions stay 0, so

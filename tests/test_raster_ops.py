@@ -220,3 +220,54 @@ def test_color_relief_matches_gdal_formula(spark):
     p2 = raster.bytes_to_tile(focal.color_relief(df2, ramp).collect()[0].data)
     assert p2[1, 1] == 255          # clamp to first entry (0,0,255)
     assert p2[0, 0] == (255 << 16)  # clamp to last entry (255,0,0)
+
+
+def test_pyramid_cubic_and_magphase(spark):
+    import pandas as pd
+
+    from engine import raster
+
+    T = raster.TILE_SIZE
+    rng = np.random.default_rng(9)
+    g = rng.integers(0, 100, (T, T)).astype(np.int64)
+    df = spark.createDataFrame(
+        pd.DataFrame({"zoom": [4], "tx": [2], "ty": [2], "data": [raster.tile_to_bytes(g)]})
+    )
+    out = raster.pyramid_reduce(df, method="cubic").collect()[0]
+    got = raster.bytes_to_tile(out.data)
+    # oracle: separable [-1,9,9,-1]/16 over the edge-clamped 2x mosaic
+    big = np.zeros((2 * T, 2 * T), dtype=np.int64)
+    big[T:, :T] = g  # child (cx=0, cy=0) -> bottom-left quadrant
+    pad = np.pad(big, ((1, 2), (1, 2)), mode="edge").astype(float)
+    w = (-1.0, 9.0, 9.0, -1.0)
+    rows = sum(w[t] * pad[t : t + 2 * T : 2, :] for t in range(4))
+    acc = sum(w[t] * rows[:, t : t + 2 * T : 2] for t in range(4))
+    exp = np.floor(acc / 256.0 + 0.5).astype(np.int64)
+    assert np.array_equal(got, exp)
+
+    # magphase: magnitude of output == average of input magnitudes
+    re = rng.integers(-50, 50, (T, T)).astype(np.int64)
+    im = rng.integers(-50, 50, (T, T)).astype(np.int64)
+    cdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "zoom": [4], "tx": [0], "ty": [0],
+                "data_re": [raster.tile_to_bytes(re)],
+                "data_im": [raster.tile_to_bytes(im)],
+            }
+        )
+    )
+    row = raster.pyramid_reduce_magphase(cdf).collect()[0]
+    gre = raster.bytes_to_tile(row.data_re).astype(float)
+    gim = raster.bytes_to_tile(row.data_im).astype(float)
+    # child (0,0) -> bottom-left quadrant of the parent
+    h = T // 2
+    qre = [re[0::2, 0::2], re[0::2, 1::2], re[1::2, 0::2], re[1::2, 1::2]]
+    qim = [im[0::2, 0::2], im[0::2, 1::2], im[1::2, 0::2], im[1::2, 1::2]]
+    avg_mag = sum(np.hypot(a.astype(float), b.astype(float)) for a, b in zip(qre, qim)) / 4.0
+    got_mag = np.hypot(gre[h:, :h], gim[h:, :h])
+    # zero vector average → unscalable → 0 output (the GDAL m==0 branch)
+    vec_m = np.hypot(sum(qre) / 4.0, sum(qim) / 4.0)
+    ok = vec_m > 0
+    assert np.abs(got_mag - avg_mag)[ok].max() < 1.0
+    assert (got_mag[~ok] == 0).all()

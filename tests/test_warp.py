@@ -131,3 +131,71 @@ def test_warp_bilinear_constant_and_linear(spark):
             assert grid[row, col] == expect, (dtx, dty, row, col)
             checked += 1
     assert checked > 20
+
+
+def test_warp_other_kernels_smoke_and_average(spark, src_tiles):
+    """cubicspline / lanczos produce full tile sets; average/mode match a
+    direct forward-scatter oracle."""
+    src_zoom, dst_zoom = 5, 4
+    # bilinear shares the padded cover window → identical dst tile set
+    base_pad = {
+        (r.tx, r.ty)
+        for r in warp.warp_mercator_to_geodetic(
+            spark, src_tiles, src_zoom, dst_zoom, resampling="bilinear"
+        ).collect()
+    }
+    base = {
+        (r.tx, r.ty)
+        for r in warp.warp_mercator_to_geodetic(spark, src_tiles, src_zoom, dst_zoom).collect()
+    }
+    for method in ("cubicspline", "lanczos"):
+        got = warp.warp_mercator_to_geodetic(
+            spark, src_tiles, src_zoom, dst_zoom, resampling=method
+        ).collect()
+        assert {(r.tx, r.ty) for r in got} == base_pad
+
+    srcs = {(r.tx, r.ty): raster.bytes_to_tile(r.data) for r in src_tiles.collect()}
+    res = tiles.geodetic_resolution(dst_zoom)
+    for method in ("average", "mode"):
+        out = {
+            (r.tx, r.ty): raster.bytes_to_tile(r.data)
+            for r in warp.warp_mercator_to_geodetic(
+                spark, src_tiles, src_zoom, dst_zoom, resampling=method
+            ).collect()
+        }
+        assert set(out) == base
+        # oracle: scatter every source pixel center into dst pixels
+        from collections import defaultdict
+
+        contrib = defaultdict(list)
+        for (sx, sy), g in srcs.items():
+            jj, ii = np.meshgrid(np.arange(256), np.arange(256))
+            pxc = (sx * 256 + jj + 0.5).ravel()
+            pyc = ((sy + 1) * 256 - ii - 0.5).ravel()
+            mx, my = tiles.pixels_to_meters(pxc, pyc, src_zoom)
+            lon, lat = tiles.meters_to_lonlat(mx, my)
+            gpx = np.floor((180.0 + lon) / res).astype(np.int64)
+            gpy = np.floor((90.0 + lat) / res).astype(np.int64)
+            for p, q, v in zip(gpx, gpy, g.ravel()):
+                contrib[(p, q)].append(int(v))
+        rng = np.random.default_rng(4)
+        checked = 0
+        for (dtx, dty), grid in out.items():
+            for _ in range(15):
+                row = int(rng.integers(0, 256))
+                col = int(rng.integers(0, 256))
+                key = (dtx * 256 + col, (dty + 1) * 256 - row - 1)
+                vals = contrib.get(key)
+                if not vals:
+                    expect = 0
+                elif method == "average":
+                    expect = int(np.floor(sum(vals) / len(vals) + 0.5))
+                else:
+                    from collections import Counter
+
+                    cnt = Counter(vals)
+                    best = max(cnt.values())
+                    expect = min(v for v, c in cnt.items() if c == best)
+                assert grid[row, col] == expect, f"{method} dst {(dtx, dty)} px {(row, col)}"
+                checked += 1
+        assert checked > 0
