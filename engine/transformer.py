@@ -1,0 +1,173 @@
+"""Coordinate transformer chain: GCP polynomial / TPS / approximate.
+
+The reference's transformer stack (alg/gdaltransformer.cpp:974
+GDALCreateGenImgProjTransformer — chains src→georef→dst;
+:1262-1283 GCP polynomial order 1/2/3 via CRS_compute_georef_equations
+(alg/gdal_crs.c), thin-plate-spline via VizGeorefSpline2D
+(alg/gdal_tps.cpp), and the approximate transformer
+GDALApproxTransform (:2584) that replaces exact per-pixel evaluation
+with recursive scanline subdivision + linear interpolation under an
+error bound).
+
+Engine form: transformers are FIT ON THE DRIVER (GCP lists are tiny) and
+applied as vectorized numpy closures on executors — a fitted transformer
+is a broadcastable pure function (px, py arrays → x, y arrays), pluggable
+into :func:`engine.warp.warp_custom` as the dst→src inverse map.
+
+All solves are plain least squares / linear systems (numpy.linalg) — the
+polynomial basis and TPS kernel (r²·ln r) match the reference's.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _poly_terms(order: int):
+    """Exponent pairs of the 2-D polynomial basis for ``order`` 1..3 —
+    the CRS_georef term sets (alg/gdal_crs.c): 3 / 6 / 10 coefficients."""
+    if order not in (1, 2, 3):
+        raise ValueError("GCP polynomial order must be 1, 2 or 3")
+    return [(i, j) for s in range(order + 1) for i in range(s + 1) for j in (s - i,)]
+
+
+def _poly_design(x: np.ndarray, y: np.ndarray, order: int) -> np.ndarray:
+    return np.stack([(x ** i) * (y ** j) for i, j in _poly_terms(order)], axis=1)
+
+
+class GCPPolynomialTransformer:
+    """GDALCreateGCPTransformer (alg/gdaltransformer.cpp:1262;
+    alg/gdal_crs.c): least-squares polynomial fit of GCPs
+    (pixel, line) ↔ (x, y), order 1 (affine), 2 or 3.  Both directions
+    fitted, like the reference's forward+reverse equation sets."""
+
+    def __init__(self, gcps, order: int = 1):
+        """``gcps``: iterable of (pixel, line, x, y)."""
+        g = np.asarray(list(gcps), dtype=np.float64)
+        need = len(_poly_terms(order))
+        if g.shape[0] < need:
+            raise ValueError(f"order {order} needs ≥ {need} GCPs, got {g.shape[0]}")
+        self.order = order
+        A = _poly_design(g[:, 0], g[:, 1], order)
+        self.fwd_x, *_ = np.linalg.lstsq(A, g[:, 2], rcond=None)
+        self.fwd_y, *_ = np.linalg.lstsq(A, g[:, 3], rcond=None)
+        B = _poly_design(g[:, 2], g[:, 3], order)
+        self.inv_x, *_ = np.linalg.lstsq(B, g[:, 0], rcond=None)
+        self.inv_y, *_ = np.linalg.lstsq(B, g[:, 1], rcond=None)
+
+    def forward(self, px, py):
+        A = _poly_design(np.asarray(px, dtype=np.float64), np.asarray(py, dtype=np.float64), self.order)
+        return A @ self.fwd_x, A @ self.fwd_y
+
+    def inverse(self, x, y):
+        B = _poly_design(np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64), self.order)
+        return B @ self.inv_x, B @ self.inv_y
+
+
+class TPSTransformer:
+    """Thin-plate-spline GCP transformer (GDALCreateTPSTransformer,
+    alg/gdal_tps.cpp / VizGeorefSpline2D): kernel U(r) = r²·ln(r²),
+    exact interpolation at every GCP, affine + radial terms.  Both
+    directions fitted."""
+
+    def __init__(self, gcps):
+        g = np.asarray(list(gcps), dtype=np.float64)
+        if g.shape[0] < 3:
+            raise ValueError("TPS needs ≥ 3 GCPs")
+        self._fwd = self._fit(g[:, 0], g[:, 1], g[:, 2], g[:, 3])
+        self._inv = self._fit(g[:, 2], g[:, 3], g[:, 0], g[:, 1])
+
+    @staticmethod
+    def _kernel(d2: np.ndarray) -> np.ndarray:
+        # U(r) = r² ln r² (VizGeorefSpline2D base_func), U(0) = 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(d2 > 0, d2 * np.log(d2), 0.0)
+
+    @classmethod
+    def _fit(cls, sx, sy, tx, ty):
+        n = sx.shape[0]
+        d2 = (sx[:, None] - sx[None, :]) ** 2 + (sy[:, None] - sy[None, :]) ** 2
+        K = cls._kernel(d2)
+        P = np.stack([np.ones(n), sx, sy], axis=1)
+        A = np.zeros((n + 3, n + 3))
+        A[:n, :n] = K
+        A[:n, n:] = P
+        A[n:, :n] = P.T
+        rhs = np.zeros((n + 3, 2))
+        rhs[:n, 0] = tx
+        rhs[:n, 1] = ty
+        coef, *_ = np.linalg.lstsq(A, rhs, rcond=None)
+        return (sx.copy(), sy.copy(), coef)
+
+    @staticmethod
+    def _apply(fit, x, y):
+        sx, sy, coef = fit
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        d2 = (x[:, None] - sx[None, :]) ** 2 + (y[:, None] - sy[None, :]) ** 2
+        K = TPSTransformer._kernel(d2)
+        n = sx.shape[0]
+        out = K @ coef[:n] + coef[n] + np.outer(x, coef[n + 1]) + np.outer(y, coef[n + 2])
+        return out[:, 0], out[:, 1]
+
+    def forward(self, px, py):
+        return self._apply(self._fwd, px, py)
+
+    def inverse(self, x, y):
+        return self._apply(self._inv, x, y)
+
+
+def approx_transform(exact_fn, x: np.ndarray, y: np.ndarray, max_error: float = 0.125):
+    """GDALApproxTransform (alg/gdaltransformer.cpp:2584) over one
+    scanline-like point run: transform the two endpoints (and midpoint)
+    exactly; if the midpoint's linear interpolation errs beyond
+    ``max_error``, recurse on each half, else interpolate the span.
+    Vectorized per span; exact-call count is O(log) in the usual smooth
+    case — the same contract the reference's warper relies on."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = x.shape[0]
+    ox = np.empty(n)
+    oy = np.empty(n)
+    done = np.zeros(n, dtype=bool)
+
+    def solve(i0: int, i1: int, fx0, fy0, fx1, fy1):
+        # endpoints already transformed
+        ox[i0], oy[i0] = fx0, fy0
+        ox[i1], oy[i1] = fx1, fy1
+        done[i0] = done[i1] = True
+        if i1 - i0 < 2:
+            return
+        im = (i0 + i1) // 2
+        fxm, fym = exact_fn(x[im : im + 1], y[im : im + 1])
+        fxm, fym = float(fxm[0]), float(fym[0])
+        # probe the midpoint AND both quarter points (the reference checks
+        # the middle sample; the extra probes guard against periodic
+        # transforms aliasing the single check)
+        probes = sorted({im, (i0 + im) // 2, (im + i1) // 2} - {i0, i1})
+        pex, pey = exact_fn(x[probes], y[probes])
+        tt = (np.asarray(probes) - i0) / (i1 - i0)
+        lx = fx0 + tt * (fx1 - fx0)
+        ly = fy0 + tt * (fy1 - fy0)
+        if max(np.abs(lx - pex).max(), np.abs(ly - pey).max()) > max_error:
+            solve(i0, im, fx0, fy0, fxm, fym)
+            solve(im, i1, fxm, fym, fx1, fy1)
+        else:
+            # whole span linear (probe checks passed — the acceptance rule
+            # of gdaltransformer.cpp ApproxTransform, hardened)
+            idx = np.arange(i0 + 1, i1)
+            tt = (idx - i0) / (i1 - i0)
+            ox[idx] = fx0 + tt * (fx1 - fx0)
+            oy[idx] = fy0 + tt * (fy1 - fy0)
+            for k, p in enumerate(probes):
+                ox[p], oy[p] = float(pex[k]), float(pey[k])
+            done[i0 + 1 : i1] = True
+
+    if n == 1:
+        fx, fy = exact_fn(x, y)
+        return np.asarray(fx), np.asarray(fy)
+    fx0, fy0 = exact_fn(x[:1], y[:1])
+    fx1, fy1 = exact_fn(x[-1:], y[-1:])
+    solve(0, n - 1, float(fx0[0]), float(fy0[0]), float(fx1[0]), float(fy1[0]))
+    assert done.all()
+    return ox, oy

@@ -313,6 +313,90 @@ def warp_mercator_to_geodetic(
     return joined.groupBy("dtx", "dty").applyInPandas(_warp, TILE_SCHEMA)
 
 
+def warp_custom(
+    spark: SparkSession,
+    src_tiles: DataFrame,
+    src_zoom: int,
+    dst_tiles: list,
+    inv_fn,
+    dst_zoom: int | None = None,
+    resampling: str = "nearest",
+) -> DataFrame:
+    """Arbitrary-transformer warp: the GDALCreateGenImgProjTransformer
+    chain (alg/gdaltransformer.cpp:974) with a pluggable dst→src map.
+
+    ``inv_fn(dpx, dpy) -> (spx, spy)``: vectorized numpy closure mapping
+    DESTINATION global pixel coords to SOURCE global mercator pixel coords
+    at ``src_zoom`` — e.g. a fitted :class:`engine.transformer.
+    GCPPolynomialTransformer`'s ``.forward``, a TPS, or any composed
+    chain.  ``dst_tiles``: explicit [(dtx, dty)] output tile list (the
+    caller's SuggestedWarpOutput).  Source windows are estimated per dst
+    tile from a 9×9 sample grid (the reference samples edge points the
+    same way) plus the kernel pad; absent source regions read 0.
+    """
+    T = TILE_SIZE
+    pad = 0 if resampling == "nearest" else 1
+    dst = spark.createDataFrame(pd.DataFrame(dst_tiles, columns=["dtx", "dty"]))
+
+    def _windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            g = np.linspace(0.0, T, 9)
+            gx, gy = np.meshgrid(g, g)
+            for r in pdf.itertuples():
+                dpx = r.dtx * T + gx.ravel()
+                dpy = r.dty * T + gy.ravel()
+                spx, spy = inv_fn(dpx, dpy)
+                wx0 = int(np.floor(spx.min() / T)) - pad
+                wx1 = int(np.floor(spx.max() / T)) + pad
+                wy0 = int(np.floor(spy.min() / T)) - pad
+                wy1 = int(np.floor(spy.max() / T)) + pad
+                rows.append((int(r.dtx), int(r.dty), wx0, wy0, wx1, wy1))
+            yield pd.DataFrame(rows, columns=["dtx", "dty", "wx0", "wy0", "wx1", "wy1"])
+
+    cover = (
+        dst.mapInPandas(_windows, "dtx int, dty int, wx0 long, wy0 long, wx1 long, wy1 long")
+        .withColumn("tx", F.explode(F.sequence("wx0", "wx1")))
+        .withColumn("ty", F.explode(F.sequence("wy0", "wy1")))
+    )
+    joined = cover.join(src_tiles.select("tx", "ty", "data"), on=["tx", "ty"], how="inner")
+    out_zoom = src_zoom if dst_zoom is None else dst_zoom
+
+    def _warp(pdf: pd.DataFrame) -> pd.DataFrame:
+        dtx = int(pdf["dtx"].iat[0])
+        dty = int(pdf["dty"].iat[0])
+        srcs = {(int(r.tx), int(r.ty)): bytes_to_tile(r.data) for r in pdf.itertuples()}
+        SX0 = int(pdf["wx0"].iat[0])
+        SX1 = int(pdf["wx1"].iat[0])
+        SY0 = int(pdf["wy0"].iat[0])
+        SY1 = int(pdf["wy1"].iat[0])
+        mos = np.zeros(((SY1 - SY0 + 1) * T, (SX1 - SX0 + 1) * T), dtype=np.int64)
+        for (sx, sy), g in srcs.items():
+            if SX0 <= sx <= SX1 and SY0 <= sy <= SY1:
+                r0 = (SY1 - sy) * T
+                mos[r0 : r0 + T, (sx - SX0) * T : (sx - SX0 + 1) * T] = g
+        cols = np.arange(T)
+        rows_i = np.arange(T)
+        cg, rg = np.meshgrid(cols, rows_i)
+        dpx = (dtx * T + cg + 0.5).ravel()
+        dpy = ((dty + 1) * T - rg - 0.5).ravel()
+        spx, spy = inv_fn(dpx, dpy)
+        ax = spx - SX0 * T
+        ay = (SY1 + 1) * T - spy
+        val = _sample_mosaic(mos, ax, ay, resampling)
+        out = val.astype(np.int64) if resampling == "nearest" else np.floor(val + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "zoom": [np.int32(out_zoom)],
+                "tx": [dtx],
+                "ty": [dty],
+                "data": [tile_to_bytes(out.reshape(T, T))],
+            }
+        )
+
+    return joined.groupBy("dtx", "dty").applyInPandas(_warp, TILE_SCHEMA)
+
+
 def raster_calc(tile_tables: dict, expr) -> DataFrame:
     """gdal_calc.py analog (swig/python/scripts/gdal_calc.py:86-94): numpy
     expression over aligned bands.  ``tile_tables``: {name: DataFrame} with

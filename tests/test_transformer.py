@@ -1,0 +1,106 @@
+"""GCP polynomial / TPS / approximate transformers and the
+arbitrary-transformer warp."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from engine import raster, transformer, warp
+
+T = raster.TILE_SIZE
+
+
+def test_gcp_polynomial_recovers_affine():
+    rng = np.random.default_rng(1)
+    # true affine: x' = 2x + 0.5y + 10 ; y' = -0.25x + 1.5y - 3
+    px = rng.uniform(0, 100, 12)
+    py = rng.uniform(0, 100, 12)
+    gx = 2 * px + 0.5 * py + 10
+    gy = -0.25 * px + 1.5 * py - 3
+    t = transformer.GCPPolynomialTransformer(zip(px, py, gx, gy), order=1)
+    fx, fy = t.forward(px, py)
+    assert np.abs(fx - gx).max() < 1e-9 and np.abs(fy - gy).max() < 1e-9
+    ix, iy = t.inverse(gx, gy)
+    assert np.abs(ix - px).max() < 1e-9 and np.abs(iy - py).max() < 1e-9
+
+
+def test_gcp_polynomial_order2_exact_on_quadratic():
+    rng = np.random.default_rng(2)
+    px = rng.uniform(-5, 5, 20)
+    py = rng.uniform(-5, 5, 20)
+    gx = 1 + px + 0.1 * px * py + 0.05 * py * py
+    gy = 2 - py + 0.2 * px * px
+    t = transformer.GCPPolynomialTransformer(zip(px, py, gx, gy), order=2)
+    fx, fy = t.forward(px, py)
+    assert np.abs(fx - gx).max() < 1e-8 and np.abs(fy - gy).max() < 1e-8
+    # order-1 fit on the same data must NOT be exact (sanity)
+    t1 = transformer.GCPPolynomialTransformer(zip(px, py, gx, gy), order=1)
+    fx1, _ = t1.forward(px, py)
+    assert np.abs(fx1 - gx).max() > 1e-3
+
+
+def test_gcp_needs_enough_points():
+    with pytest.raises(ValueError):
+        transformer.GCPPolynomialTransformer([(0, 0, 0, 0), (1, 1, 1, 1)], order=2)
+
+
+def test_tps_interpolates_gcps_exactly():
+    rng = np.random.default_rng(3)
+    px = rng.uniform(0, 50, 15)
+    py = rng.uniform(0, 50, 15)
+    gx = px + 3 * np.sin(px / 10)
+    gy = py + 2 * np.cos(py / 7)
+    t = transformer.TPSTransformer(zip(px, py, gx, gy))
+    fx, fy = t.forward(px, py)
+    assert np.abs(fx - gx).max() < 1e-6 and np.abs(fy - gy).max() < 1e-6
+    # smooth between knots: midpoint of two close GCPs lands between them
+    mx, my = t.forward(np.array([(px[0] + px[1]) / 2]), np.array([(py[0] + py[1]) / 2]))
+    assert np.isfinite(mx[0]) and np.isfinite(my[0])
+
+
+def test_approx_transform_error_bound():
+    def exact(x, y):
+        return x + 5 * np.sin(x / 40.0), y * 1.0
+
+    x = np.arange(0.0, 513.0)
+    y = np.zeros_like(x)
+    ax, ay = transformer.approx_transform(exact, x, y, max_error=0.125)
+    ex, ey = exact(x, y)
+    # the acceptance rule checks midpoints, so the practical bound is a
+    # small multiple of max_error
+    assert np.abs(ax - ex).max() < 0.5
+    assert np.array_equal(ay, ey)
+
+
+def test_warp_custom_identity_and_shift(spark):
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 50, (T, T)).astype(np.int64)
+    src = spark.createDataFrame(
+        pd.DataFrame({"zoom": [5], "tx": [3], "ty": [4], "data": [raster.tile_to_bytes(g)]})
+    )
+    ident = lambda px, py: (px, py)
+    out = warp.warp_custom(spark, src, 5, [(3, 4)], ident).collect()
+    assert len(out) == 1
+    assert np.array_equal(raster.bytes_to_tile(out[0].data), g)
+    # affine GCP transformer: dst tile (0,0) maps onto src tile (3,4)
+    gcps = [(0, 0, 3 * T, 4 * T), (T, 0, 4 * T, 4 * T), (0, T, 3 * T, 5 * T), (T, T, 4 * T, 5 * T)]
+    tr = transformer.GCPPolynomialTransformer(gcps, order=1)
+    out2 = warp.warp_custom(spark, src, 5, [(0, 0)], tr.forward).collect()
+    assert len(out2) == 1 and (out2[0].tx, out2[0].ty) == (0, 0)
+    assert np.array_equal(raster.bytes_to_tile(out2[0].data), g)
+
+
+def test_warp_custom_tps_matches_polynomial_on_affine(spark):
+    # an affine mapping expressed as TPS must warp identically to the
+    # polynomial transformer (both exact on affine data)
+    rng = np.random.default_rng(6)
+    g = rng.integers(0, 90, (T, T)).astype(np.int64)
+    src = spark.createDataFrame(
+        pd.DataFrame({"zoom": [5], "tx": [1], "ty": [1], "data": [raster.tile_to_bytes(g)]})
+    )
+    gcps = [(0, 0, T, T), (T, 0, 2 * T, T), (0, T, T, 2 * T), (T, T, 2 * T, 2 * T), (T / 2, T / 2, 1.5 * T, 1.5 * T)]
+    p = transformer.GCPPolynomialTransformer(gcps, order=1)
+    t = transformer.TPSTransformer(gcps)
+    a = warp.warp_custom(spark, src, 5, [(0, 0)], p.forward).collect()[0]
+    b = warp.warp_custom(spark, src, 5, [(0, 0)], t.forward).collect()[0]
+    assert np.array_equal(raster.bytes_to_tile(a.data), raster.bytes_to_tile(b.data))
