@@ -112,6 +112,7 @@ def main():
     base = raster.burn_base_tiles(pts, 5).persist()
     base.count()
     _run("focal_hillshade", lambda: _force(_focal.focal(base, "hillshade")), timings)
+    _run("focal_tpi", lambda: _force(_focal.focal(base, "tpi")), timings)
     _run("connected_components", lambda: _force(_components.connected_components(base)), timings)
     from engine import warp as _warp
 
@@ -130,6 +131,8 @@ def main():
     _run("proximity", lambda: _force(_prox.proximity(binar, (1,), maxdist=16.0)), timings)
     _run("contour", lambda: _force(_contour.contour_lengths(base, [2.5, 10.5])), timings)
     _run("polygonize", lambda: _force(_pz.polygonize(binar)), timings)
+    _run("sieve", lambda: _force(_components.sieve_filter(binar, 4)), timings)
+    _run("line_clip", lambda: _force(q["layer_clip_lines"](spark, sf_dir)), timings)
     _run("grid_metrics", lambda: _force(q["grid_metrics"](spark, sf_dir)), timings)
     _run("lineref_locate", lambda: _force(q["lineref_locate"](spark, sf_dir)), timings)
     _run(

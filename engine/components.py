@@ -260,15 +260,14 @@ def seam_component_map(src: DataFrame, background: int = 0, max_rounds: int = 50
     alg/polygonize.cpp:495 (first-appearance component identity),
     alg/gdalsievefilter.cpp:133.
     """
-    # strips are consumed twice (edges + node seed): checkpoint so the tile
-    # scan runs once
-    strips = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA).localCheckpoint(eager=True)
+    strips = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA)
     pairs = _seam_pixel_pairs(strips).where(F.col("aval") == F.col("bval"))
     e = pairs.select(
         _key("aty", "atx", "alab").alias("ka"), _key("bty", "btx", "blab").alias("kb")
     )
-    nodes = strips.select(_key("ty", "tx", "label").alias("k")).distinct()
-    lbl = min_label_propagate(e, nodes=nodes, max_rounds=max_rounds)
+    # only labels with at least one cross-seam edge participate — edge-less
+    # boundary labels keep the identity id via the callers' coalesce
+    lbl = min_label_propagate(e, max_rounds=max_rounds)
     return lbl.select(
         F.col("k.tx").alias("tx"), F.col("k.ty").alias("ty"), F.col("k.label").alias("label"),
         _cid("comp").alias("component_id"),

@@ -110,14 +110,15 @@ def _complement(iv: list) -> list:
     return out
 
 
-def clip_line_pieces(line: np.ndarray, pieces: list, keep_inside: bool = True) -> list:
+def clip_line_pieces(line: np.ndarray, pieces: list, keep_inside: bool = True, boxes: list | None = None) -> list:
     """Clip one polyline against a disjoint convex cover.
 
     Returns a list of (N,2) sub-polylines: the parts inside
     (``keep_inside``) or outside the cover.  Parts contiguous across
     segment boundaries are stitched into one polyline.
     """
-    boxes = [clipmod._bbox(p) for p in pieces]
+    if boxes is None:
+        boxes = [clipmod._bbox(p) for p in pieces]
     out = []
     cur: list | None = None  # open polyline being stitched
     for i in range(line.shape[0] - 1):
@@ -170,12 +171,27 @@ def lines_length(lines: list) -> float:
     )
 
 
+_PIECES_CACHE: dict = {}
+
+
 def _poly_pieces(wkb: bytes) -> list:
-    """Polygon WKB (holes, MultiPolygon) → disjoint convex cover."""
+    """Polygon WKB (holes, MultiPolygon) → disjoint convex cover.
+
+    Memoized per executor worker: candidate pairs repeat the same method
+    polygon for thousands of input lines, and triangulation dominates the
+    refine cost otherwise (bounded cache — method layers are dimension
+    tables)."""
+    key = bytes(wkb)
+    hit = _PIECES_CACHE.get(key)
+    if hit is not None:
+        return hit
     pieces = []
-    for part in geom.polygon_parts(wkb):
+    for part in geom.polygon_parts(key):
         pieces.extend(clipmod.triangulate_polygon(part))
-    return [clipmod.ensure_ccw(p) for p in pieces]
+    out = [clipmod.ensure_ccw(p) for p in pieces]
+    if len(_PIECES_CACHE) < 4096:
+        _PIECES_CACHE[key] = out
+    return out
 
 
 _PAIR_SCHEMA = "a_id int, b_id int, n_parts long, length double, geom_wkb binary"
