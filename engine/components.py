@@ -193,24 +193,39 @@ def _cid(comp_col: str) -> Column:
     )
 
 
-def min_label_propagate(edges: DataFrame, nodes: DataFrame | None = None, max_rounds: int = 50) -> DataFrame:
+def min_label_propagate(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_rounds: int = 50,
+    small_graph_limit: int = 500_000,
+) -> DataFrame:
     """Generic distributed hash-to-min connected components.
 
     ``edges``: (ka, kb) of any orderable column type (struct fields order
     field-by-field); ``nodes``: optional (k) seed including isolated nodes.
-    Each round does (a) a neighbor-min equi-join and (b) a pointer jump
-    (comp ← comp(comp)), which converges in O(log diameter) rounds; each
-    round's result is localCheckpoint'ed so lineage stays flat.  Nothing
-    component- or edge-proportional ever reaches the driver (the per-round
-    convergence probe is a limit-1 count).
+
+    Adaptive strategy (AQE-style): when the deduped edge set is below
+    ``small_graph_limit`` rows (the count is already materialized by the
+    checkpoint), the whole graph reduces in ONE executor task — an
+    executor-side union-find over the edge rows, never a driver collect.
+    Larger graphs run the iterative form: each round does (a) a
+    neighbor-min equi-join and (b) a pointer jump (comp ← comp(comp)),
+    converging in O(log diameter) rounds, each round localCheckpoint'ed so
+    lineage stays flat.  Nothing component- or edge-proportional ever
+    reaches the driver in either path (the per-round convergence probe is
+    a limit-1 count).
 
     Returns (k, comp) with comp = the minimum key of k's component.
     """
+    key_type = edges.schema["ka"].dataType
     edges = (
         edges.unionByName(edges.select(F.col("kb").alias("ka"), F.col("ka").alias("kb")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = edges.count()
+    if n_edges <= small_graph_limit and nodes is None:
+        return _one_task_components(edges, key_type)
     seed = edges.select(F.col("ka").alias("k"))
     if nodes is not None:
         seed = seed.unionByName(nodes.select(F.col(nodes.columns[0]).alias("k")))
@@ -244,6 +259,56 @@ def min_label_propagate(edges: DataFrame, nodes: DataFrame | None = None, max_ro
         if changed == 0:
             break
     return lbl
+
+
+def _one_task_components(edges: DataFrame, key_type) -> DataFrame:
+    """Sub-threshold path of :func:`min_label_propagate`: all edges gather
+    into one executor task and a plain union-find labels them (smallest key
+    = root, matching the distributed min semantics).  Struct keys arrive as
+    pandas dicts; scalar keys pass through unchanged."""
+    from pyspark.sql.types import StructType
+
+    is_struct = isinstance(key_type, StructType)
+    fields = [f.name for f in key_type.fields] if is_struct else None
+
+    def _uf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.setdefault(r, r) != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        def norm(v):
+            return tuple(v[f] for f in fields) if is_struct else v
+
+        for pdf in batches:
+            for a, b in zip(pdf["ka"], pdf["kb"]):
+                ra, rb = find(norm(a)), find(norm(b))
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        keys = list(parent)
+        if not keys:
+            return
+        roots = [find(k) for k in keys]
+        if is_struct:
+            out = pd.DataFrame(
+                {
+                    "k": [dict(zip(fields, k)) for k in keys],
+                    "comp": [dict(zip(fields, r)) for r in roots],
+                }
+            )
+        else:
+            out = pd.DataFrame({"k": keys, "comp": roots})
+        yield out
+
+    schema = StructType().add("k", key_type).add("comp", key_type)
+    return edges.repartition(1).mapInPandas(_uf, schema)
 
 
 def seam_component_map(src: DataFrame, background: int = 0, max_rounds: int = 50) -> DataFrame:

@@ -189,6 +189,22 @@ def test_component_spanning_3x3_tiles(spark):
     assert int((mos == 7).sum()) == ring_px + 200
 
 
+def test_label_propagate_iterative_matches_fast_path(spark):
+    """The sub-threshold one-task union-find and the iterative hash-to-min
+    rounds must agree — exercised on a 2-component chain graph (chain
+    diameter forces multiple propagation rounds on the iterative path)."""
+    import pandas as pd
+
+    ka = [f"n{i:02d}" for i in range(9)] + [f"m{i:02d}" for i in range(4)]
+    kb = [f"n{i + 1:02d}" for i in range(9)] + [f"m{i + 1:02d}" for i in range(4)]
+    edges = spark.createDataFrame(pd.DataFrame({"ka": ka, "kb": kb}))
+    fast = {r.k: r.comp for r in components.min_label_propagate(edges).collect()}
+    it = {r.k: r.comp for r in components.min_label_propagate(edges, small_graph_limit=0).collect()}
+    assert fast == it
+    assert all(v == "n00" for k, v in fast.items() if k.startswith("n"))
+    assert all(v == "m00" for k, v in fast.items() if k.startswith("m"))
+
+
 def _label_tile_reference(grid, background=0):
     """The original per-run python implementation, kept as the label-value
     oracle for the vectorized label_tile."""
