@@ -325,7 +325,9 @@ def seam_component_map(src: DataFrame, background: int = 0, max_rounds: int = 50
     alg/polygonize.cpp:495 (first-appearance component identity),
     alg/gdalsievefilter.cpp:133.
     """
-    strips = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA)
+    # checkpoint: _seam_pixel_pairs self-joins the strips 4 ways — without
+    # materialization each branch would re-run the tile labeling scan
+    strips = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA).localCheckpoint(eager=True)
     pairs = _seam_pixel_pairs(strips).where(F.col("aval") == F.col("bval"))
     e = pairs.select(
         _key("aty", "atx", "alab").alias("ka"), _key("bty", "btx", "blab").alias("kb")
@@ -546,8 +548,8 @@ def sieve_filter(tile_df: DataFrame, min_pixels: int, background: int = 0) -> Da
         on=["tx", "ty", "lb"],
     ).select("cid_a", "cid_b")
     # cross-seam differing-value pixel adjacency (strips recomputed — one
-    # extra edge-only scan, still nothing pixel-sized shuffled)
-    strips = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA)
+    # extra edge-only scan, checkpointed before the 4-way self-join)
+    strips = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA).localCheckpoint(eager=True)
     seam_diff = _seam_pixel_pairs(strips).where(F.col("aval") != F.col("bval"))
     sd_a = seam_diff.join(
         cid_of.select(
@@ -625,8 +627,12 @@ def sieve_filter(tile_df: DataFrame, min_pixels: int, background: int = 0) -> Da
             out.append((int(r.tx), int(r.ty), g.astype("<i4").tobytes()))
         return pd.DataFrame(out, columns=["tx", "ty", "data"])
 
+    # explicit partition count: tile relabeling is Python-CPU-bound per
+    # group; AQE's size-coalesce would serialize it
+    nparts = spark.sparkContext.defaultParallelism
     return (
-        src.groupBy("tx", "ty")
+        src.repartition(nparts, "tx", "ty")
+        .groupBy("tx", "ty")
         .cogroup(ch_labels.groupBy("tx", "ty"))
         .applyInPandas(_rewrite, "tx long, ty long, data binary")
     )

@@ -305,7 +305,10 @@ def contour_polylines(tile_df: DataFrame, levels) -> DataFrame:
 
     from .components import min_label_propagate
 
-    slivers = tile_df.mapInPandas(_emit, sliver_schema)
+    # explicit partition count: the chaining stage is Python-CPU-bound per
+    # tile; AQE's size-based coalesce would serialize it
+    nparts = tile_df.sparkSession.sparkContext.defaultParallelism
+    slivers = tile_df.mapInPandas(_emit, sliver_schema).repartition(nparts, "tx", "ty")
     chains = (
         slivers.groupBy("zoom", "tx", "ty")
         .applyInPandas(lambda k, p: _tile_chains(p), _CHAIN_SCHEMA)
@@ -382,5 +385,7 @@ def contour_polylines(tile_df: DataFrame, levels) -> DataFrame:
                     _emit_line(_walk(tuple(arcs[i][0])))
         yield pd.DataFrame(out)
 
-    assembled = keyed.repartition(F.col("line_comp")).mapInPandas(_assemble, _LINE_SCHEMA)
+    # explicit partition count (AQE would size-coalesce the compact rows)
+    nparts = tile_df.sparkSession.sparkContext.defaultParallelism
+    assembled = keyed.repartition(nparts, F.col("line_comp")).mapInPandas(_assemble, _LINE_SCHEMA)
     return done.mapInPandas(_finalize_closed, _LINE_SCHEMA).unionByName(assembled)

@@ -267,5 +267,8 @@ def focal(tile_df: DataFrame, kernel: str) -> DataFrame:
             }
         )
 
-    slivers = tile_df.mapInPandas(_emit, sliver_schema)
+    # explicit partition count: the kernel stage is numpy-CPU-bound per
+    # tile; AQE's size-based coalesce would pack it into too few tasks
+    nparts = tile_df.sparkSession.sparkContext.defaultParallelism
+    slivers = tile_df.mapInPandas(_emit, sliver_schema).repartition(nparts, "tx", "ty")
     return slivers.groupBy("zoom", "tx", "ty").applyInPandas(_apply, TILE_SCHEMA)

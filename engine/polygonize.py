@@ -369,20 +369,41 @@ def polygonize(tile_df: DataFrame, background: int = 0) -> DataFrame:
         return pd.DataFrame(rows, columns=cols)
 
     def _assemble_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # a hash partition holds MANY components (all of each one's chains);
-        # pandas groupby inside one task avoids per-group applyInPandas
-        # overhead, which dominates when components are tiny
+        # a hash partition holds MANY components (all of each one's chains).
+        # Sort-based manual grouping: pandas groupby materializes a
+        # sub-DataFrame per group, which dominates when components are tiny
+        # (isolated pixels at web scale) — an argsort + boundary walk is
+        # ~4× cheaper per component
         parts = list(batches)
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
+        if pdf.empty:
+            return
+        gid_arr = pdf["component_id"].to_numpy()
+        order = np.argsort(gid_arr, kind="stable")
+        gids = gid_arr[order]
+        vals = pdf["value"].to_numpy()[order]
+        kinds = pdf["kind"].to_numpy()[order]
+        ptsb = pdf["pts"].to_numpy()[order]
+        starts = np.nonzero(np.concatenate([[True], gids[1:] != gids[:-1]]))[0]
+        ends = np.append(starts[1:], gids.shape[0])
         out: dict = {k: [] for k in ("component_id", "value", "n_rings", "area", "geom_wkb")}
-        for gid, sub in pdf.groupby("component_id", sort=False):
+        for s, e in zip(starts, ends):
+            if e - s == 1 and kinds[s] == "ring":
+                # single local ring — the overwhelmingly common case
+                arr = np.frombuffer(ptsb[s], dtype="<i8").reshape(-1, 2).astype(np.float64)
+                out["component_id"].append(gids[s])
+                out["value"].append(int(vals[s]))
+                out["n_rings"].append(1)
+                out["area"].append(ring_signed_area(arr))
+                out["geom_wkb"].append(geom.wkb_polygon([arr]))
+                continue
             rings = []
             chains = []
-            for r in sub.itertuples():
-                arr = np.frombuffer(r.pts, dtype="<i8").reshape(-1, 2)
-                if r.kind == "ring":
+            for i in range(s, e):
+                arr = np.frombuffer(ptsb[i], dtype="<i8").reshape(-1, 2)
+                if kinds[i] == "ring":
                     rings.append(arr)
                 else:
                     chains.append(arr)
@@ -392,18 +413,25 @@ def polygonize(tile_df: DataFrame, background: int = 0) -> DataFrame:
                 continue
             ringf = [r.astype(np.float64) for r in rings]
             areas = [ring_signed_area(r) for r in ringf]
-            order = sorted(range(len(ringf)), key=lambda i: -areas[i])
-            ordered = [ringf[i] for i in order]  # exterior (max positive) first
-            out["component_id"].append(gid)
-            out["value"].append(int(sub["value"].iat[0]))
+            ro = sorted(range(len(ringf)), key=lambda i: -areas[i])
+            ordered = [ringf[i] for i in ro]  # exterior (max positive) first
+            out["component_id"].append(gids[s])
+            out["value"].append(int(vals[s]))
             out["n_rings"].append(len(ringf))
             out["area"].append(float(sum(areas)))
             out["geom_wkb"].append(geom.wkb_polygon(ordered))
         yield pd.DataFrame(out)
 
-    slivers = src.withColumn("zoom", F.lit(0)).select("zoom", "tx", "ty", "data").mapInPandas(
-        _emit, sliver_schema
+    # explicit partition counts throughout: AQE coalesces by byte size, but
+    # these stages are PYTHON-CPU-bound per group (chaining ~10 ms/tile,
+    # assembly ~0.1 ms/component) — size-coalescing them serializes the work
+    nparts = tile_df.sparkSession.sparkContext.defaultParallelism
+    slivers = (
+        src.withColumn("zoom", F.lit(0))
+        .select("zoom", "tx", "ty", "data")
+        .mapInPandas(_emit, sliver_schema)
+        .repartition(nparts, "tx", "ty")
     )
     pieces = slivers.groupBy("tx", "ty").applyInPandas(lambda k, p: _pieces(p), _PIECE_SCHEMA)
     keyed = attach_component_id(pieces, mapping).select("component_id", "value", "kind", "pts")
-    return keyed.repartition(F.col("component_id")).mapInPandas(_assemble_part, _POLY_SCHEMA)
+    return keyed.repartition(nparts, F.col("component_id")).mapInPandas(_assemble_part, _POLY_SCHEMA)
