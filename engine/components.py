@@ -311,7 +311,9 @@ def _one_task_components(edges: DataFrame, key_type) -> DataFrame:
     return edges.repartition(1).mapInPandas(_uf, schema)
 
 
-def seam_component_map(src: DataFrame, background: int = 0, max_rounds: int = 50) -> DataFrame:
+def seam_component_map(
+    src: DataFrame, background: int = 0, max_rounds: int = 50, strips: DataFrame | None = None
+) -> DataFrame:
     """Distributed hash-to-min label propagation over the tile-seam graph.
 
     Nodes are boundary-touching (tile, local_label) pairs; edges connect
@@ -326,8 +328,11 @@ def seam_component_map(src: DataFrame, background: int = 0, max_rounds: int = 50
     alg/gdalsievefilter.cpp:133.
     """
     # checkpoint: _seam_pixel_pairs self-joins the strips 4 ways — without
-    # materialization each branch would re-run the tile labeling scan
-    strips = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA).localCheckpoint(eager=True)
+    # materialization each branch would re-run the tile labeling scan.
+    # Callers that need the strips for other purposes pass the checkpointed
+    # frame in (sieve reuses it for differing-value adjacency).
+    if strips is None:
+        strips = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA).localCheckpoint(eager=True)
     pairs = _seam_pixel_pairs(strips).where(F.col("aval") == F.col("bval"))
     e = pairs.select(
         _key("aty", "atx", "alab").alias("ka"), _key("bty", "btx", "blab").alias("kb")
@@ -530,7 +535,8 @@ def sieve_filter(tile_df: DataFrame, min_pixels: int, background: int = 0) -> Da
                         rows.extend((int(r.tx), int(r.ty), int(x), int(y)) for x, y in pairs)
             yield pd.DataFrame(rows, columns=["tx", "ty", "la", "lb"])
 
-    mapping = seam_component_map(src, background).localCheckpoint(eager=True)
+    strips = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA).localCheckpoint(eager=True)
+    mapping = seam_component_map(src, background, strips=strips).localCheckpoint(eager=True)
     labels = attach_component_id(
         src.mapInPandas(_label_stats_factory(background), _STATS_SCHEMA), mapping
     ).select("tx", "ty", "label", "value", "pixel_count", "component_id").localCheckpoint(eager=True)
@@ -547,9 +553,8 @@ def sieve_filter(tile_df: DataFrame, min_pixels: int, background: int = 0) -> Da
         cid_of.withColumnRenamed("label", "lb").withColumnRenamed("cid", "cid_b"),
         on=["tx", "ty", "lb"],
     ).select("cid_a", "cid_b")
-    # cross-seam differing-value pixel adjacency (strips recomputed — one
-    # extra edge-only scan, checkpointed before the 4-way self-join)
-    strips = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA).localCheckpoint(eager=True)
+    # cross-seam differing-value pixel adjacency (same checkpointed strips
+    # the seam mapping used — one edge-only scan total)
     seam_diff = _seam_pixel_pairs(strips).where(F.col("aval") != F.col("bval"))
     sd_a = seam_diff.join(
         cid_of.select(

@@ -231,25 +231,41 @@ def _grouped_lines(lines: DataFrame, polys: DataFrame, res: float, keep_inside: 
     id_col = lines.columns[0]
     pairs = pair_candidates(lines, polys, res)
 
-    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
-        pieces = []
-        for b in pdf["b_wkb"]:
-            pieces.extend(_poly_pieces(b))
-        parts = []
-        for ln in line_points(pdf["a_wkb"].iat[0]):
-            parts.extend(clip_line_pieces(ln, pieces, keep_inside=keep_inside))
-        if not parts:
-            return pd.DataFrame({k: [] for k in ("a_id", "n_parts", "length", "geom_wkb")})
-        return pd.DataFrame(
-            {
-                "a_id": [pdf["a_id"].iat[0]],
-                "n_parts": [len(parts)],
-                "length": [lines_length(parts)],
-                "geom_wkb": [geom.wkb_multilinestring(parts)],
-            }
-        )
+    def _apply_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # sort-based manual grouping: one partition holds MANY input lines
+        # (most with 1-2 candidate polygons); per-group applyInPandas or
+        # pandas groupby overhead would dominate at web scale
+        parts_list = list(batches)
+        if not parts_list:
+            return
+        pdf = pd.concat(parts_list, ignore_index=True)
+        if pdf.empty:
+            return
+        a_ids = pdf["a_id"].to_numpy()
+        order = np.argsort(a_ids, kind="stable")
+        a_s = a_ids[order]
+        aw = pdf["a_wkb"].to_numpy()[order]
+        bw = pdf["b_wkb"].to_numpy()[order]
+        starts = np.nonzero(np.concatenate([[True], a_s[1:] != a_s[:-1]]))[0]
+        ends = np.append(starts[1:], a_s.shape[0])
+        out = {k: [] for k in ("a_id", "n_parts", "length", "geom_wkb")}
+        for s, e in zip(starts, ends):
+            pieces = []
+            for i in range(s, e):
+                pieces.extend(_poly_pieces(bw[i]))
+            parts = []
+            for ln in line_points(aw[s]):
+                parts.extend(clip_line_pieces(ln, pieces, keep_inside=keep_inside))
+            if not parts:
+                continue
+            out["a_id"].append(int(a_s[s]))
+            out["n_parts"].append(len(parts))
+            out["length"].append(lines_length(parts))
+            out["geom_wkb"].append(geom.wkb_multilinestring(parts))
+        yield pd.DataFrame(out)
 
-    matched = pairs.groupBy("a_id").applyInPandas(_apply, _GROUP_SCHEMA)
+    nparts = lines.sparkSession.sparkContext.defaultParallelism
+    matched = pairs.repartition(nparts, "a_id").mapInPandas(_apply_part, _GROUP_SCHEMA)
     if not keep_unmatched:
         return matched
 
