@@ -219,6 +219,72 @@ def simhash16(text_col: Column, seed: int = 42) -> Column:
     return out.cast("long")
 
 
+def simhash64(text_col: Column, seed: int = 42) -> Column:
+    """64-bit SimHash (production width): bits 0..31 from the first md5
+    word, 32..63 from the second — same ±1 bit-vote construction as
+    :func:`simhash16`, JVM-side throughout.  Bit 63 wraps into the sign
+    bit of the BIGINT (two's-complement), which is fine for XOR/Hamming
+    use."""
+    toks = tokens(text_col)
+    h1 = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10).cast("long"))
+    h2 = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 9, 8), 16, 10).cast("long"))
+    def _vote(b):
+        return lambda acc, x: acc + F.when(F.shiftright(x, b) % 2 == 1, 1).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        src = h1 if i < 32 else h2
+        bit = i if i < 32 else i - 32
+        contrib = F.aggregate(src, F.lit(0), _vote(bit))
+        out = out + F.when(contrib > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two simhash words (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by 64-bit SimHash with the standard
+    chunk-banding index: the 64-bit word splits into 4×16-bit chunks; any
+    pair within Hamming distance ≤ 3 must agree on ≥ 1 chunk (pigeonhole),
+    so candidates come from a chunk-value equi-join — never an all-pairs
+    scan.  Returns (a, b, hamming) with a < b, hamming ≤ ``max_hamming``.
+
+    The 4-chunk index is exact for ``max_hamming`` ≤ 3; larger radii would
+    need more/finer bands (documented contract, same trade-off as the
+    reference MinHash banding)."""
+    sh = docs.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh"))
+    chunks = sh.select(
+        "_id", "_sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("ci"),
+                    (F.shiftrightunsigned(F.col("_sh"), 16 * i) % F.lit(1 << 16)).alias("cv"),
+                )
+                for i in range(4)
+            ])
+        ).alias("_c"),
+    ).select("_id", "_sh", "_c.ci", "_c.cv")
+    a = chunks.select(F.col("_id").alias("a"), F.col("_sh").alias("sa"), "ci", "cv")
+    b = chunks.select(F.col("_id").alias("b"), F.col("_sh").alias("sb"), "ci", "cv")
+    pairs = (
+        a.join(b, on=["ci", "cv"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", simhash_hamming(F.col("sa"), F.col("sb")).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
 LANG_STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],

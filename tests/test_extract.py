@@ -32,3 +32,34 @@ def test_spark_extraction_matches(spark):
     df = spark.createDataFrame(pages)
     out = with_extracted_text(df).where("text_extracted <> text")
     assert out.count() == 0
+
+
+def test_simhash64_and_near_pairs(spark):
+    import pandas as pd
+
+    from engine import textops
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "the quick brown fox jumps over the lazy cat",  # near-dup of 1
+                    "completely different content about spark engines",
+                    "the quick brown fox jumps over the lazy dog",   # exact dup of 1
+                ],
+            }
+        )
+    )
+    sh = {r.doc_id: r.s for r in docs.select("doc_id", textops.simhash64(F.col("text")).alias("s")).collect()}
+    assert sh[1] == sh[4]                       # identical text → identical word
+    assert sh[1] != sh[3]
+    # hamming(1,2) small, hamming(1,3) large
+    h12 = bin((sh[1] ^ sh[2]) & ((1 << 64) - 1)).count("1")
+    h13 = bin((sh[1] ^ sh[3]) & ((1 << 64) - 1)).count("1")
+    assert h12 < h13
+    pairs = {(r.a, r.b): r.hamming for r in textops.simhash_near_pairs(docs, max_hamming=3).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 0
+    assert (1, 3) not in pairs
