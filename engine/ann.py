@@ -101,3 +101,80 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("qid", F.col(id_col).alias("neighbor"), F.col("rank").cast("int").alias("rank"))
     )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int,
+    max_iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed Lloyd's k-means → the IVF centroid table (cid, cvec).
+
+    Deterministic throughout (reproducible across runs and engines):
+    initialization is farthest-point (k-center) seeding — seed 1 is the
+    vector with the smallest md5(id), each further seed maximizes the
+    min-distance to the chosen set (ties → smaller id); well-separated
+    clusters therefore get one seed each, avoiding Lloyd's merged-cluster
+    local optima.  Each iteration reassigns via the broadcast centroid
+    join (:func:`ivf_assign`) and recomputes means by posexplode +
+    groupBy(cluster, pos) + avg — the per-dimension partial sums combine
+    map-side, so the shuffle is O(k·d), not O(rows).  Empty clusters keep
+    their previous centroid (standard Lloyd's fix).  Centroids live
+    driver-side between iterations (k·d floats — model parameters, not
+    data).
+    """
+    spark = emb.sparkSession
+    src = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint(eager=True)
+    first = (
+        src.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(1)
+        .collect()[0]
+    )
+    seeds = [[float(x) for x in first[vec_col]]]
+    for _ in range(k - 1):
+        cdf = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(seeds)], schema="cid int, cvec array<double>"
+        )
+        d2 = _norm2(F.col(vec_col)) - 2.0 * _dot(F.col(vec_col), F.col("cvec")) + _norm2(F.col("cvec"))
+        far = (
+            src.join(F.broadcast(cdf))
+            .select(id_col, vec_col, d2.alias("_d2"))
+            .groupBy(id_col, vec_col)
+            .agg(F.min("_d2").alias("_dmin"))
+            .orderBy(F.col("_dmin").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()[0]
+        )
+        seeds.append([float(x) for x in far[vec_col]])
+    cents = {i: v for i, v in enumerate(seeds)}
+
+    def _cdf():
+        return spark.createDataFrame(
+            [(i, v) for i, v in sorted(cents.items())], schema="cid int, cvec array<double>"
+        )
+
+    for _ in range(max_iters):
+        assigned = ivf_assign(src, _cdf(), vec_col, id_col)
+        means = (
+            src.join(assigned, on=id_col)
+            .select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.transform("pm", lambda s: s["m"]).alias("mean"))
+            .collect()
+        )
+        new = dict(cents)
+        moved = 0.0
+        for r in means:
+            v = [float(x) for x in r.mean]
+            moved = max(moved, max(abs(a - b) for a, b in zip(v, cents[r.cluster])))
+            new[r.cluster] = v
+        cents = new
+        if moved < 1e-9:
+            break
+    return _cdf()

@@ -131,3 +131,33 @@ def test_ivf_recall_vs_bruteforce(spark):
     hit4 = {(r.qid, r.neighbor) for r in got4}
     recall = len(hit4 & brute) / len(brute)
     assert recall >= 0.5, recall  # 4/16 lists on random data
+
+
+def test_kmeans_fit_recovers_clusters(spark):
+    import pandas as pd
+
+    from engine import ann
+
+    # 4 well-separated centers in 8-d; 50 points each with small jitter
+    rng = np.random.default_rng(2)
+    centers = rng.uniform(-10, 10, (4, 8))
+    rows = []
+    for i in range(200):
+        c = i % 4
+        rows.append((i, (centers[c] + rng.normal(0, 0.05, 8)).tolist()))
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]), schema="vec_id long, embedding array<double>"
+    )
+    cent = ann.kmeans_fit(emb, k=4, max_iters=15)
+    got = np.array(sorted([r.cvec for r in cent.collect()], key=lambda v: v[0]))
+    exp = centers[np.argsort(centers[:, 0])]
+    # every fitted centroid lands within the jitter scale of a true center
+    assert got.shape == (4, 8)
+    assert np.abs(got - exp).max() < 0.1
+    # fitted centroids drive the IVF index end-to-end
+    from pyspark.sql import functions as F
+
+    q = emb.limit(3).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    out = ann.ivf_topk(emb, cent, q, k=2, nprobe=1).collect()
+    for r in out:
+        assert r.qid % 4 == r.neighbor % 4  # neighbors come from the same true cluster
