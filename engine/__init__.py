@@ -29,16 +29,19 @@ polygonize raster components → polygon rings with holes
 components connected components, sieve filter           (alg/gdalsievefilter.cpp)
 proximity exact EDT + nodata fill (ring-k strip halo)   (alg/gdalproximity.cpp)
 contour   marching squares + polyline stitching         (alg/contour.cpp)
-focal     3×3 DEM kernels with halo exchange            (apps/gdaldem.cpp)
-warp      reprojection (nearest/bilinear/cubic, cutline), raster calc
-geomops   convex hull, simplify, centroid, segmentize, buffer
+focal     3×3 DEM kernels (incl. TPI) + color-relief     (apps/gdaldem.cpp)
+warp      reprojection (full GRA kernel set, cutline), warp_custom, raster calc
+transformer GCP polynomial / TPS / approximate transformers (alg/gdaltransformer.cpp)
+srs       closed-form transverse Mercator / UTM          (PROJ tmerc analog)
+lineclip  LineString × polygon layer algebra             (ogrlayer.cpp Clip/Erase)
+geomops   hull, simplify(+topology), centroid, buffer, distance, boundary, validity, force-casts
 lineref   linear referencing                            (apps/ogrlineref.cpp)
 quantize  median-cut palette + Floyd–Steinberg dither   (alg/gdalmediancut.cpp)
 nearblack collar removal                                (apps/nearblack.cpp)
 sinks     KML superoverlay serializer                   (frmts/kmlsuperoverlay/)
 sqludfs   registered ST_* SQL functions                 (ogrsqlitesqlfunctions.cpp)
-ann       IVF approximate nearest neighbors
-textops   MinHash/SimHash/Jaccard/lang-id/quality/fingerprints
+ann       IVF approximate nearest neighbors + distributed k-means training
+textops   MinHash/SimHash(16+64-bit, banded pairs)/Jaccard/lang-id/quality/fingerprints
 multimodal binary media columns + stubbed decode plumbing
 streaming Structured-Streaming seam + stateful dedup
 vector    spatial filters, extents, dissolve (disjoint + true union)
