@@ -191,7 +191,10 @@ def _grouped_overlay(inp: DataFrame, method: DataFrame, res: float, op: str, kee
             }
         )
 
-    matched = pairs.groupBy("a_id").applyInPandas(_apply, _GROUP_SCHEMA)
+    # explicit partition count: the overlay refine is Python-CPU-bound per
+    # input feature; AQE's size coalesce would serialize it
+    nparts = inp.sparkSession.sparkContext.defaultParallelism
+    matched = pairs.repartition(nparts, "a_id").groupBy("a_id").applyInPandas(_apply, _GROUP_SCHEMA)
     if not keep_unmatched:
         return matched
     # inputs with no bbox-overlapping method feature pass through whole

@@ -166,7 +166,10 @@ def contour_segments(tile_df: DataFrame, levels) -> DataFrame:
         segs = _tile_level_segments(pdf, lvls)
         return pd.DataFrame(segs, columns=["level", "x1", "y1", "x2", "y2"])
 
-    slivers = tile_df.mapInPandas(_emit, sliver_schema)
+    # explicit partition count: marching squares is numpy-CPU-bound per
+    # tile; AQE's size-based coalesce would pack it into too few tasks
+    nparts = tile_df.sparkSession.sparkContext.defaultParallelism
+    slivers = tile_df.mapInPandas(_emit, sliver_schema).repartition(nparts, "tx", "ty")
     return slivers.groupBy("zoom", "tx", "ty").applyInPandas(_apply, _SEG_SCHEMA)
 
 

@@ -251,7 +251,14 @@ def _composite_apply(tile_df: DataFrame, fn, out_float: bool, pad_value: int = 0
         buf = out.astype("<f8").tobytes() if out_float else np.asarray(out, dtype="<i4").tobytes()
         return pd.DataFrame({"tx": [otx], "ty": [oty], "data": [buf]})
 
-    return _gather_halo(tile_df, h).groupBy("otx", "oty").applyInPandas(_apply, _TILE_SCHEMA)
+    # explicit partition count: the EDT kernel is numpy-CPU-bound per tile
+    nparts = tile_df.sparkSession.sparkContext.defaultParallelism
+    return (
+        _gather_halo(tile_df, h)
+        .repartition(nparts, "otx", "oty")
+        .groupBy("otx", "oty")
+        .applyInPandas(_apply, _TILE_SCHEMA)
+    )
 
 
 def proximity(tile_df: DataFrame, target_values: tuple, maxdist: float, nodata: float = -1.0) -> DataFrame:

@@ -154,7 +154,8 @@ def burn_base_tiles(points: DataFrame, zoom: int, lon_col: str = "lon", lat_col:
             }
         )
 
-    return counts.groupBy("tx", "ty").applyInPandas(_assemble, TILE_SCHEMA)
+    nparts = counts.sparkSession.sparkContext.defaultParallelism
+    return counts.repartition(nparts, "tx", "ty").groupBy("tx", "ty").applyInPandas(_assemble, TILE_SCHEMA)
 
 
 def pyramid_reduce(tile_df: DataFrame, method: str = "average") -> DataFrame:
@@ -226,8 +227,11 @@ def pyramid_reduce(tile_df: DataFrame, method: str = "average") -> DataFrame:
             {"zoom": [np.int32(zoom)], "tx": [ptx], "ty": [pty], "data": [tile_to_bytes(out)]}
         )
 
-    return tile_df.groupBy(F.shiftright("tx", 1), F.shiftright("ty", 1)).applyInPandas(
-        _reduce, TILE_SCHEMA
+    nparts = tile_df.sparkSession.sparkContext.defaultParallelism
+    return (
+        tile_df.repartition(nparts, F.shiftright("tx", 1), F.shiftright("ty", 1))
+        .groupBy(F.shiftright("tx", 1), F.shiftright("ty", 1))
+        .applyInPandas(_reduce, TILE_SCHEMA)
     )
 
 
@@ -272,8 +276,11 @@ def pyramid_reduce_magphase(tile_df: DataFrame) -> DataFrame:
             }
         )
 
-    return tile_df.groupBy(F.shiftright("tx", 1), F.shiftright("ty", 1)).applyInPandas(
-        _reduce, "zoom int, tx long, ty long, data_re binary, data_im binary"
+    nparts = tile_df.sparkSession.sparkContext.defaultParallelism
+    return (
+        tile_df.repartition(nparts, F.shiftright("tx", 1), F.shiftright("ty", 1))
+        .groupBy(F.shiftright("tx", 1), F.shiftright("ty", 1))
+        .applyInPandas(_reduce, "zoom int, tx long, ty long, data_re binary, data_im binary")
     )
 
 

@@ -310,7 +310,8 @@ def warp_mercator_to_geodetic(
             }
         )
 
-    return joined.groupBy("dtx", "dty").applyInPandas(_warp, TILE_SCHEMA)
+    nparts = spark.sparkContext.defaultParallelism
+    return joined.repartition(nparts, "dtx", "dty").groupBy("dtx", "dty").applyInPandas(_warp, TILE_SCHEMA)
 
 
 def warp_custom(
@@ -394,7 +395,8 @@ def warp_custom(
             }
         )
 
-    return joined.groupBy("dtx", "dty").applyInPandas(_warp, TILE_SCHEMA)
+    nparts = spark.sparkContext.defaultParallelism
+    return joined.repartition(nparts, "dtx", "dty").groupBy("dtx", "dty").applyInPandas(_warp, TILE_SCHEMA)
 
 
 def raster_calc(tile_tables: dict, expr) -> DataFrame:
