@@ -1332,6 +1332,54 @@ def _sql_layer_erase() -> str:
     """
 
 
+def _q_layer_sym_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer algebra SymDifference (ogrlayer.cpp:2564) — GROUPED per
+    feature: each input row = input minus ALL intersecting methods (b_id
+    NULL) plus the symmetric method-side rows (a_id NULL); features
+    touching nothing pass through whole."""
+    from engine import algebra
+
+    a = spark.createDataFrame(_grid_polygons_pdf())
+    b = spark.createDataFrame(_grid15_polygons_pdf())
+    out = algebra.layer_sym_difference(a, b, res=10.0)
+    return out.where(F.col("area") > 1e-9).select(
+        "a_id", "b_id", F.round("area", 6).alias("area")
+    )
+
+
+def _sql_layer_sym_difference() -> str:
+    # both grids are internally non-overlapping, so per-feature covered
+    # area = Σ pairwise rectangle overlaps
+    return f"""
+        WITH {_ALGEBRA_LAYERS_SQL}, ov_a AS (
+            SELECT a_id,
+                   SUM((least(ax1, bx1) - greatest(ax0, bx0))
+                     * (least(ay1, by1) - greatest(ay0, by0))) AS covered
+            FROM a, b
+            WHERE least(ax1, bx1) > greatest(ax0, bx0)
+              AND least(ay1, by1) > greatest(ay0, by0)
+            GROUP BY a_id
+        ), ov_b AS (
+            SELECT b_id,
+                   SUM((least(ax1, bx1) - greatest(ax0, bx0))
+                     * (least(ay1, by1) - greatest(ay0, by0))) AS covered
+            FROM a, b
+            WHERE least(ax1, bx1) > greatest(ax0, bx0)
+              AND least(ay1, by1) > greatest(ay0, by0)
+            GROUP BY b_id
+        )
+        SELECT a.a_id, CAST(NULL AS INTEGER) AS b_id,
+               ROUND(CAST(100.0 - COALESCE(ov_a.covered, 0) AS DOUBLE), 6) AS area
+        FROM a LEFT JOIN ov_a USING (a_id)
+        WHERE 100.0 - COALESCE(ov_a.covered, 0) > 1e-9
+        UNION ALL
+        SELECT CAST(NULL AS INTEGER) AS a_id, b.b_id,
+               ROUND(CAST(225.0 - COALESCE(ov_b.covered, 0) AS DOUBLE), 6) AS area
+        FROM b LEFT JOIN ov_b USING (b_id)
+        WHERE 225.0 - COALESCE(ov_b.covered, 0) > 1e-9
+    """
+
+
 # line-clip fixture: rect A, holed rect B, horizontal ±2° segments per event
 _LC_R0 = (-175.0, -40.0, -160.0, 40.0)
 _LC_R1 = (-150.0, -20.0, -130.0, 30.0)
@@ -2266,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_prefix_rollup": _q_quadkey_prefix_rollup,
         "layer_intersection": _q_layer_intersection,
         "layer_erase": _q_layer_erase,
+        "layer_sym_difference": _q_layer_sym_difference,
         "layer_clip_lines": _q_layer_clip_lines,
         "layer_erase_lines": _q_layer_erase_lines,
         "proximity_grid": _q_proximity_grid,
@@ -2331,6 +2380,7 @@ def oracle_sql() -> dict[str, str]:
         "quadkey_prefix_rollup": _sql_quadkey_prefix_rollup(),
         "layer_intersection": _sql_layer_intersection(),
         "layer_erase": _sql_layer_erase(),
+        "layer_sym_difference": _sql_layer_sym_difference(),
         "layer_clip_lines": _sql_layer_clip_lines(),
         "layer_erase_lines": _sql_layer_erase_lines(),
         "proximity_grid": _sql_proximity_grid(),
