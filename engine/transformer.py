@@ -117,6 +117,78 @@ class TPSTransformer:
         return self._apply(self._inv, x, y)
 
 
+def _rpc_poly(coef, P, L, H):
+    """RPC00B 20-term cubic polynomial (the standard NITF/GDAL ordering,
+    alg/gdal_rpc.cpp RPCEvaluate): 1, L, P, H, LP, LH, PH, L², P², H²,
+    PLH, L³, LP², LH², L²P, P³, PH², L²H, P²H, H³."""
+    c = coef
+    return (
+        c[0] + c[1] * L + c[2] * P + c[3] * H + c[4] * L * P + c[5] * L * H
+        + c[6] * P * H + c[7] * L * L + c[8] * P * P + c[9] * H * H
+        + c[10] * P * L * H + c[11] * L ** 3 + c[12] * L * P * P + c[13] * L * H * H
+        + c[14] * L * L * P + c[15] * P ** 3 + c[16] * P * H * H + c[17] * L * L * H
+        + c[18] * P * P * H + c[19] * H ** 3
+    )
+
+
+class RPCTransformer:
+    """Rational Polynomial Coefficient transformer
+    (GDALCreateRPCTransformer, alg/gdal_rpc.cpp): forward maps
+    (lon, lat, height) → (pixel, line) via the normalized 20-term rational
+    polynomials; inverse iterates the forward model (the reference's
+    RPCTransformPoint reverse iteration) until the pixel residual drops
+    below ``tol`` or ``max_iter``.
+
+    ``rpc``: dict with the standard keys LINE_OFF/LINE_SCALE, SAMP_OFF/
+    SAMP_SCALE, LAT_OFF/LAT_SCALE, LONG_OFF/LONG_SCALE, HEIGHT_OFF/
+    HEIGHT_SCALE and the four 20-float lists LINE_NUM_COEFF,
+    LINE_DEN_COEFF, SAMP_NUM_COEFF, SAMP_DEN_COEFF.
+    """
+
+    def __init__(self, rpc: dict, tol: float = 1e-10, max_iter: int = 20):
+        self.r = {k: (np.asarray(v, dtype=np.float64) if isinstance(v, (list, tuple)) else float(v))
+                  for k, v in rpc.items()}
+        self.tol = tol
+        self.max_iter = max_iter
+
+    def forward(self, lon, lat, height=0.0):
+        r = self.r
+        P = (np.asarray(lat, dtype=np.float64) - r["LAT_OFF"]) / r["LAT_SCALE"]
+        L = (np.asarray(lon, dtype=np.float64) - r["LONG_OFF"]) / r["LONG_SCALE"]
+        H = (np.asarray(height, dtype=np.float64) - r["HEIGHT_OFF"]) / r["HEIGHT_SCALE"]
+        samp = _rpc_poly(r["SAMP_NUM_COEFF"], P, L, H) / _rpc_poly(r["SAMP_DEN_COEFF"], P, L, H)
+        line = _rpc_poly(r["LINE_NUM_COEFF"], P, L, H) / _rpc_poly(r["LINE_DEN_COEFF"], P, L, H)
+        return samp * r["SAMP_SCALE"] + r["SAMP_OFF"], line * r["LINE_SCALE"] + r["LINE_OFF"]
+
+    def inverse(self, samp, line, height=0.0):
+        """(pixel, line) → (lon, lat) by Newton-ish iteration with a
+        numerically estimated local Jacobian (alg/gdal_rpc.cpp reverse)."""
+        r = self.r
+        samp = np.asarray(samp, dtype=np.float64)
+        line = np.asarray(line, dtype=np.float64)
+        lon = np.full(samp.shape, r["LONG_OFF"])
+        lat = np.full(samp.shape, r["LAT_OFF"])
+        dl = 1e-6 * max(abs(r["LONG_SCALE"]), 1e-9)
+        dp = 1e-6 * max(abs(r["LAT_SCALE"]), 1e-9)
+        for _ in range(self.max_iter):
+            s0, l0 = self.forward(lon, lat, height)
+            rs = samp - s0
+            rl = line - l0
+            if max(np.abs(rs).max(initial=0), np.abs(rl).max(initial=0)) < self.tol:
+                break
+            s_dl, l_dl = self.forward(lon + dl, lat, height)
+            s_dp, l_dp = self.forward(lon, lat + dp, height)
+            j00 = (s_dl - s0) / dl   # ∂samp/∂lon
+            j01 = (s_dp - s0) / dp   # ∂samp/∂lat
+            j10 = (l_dl - l0) / dl
+            j11 = (l_dp - l0) / dp
+            det = j00 * j11 - j01 * j10
+            det = np.where(np.abs(det) < 1e-30, 1e-30, det)
+            lon = lon + (rs * j11 - rl * j01) / det
+            lat = lat + (rl * j00 - rs * j10) / det
+        return lon, lat
+
+
 def approx_transform(exact_fn, x: np.ndarray, y: np.ndarray, max_error: float = 0.125):
     """GDALApproxTransform (alg/gdaltransformer.cpp:2584) over one
     scanline-like point run: transform the two endpoints (and midpoint)

@@ -104,3 +104,54 @@ def test_warp_custom_tps_matches_polynomial_on_affine(spark):
     a = warp.warp_custom(spark, src, 5, [(0, 0)], p.forward).collect()[0]
     b = warp.warp_custom(spark, src, 5, [(0, 0)], t.forward).collect()[0]
     assert np.array_equal(raster.bytes_to_tile(a.data), raster.bytes_to_tile(b.data))
+
+
+def test_rpc_transformer_roundtrip():
+    # synthetic RPC resembling an affine sensor model with a mild cubic
+    # perturbation: forward/inverse must round-trip to sub-1e-6 pixels
+    z20 = [0.0] * 20
+    num_s = list(z20); num_s[0] = 0.002; num_s[1] = 1.0; num_s[2] = 0.01; num_s[3] = 0.05; num_s[11] = 1e-4
+    den = list(z20); den[0] = 1.0; den[2] = 1e-5
+    num_l = list(z20); num_l[0] = -0.001; num_l[2] = -1.0; num_l[1] = 0.02; num_l[15] = -2e-4
+    rpc = {
+        "LINE_OFF": 5000.0, "LINE_SCALE": 5000.0,
+        "SAMP_OFF": 6000.0, "SAMP_SCALE": 6000.0,
+        "LAT_OFF": 45.0, "LAT_SCALE": 0.5,
+        "LONG_OFF": 7.0, "LONG_SCALE": 0.5,
+        "HEIGHT_OFF": 500.0, "HEIGHT_SCALE": 500.0,
+        "SAMP_NUM_COEFF": num_s, "SAMP_DEN_COEFF": den,
+        "LINE_NUM_COEFF": num_l, "LINE_DEN_COEFF": den,
+    }
+    t = transformer.RPCTransformer(rpc)
+    rng = np.random.default_rng(9)
+    lon = rng.uniform(6.6, 7.4, 500)
+    lat = rng.uniform(44.6, 45.4, 500)
+    s, l = t.forward(lon, lat)
+    lon2, lat2 = t.inverse(s, l)
+    s2, l2 = t.forward(lon2, lat2)
+    assert np.abs(s2 - s).max() < 1e-6 and np.abs(l2 - l).max() < 1e-6
+    assert np.abs(lon2 - lon).max() < 1e-8 and np.abs(lat2 - lat).max() < 1e-8
+    # height term participates
+    s_h, l_h = t.forward(lon, lat, height=800.0)
+    assert not np.allclose(s_h, s)
+
+
+def test_rpc_affine_center():
+    # at the offsets (normalized coords 0) the model returns the offsets
+    z20 = [0.0] * 20
+    num = list(z20); num[1] = 1.0
+    den = list(z20); den[0] = 1.0
+    numl = list(z20); numl[2] = 1.0
+    rpc = {
+        "LINE_OFF": 100.0, "LINE_SCALE": 50.0, "SAMP_OFF": 200.0, "SAMP_SCALE": 80.0,
+        "LAT_OFF": 10.0, "LAT_SCALE": 1.0, "LONG_OFF": 20.0, "LONG_SCALE": 1.0,
+        "HEIGHT_OFF": 0.0, "HEIGHT_SCALE": 1.0,
+        "SAMP_NUM_COEFF": num, "SAMP_DEN_COEFF": den,
+        "LINE_NUM_COEFF": numl, "LINE_DEN_COEFF": den,
+    }
+    t = transformer.RPCTransformer(rpc)
+    s, l = t.forward(np.array([20.0]), np.array([10.0]))
+    assert abs(s[0] - 200.0) < 1e-12 and abs(l[0] - 100.0) < 1e-12
+    # one L-unit east → one SAMP_SCALE of pixels
+    s1, _ = t.forward(np.array([21.0]), np.array([10.0]))
+    assert abs(s1[0] - 280.0) < 1e-9
