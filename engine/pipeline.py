@@ -119,6 +119,21 @@ def run_tiling(
         level.drop("zoom").write.mode("overwrite").parquet(lvl_path)
         persisted = spark.read.parquet(lvl_path).withColumn("zoom", F.lit(z))
         stats = _level_stats(persisted)
+        # per-PARTITION lineage sidecar: (partition id, tile count, page
+        # count, checksum xor) — lets a resumed/audited run pin which scan
+        # partitions contributed what, at file-partition granularity
+        lineage = (
+            raster.tile_checksums(persisted)
+            .withColumn("part_id", F.spark_partition_id())
+            .groupBy("part_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_tiles"),
+                F.sum("page_count").alias("page_count"),
+                F.expr("aggregate(collect_list(checksum), 0, (a, x) -> int(a ^ x))").alias("ck_xor"),
+            )
+        )
+        lineage.write.mode("overwrite").parquet(os.path.join(base, "_lineage", f"zoom={z}"))
+        stats["n_partitions"] = lineage.count()
         _append_manifest(
             spark,
             base,

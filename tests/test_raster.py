@@ -138,6 +138,18 @@ def test_pipeline_resume(spark, geo_points, tmp_path):
     assert rows[5].stage == "pyramid_reduce"
     assert rows[5].in_rows == rows[6].out_rows  # lineage chains
 
+    # per-partition lineage sidecar: partition sums reconcile to the level
+    from pyspark.sql import functions as F
+
+    for z in (4, 5, 6):
+        lin = spark.read.parquet(os.path.join(base, "_lineage", f"zoom={z}"))
+        agg = lin.agg(
+            F.sum("n_tiles").alias("t"), F.sum("page_count").alias("p")
+        ).collect()[0]
+        assert int(agg.t) == rows[z].out_rows
+        assert int(agg.p) == rows[z].total_count
+        assert lin.count() == rows[z].n_partitions
+
 
 def test_kml_superoverlay_sink(spark):
     import xml.etree.ElementTree as ET
