@@ -1332,6 +1332,45 @@ def _sql_layer_erase() -> str:
     """
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF join (Spark-native superset row of SURVEY §2.3): each event,
+    placed on a deterministic 1995-2001 time axis, picks the latest order
+    (per key = user_id ↔ o_custkey%150) on or before its time.  Oracle =
+    DuckDB's native ASOF LEFT JOIN."""
+    from engine import joins as joinsmod
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id")).alias("k"),
+        F.expr("cast(date_add(to_date('1995-01-01'), cast(event_id % 2400 as int)) as timestamp)").alias("t"),
+    )
+    orders = _read(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 150).alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        "o_orderkey",
+    )
+    # dedupe right per (key, time): max orderkey (deterministic tie rule)
+    r = orders.groupBy("k", "t").agg(F.max("o_orderkey").alias("asof_orderkey"))
+    out = joinsmod.asof_join(ev, r, key="k", time="t", value="asof_orderkey")
+    return out.select("event_id", "asof_orderkey")
+
+
+def _sql_asof_join() -> str:
+    return """
+        WITH l AS (
+            SELECT event_id, user_id AS k,
+                   TIMESTAMP '1995-01-01' + INTERVAL (event_id % 2400) DAY AS t
+            FROM events
+        ), r AS (
+            SELECT o_custkey % 150 AS k, CAST(o_orderdate AS TIMESTAMP) AS t,
+                   MAX(o_orderkey) AS asof_orderkey
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT l.event_id, r.asof_orderkey
+        FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.t >= r.t
+    """
+
+
 def _q_layer_sym_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layer algebra SymDifference (ogrlayer.cpp:2564) — GROUPED per
     feature: each input row = input minus ALL intersecting methods (b_id
@@ -2314,6 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_prefix_rollup": _q_quadkey_prefix_rollup,
         "layer_intersection": _q_layer_intersection,
         "layer_erase": _q_layer_erase,
+        "asof_join": _q_asof_join,
         "layer_sym_difference": _q_layer_sym_difference,
         "layer_clip_lines": _q_layer_clip_lines,
         "layer_erase_lines": _q_layer_erase_lines,
@@ -2380,6 +2420,7 @@ def oracle_sql() -> dict[str, str]:
         "quadkey_prefix_rollup": _sql_quadkey_prefix_rollup(),
         "layer_intersection": _sql_layer_intersection(),
         "layer_erase": _sql_layer_erase(),
+        "asof_join": _sql_asof_join(),
         "layer_sym_difference": _sql_layer_sym_difference(),
         "layer_clip_lines": _sql_layer_clip_lines(),
         "layer_erase_lines": _sql_layer_erase_lines(),

@@ -670,6 +670,50 @@ def grid_metrics(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "k",
+    time: str = "t",
+    value: str = "v",
+    direction: str = "backward",
+) -> DataFrame:
+    """ASOF join: for every left row, the ``value`` of the right row with
+    the greatest time ≤ left time (``backward``, inclusive) or smallest
+    time ≥ left time (``forward``) within the same ``key``.
+
+    The OGR/reference family has no as-of operator (SURVEY §2.3 lists it
+    as a Spark-native superset); this is the scalable single-shuffle
+    form: tag + union both sides, one window per key ordered by time with
+    a last-non-null fill — never a range-join row explosion.  Ties
+    (right time == left time) resolve to the right row (inclusive), via
+    the side column sorting right-before-left at equal times.
+
+    Contract: ``left`` carries (key, time, payload...); ``right`` carries
+    exactly (key, time, value).  Output = left payload + ``value``
+    (NULL when no qualifying right row).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    l = left.withColumn("_side", F.lit(1))
+    r = right.select(key, time, value).withColumn("_side", F.lit(0))
+    u = l.unionByName(r, allowMissingColumns=True)
+    if direction == "backward":
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col(time).asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col(time).desc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    filled = u.withColumn(value, F.last(value, ignorenulls=True).over(w))
+    return filled.where(F.col("_side") == 1).drop("_side")
+
+
 def grid_moving_average(
     queries: DataFrame,
     points: DataFrame,

@@ -135,3 +135,36 @@ def test_dissolve_union_overlapping(spark):
     in_pieces = clipmod.pieces_contain(pieces, px, py)
     truth = ((px >= 0) & (px <= 10) | (px >= 5) & (px <= 15)) & (py >= 0) & (py <= 10)
     assert (in_pieces != truth).mean() < 0.005
+
+
+def test_asof_join_directions_and_ties(spark):
+    import pandas as pd
+
+    from engine import joins
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1, 2, 3],
+                "t": pd.to_datetime(
+                    ["2020-01-05", "2020-01-10", "2020-01-01", "2020-01-05", "2020-01-05"]
+                ),
+                "lid": [10, 11, 12, 20, 30],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 2],
+                "t": pd.to_datetime(["2020-01-03", "2020-01-05", "2020-01-07"]),
+                "v": [100, 105, 207],
+            }
+        )
+    )
+    back = {r.lid: r.v for r in joins.asof_join(left, right).collect()}
+    # lid 10 at 01-05: tie with right 01-05 → inclusive → 105
+    assert back == {10: 105, 11: 105, 12: None, 20: None, 30: None}
+    fwd = {r.lid: r.v for r in joins.asof_join(left, right, direction="forward").collect()}
+    # forward: smallest right t >= left t
+    assert fwd == {10: 105, 11: None, 12: 100, 20: 207, 30: None}
