@@ -1055,9 +1055,12 @@ def _q_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = _points(spark, sf_dir)
     base = raster.burn_base_tiles(pts, 5)
+    # mean as integer parts-per-billion: the r1/r2 driver hash tripped on the
+    # lone DOUBLE column despite bit-identical values, so the row is pure
+    # integers now (sum and n_pixels are exact integers → deterministic)
     return raster.raster_statistics(base).select(
         "zoom", "n_pixels", "n_nonzero", "sum_val", "min_val", "max_val",
-        F.round("mean_val", 9).alias("mean_val"),
+        F.round(F.col("mean_val") * 1e9).cast("long").alias("mean_val_ppb"),
     )
 
 
@@ -1080,8 +1083,9 @@ def _sql_raster_stats() -> str:
                (SELECT SUM(c) FROM cnts) AS sum_val,
                CAST(0 AS BIGINT) AS min_val,
                (SELECT MAX(c) FROM cnts) AS max_val,
-               ROUND(CAST((SELECT SUM(c) FROM cnts) AS DOUBLE)
-                   / CAST((SELECT COUNT(*) FROM tiles) * 65536 AS DOUBLE), 9) AS mean_val
+               CAST(ROUND(CAST((SELECT SUM(c) FROM cnts) AS DOUBLE)
+                   / CAST((SELECT COUNT(*) FROM tiles) * 65536 AS DOUBLE) * 1e9)
+                   AS BIGINT) AS mean_val_ppb
     """
 
 
@@ -1153,12 +1157,32 @@ def _sql_lang_id() -> str:
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash family in one driver row: the 16-bit oracle form, the 64-bit
+    production word (engine/textops.py:222), and n_near = count of banded
+    near-duplicate partners at Hamming ≤ 3 (chunk-index equi-join,
+    textops.simhash_near_pairs — never all-pairs; the brute-force oracle
+    proves the banding exact)."""
     docs = _read(spark, sf_dir, "documents")
-    return docs.select("doc_id", textops.simhash16(F.col("text")).alias("simhash"))
+    base = docs.select(
+        "doc_id", textops.simhash16(F.col("text")).alias("simhash")
+    ).join(textops.simhash64_df(docs), on="doc_id")
+    pairs = textops.simhash_near_pairs(docs, max_hamming=3)
+    cnt = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    return base.join(cnt, on="doc_id", how="left").select(
+        "doc_id", "simhash", "simhash64",
+        F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near"),
+    )
 
 
 def _sql_simhash() -> str:
     h = _H60_SQL.format(x="t")
+    h32a = _H32_SQL.format(x="t")
+    h32b = "CAST(CONCAT('0x', substring(md5(t), 9, 8)) AS BIGINT)"
     bits = []
     for i in range(16):
         # contrib_i = sum(+1 if bit set else -1) > 0  ⟺  2*n_set > n_tokens
@@ -1166,13 +1190,40 @@ def _sql_simhash() -> str:
             f"CASE WHEN 2 * len(list_filter(hs, x -> (x >> {i}) & 1 = 1)) > len(hs) "
             f"THEN {1 << i} ELSE 0 END"
         )
+    # 64-bit: bits 0..31 from md5 word 1, 32..63 from word 2; bit 63 wraps
+    # into the BIGINT sign (two's complement), matching Spark's shiftleft
+    bits64 = []
+    for i in range(63):
+        src, bit = ("h1", i) if i < 32 else ("h2", i - 32)
+        bits64.append(
+            f"CASE WHEN 2 * len(list_filter({src}, x -> (x >> {bit}) & 1 = 1)) > len({src}) "
+            f"THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END"
+        )
+    bits64.append(
+        "CASE WHEN 2 * len(list_filter(h2, x -> (x >> 31) & 1 = 1)) > len(h2) "
+        "THEN (-9223372036854775807 - 1) ELSE CAST(0 AS BIGINT) END"
+    )
     return f"""
         WITH h AS (
             SELECT doc_id,
-                   list_transform(string_split(lower(text), ' '), t -> {h}) AS hs
+                   list_transform(string_split(lower(text), ' '), t -> {h}) AS hs,
+                   list_transform(string_split(lower(text), ' '), t -> {h32a}) AS h1,
+                   list_transform(string_split(lower(text), ' '), t -> {h32b}) AS h2
             FROM documents
+        ), sh AS (
+            SELECT doc_id, CAST({' + '.join(bits)} AS BIGINT) AS simhash,
+                   CAST({' + '.join(bits64)} AS BIGINT) AS simhash64
+            FROM h
+        ), np AS (
+            SELECT a.doc_id, COUNT(*) AS n_near
+            FROM sh a JOIN sh b
+              ON a.doc_id <> b.doc_id
+             AND bit_count(xor(a.simhash64, b.simhash64)) <= 3
+            GROUP BY a.doc_id
         )
-        SELECT doc_id, CAST({' + '.join(bits)} AS BIGINT) AS simhash FROM h
+        SELECT sh.doc_id, sh.simhash, sh.simhash64,
+               CAST(COALESCE(np.n_near, 0) AS BIGINT) AS n_near
+        FROM sh LEFT JOIN np USING (doc_id)
     """
 
 
@@ -2300,9 +2351,471 @@ def _sql_doc_fingerprint() -> str:
     """
 
 
+# -- general SRS phase 1: Lambert conformal conic (engine/srs.py) -----------
+
+_LCC_PARAMS = dict(lat1=33.0, lat2=45.0, lat0=23.0, lon0=-96.0)
+
+
+def _q_warp_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-SRS reprojection, LCC case (gdalwarp -t_srs <LCC>,
+    ogr/ogrct.cpp:39-68; closed form per Snyder eqs. 15-1..15-11 in
+    engine/srs.py LCCTransformer, validated against Snyder's published
+    test vectors): project every event point south of 60°S-cutoff to
+    LCC(33,45,23,-96) on WGS84; output in integer millimeters so the
+    driver hash never sees a float."""
+    from engine import srs
+
+    t = srs.LCCTransformer(**_LCC_PARAMS)
+    pts = _points(spark, sf_dir).where(F.col("lat") >= -60.0)
+
+    @F.pandas_udf("x_mm long, y_mm long")
+    def _proj(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        x, y = t.forward(lon.to_numpy(np.float64), lat.to_numpy(np.float64))
+        return pd.DataFrame({"x_mm": np.round(x * 1000.0).astype("int64"),
+                             "y_mm": np.round(y * 1000.0).astype("int64")})
+
+    return pts.select("event_id", _proj("lon", "lat").alias("_p")).select(
+        "event_id", F.col("_p.x_mm").alias("x_mm"), F.col("_p.y_mm").alias("y_mm")
+    )
+
+
+def _sql_warp_lcc() -> str:
+    from engine import srs
+
+    t = srs.LCCTransformer(**_LCC_PARAMS)
+    E = repr(t.e)
+    # identical constants + operation order as LCCTransformer.forward
+    phi = f"({DEG} * lat)"
+    s = f"sin({phi})"
+    tt = f"(tan({PI} / 4.0 - {phi} / 2.0) / pow((1.0 - {E} * {s}) / (1.0 + {E} * {s}), {E} / 2.0))"
+    rho = f"({repr(t.aF)} * pow({tt}, {repr(t.n)}))"
+    th = f"({repr(t.n)} * (({DEG} * lon) - {repr(float(t._lam0))}))"
+    return f"""
+        WITH pts AS (
+            SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+        )
+        SELECT event_id,
+               CAST(ROUND({rho} * sin({th}) * 1000.0) AS BIGINT) AS x_mm,
+               CAST(ROUND(({repr(t.rho0)} - {rho} * cos({th})) * 1000.0) AS BIGINT) AS y_mm
+        FROM pts WHERE lat >= -60.0
+    """
+
+
+# -- antimeridian (WRAPDATELINE) --------------------------------------------
+
+
+def _q_dateline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRAPDATELINE (ogr/ogrgeometryfactory.cpp:2436): a 6°-wide segment
+    centered on each event point, in unwrapped lon space, is split at ±180
+    and each part wrapped (engine/dateline.py); outputs part count, total
+    length (invariant 6°) and the covering z6 geodetic tile-x range across
+    all parts — a crossing segment must cover both seam tiles (0 and 127),
+    which unsplit geometries get silently wrong."""
+    from engine import dateline, geom as geommod
+
+    pts = _points(spark, sf_dir)
+
+    @F.pandas_udf("n_parts long, len_micro long, gtx_min long, gtx_max long")
+    def _split(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        out = []
+        for x, y in zip(lon, lat):
+            wkb = geommod.wkb_linestring([(x - 3.0, y), (x + 3.0, y)])
+            parts = dateline.split_wkb(wkb)
+            total = 0.0
+            tmins, tmaxs = [], []
+            for pw in parts:
+                _, coords = geommod.wkb_loads(pw)
+                arr = np.asarray(coords, dtype=np.float64)
+                total += float(abs(arr[-1, 0] - arr[0, 0]))
+                a, b = sorted((float(arr[0, 0]), float(arr[-1, 0])))
+                t0, t1 = dateline.geodetic_tile_cover_x(a, b, 6)
+                tmins.append(t0)
+                tmaxs.append(t1)
+            out.append((len(parts), round(total * 1e6), min(tmins), max(tmaxs)))
+        return pd.DataFrame(out, columns=["n_parts", "len_micro", "gtx_min", "gtx_max"])
+
+    return pts.select("event_id", _split("lon", "lat").alias("_d")).select(
+        "event_id", F.col("_d.n_parts").alias("n_parts"),
+        F.col("_d.len_micro").alias("len_micro"),
+        F.col("_d.gtx_min").alias("gtx_min"), F.col("_d.gtx_max").alias("gtx_max"),
+    )
+
+
+def _sql_dateline_split() -> str:
+    res = repr(tiles.geodetic_resolution(6))
+    tmin = f"greatest(0, CAST(floor(((180.0 + lon - 3.0) / {res}) / 256.0) AS BIGINT))"
+    tmax = f"least(127, CAST(ceil(((180.0 + lon + 3.0) / {res}) / 256.0) - 1 AS BIGINT))"
+    return f"""
+        WITH pts AS (
+            SELECT event_id, {_LON_SQL} AS lon FROM events
+        )
+        SELECT event_id,
+               CAST(CASE WHEN lon > 177.0 OR lon < -177.0 THEN 2 ELSE 1 END AS BIGINT) AS n_parts,
+               CAST(6000000 AS BIGINT) AS len_micro,
+               CASE WHEN lon > 177.0 OR lon < -177.0 THEN 0 ELSE {tmin} END AS gtx_min,
+               CASE WHEN lon > 177.0 OR lon < -177.0 THEN 127 ELSE {tmax} END AS gtx_max
+        FROM pts
+    """
+
+
 # ---------------------------------------------------------------------------
-# Driver contract
+# Consolidated driver rows (round 3): the driver's correctness check caps at
+# 50 rows, so small same-family queries are folded into one multi-op row
+# each — every operator family keeps a driver-verified row.  Doubles are
+# quantized to integer micro-units (CAST(ROUND(x*1e6) AS BIGINT)) so the
+# value hash never touches a float column (the r1/r2 raster_stats lesson).
 # ---------------------------------------------------------------------------
+
+_MICRO_SQL = "CAST(ROUND(({x}) * 1000000) AS BIGINT)"
+
+
+def _micro(col) -> F.Column:
+    return F.round(col * 1e6).cast("long")
+
+
+_NULL_L = "CAST(NULL AS BIGINT)"
+
+
+def _q_constructive_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constructive-geometry suite in one driver row (ogr/ogrgeometry.cpp:
+    Distance:2039, ConvexHull:2138, Centroid:3520, Segmentize:595,
+    Buffer:2358): each sub-op keeps its original fixture + kernel, results
+    are projected onto (op, id, v1, v2, v3) with micro-quantized measures."""
+    nul = F.lit(None).cast("long")
+    d = _q_st_distance(spark, sf_dir).select(
+        F.lit("distance").alias("op"), F.col("event_id").cast("long").alias("id"),
+        _micro(F.col("dist")).alias("v1"), nul.alias("v2"), nul.alias("v3"),
+    )
+    h = _q_convex_hull(spark, sf_dir).select(
+        F.lit("hull").alias("op"), F.col("grp").cast("long").alias("id"),
+        F.col("n_vertices").cast("long").alias("v1"),
+        _micro(F.col("hull_area")).alias("v2"), nul.alias("v3"),
+    )
+    c = _q_centroid_lshape(spark, sf_dir).select(
+        F.lit("centroid").alias("op"), F.col("pid").cast("long").alias("id"),
+        _micro(F.col("area")).alias("v1"), _micro(F.col("cx")).alias("v2"),
+        _micro(F.col("cy")).alias("v3"),
+    )
+    s = _q_segmentize(spark, sf_dir).select(
+        F.lit("segmentize").alias("op"), F.col("lid").cast("long").alias("id"),
+        F.col("n_points").cast("long").alias("v1"),
+        _micro(F.col("total_length")).alias("v2"), nul.alias("v3"),
+    )
+    b = _q_buffer_points(spark, sf_dir).select(
+        F.lit("buffer").alias("op"), F.col("event_id").cast("long").alias("id"),
+        F.col("n_vertices").cast("long").alias("v1"),
+        _micro(F.col("buf_area")).alias("v2"), nul.alias("v3"),
+    )
+    return d.unionByName(h).unionByName(c).unionByName(s).unionByName(b)
+
+
+def _sql_constructive_geometry() -> str:
+    m = _MICRO_SQL
+    return f"""
+        SELECT 'distance' AS op, CAST(event_id AS BIGINT) AS id,
+               {m.format(x='dist')} AS v1, {_NULL_L} AS v2, {_NULL_L} AS v3
+        FROM ({_sql_st_distance()})
+        UNION ALL
+        SELECT 'hull', CAST(grp AS BIGINT), CAST(n_vertices AS BIGINT),
+               {m.format(x='hull_area')}, {_NULL_L}
+        FROM ({_sql_convex_hull()})
+        UNION ALL
+        SELECT 'centroid', CAST(pid AS BIGINT), {m.format(x='area')},
+               {m.format(x='cx')}, {m.format(x='cy')}
+        FROM ({_sql_centroid_lshape()})
+        UNION ALL
+        SELECT 'segmentize', CAST(lid AS BIGINT), CAST(n_points AS BIGINT),
+               {m.format(x='total_length')}, {_NULL_L}
+        FROM ({_sql_segmentize()})
+        UNION ALL
+        SELECT 'buffer', CAST(event_id AS BIGINT), CAST(n_vertices AS BIGINT),
+               {m.format(x='buf_area')}, {_NULL_L}
+        FROM ({_sql_buffer_points()})
+    """
+
+
+def _q_palette_nearblack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-cut palette (alg/gdalmediancut.cpp) + nearblack collar removal
+    (apps/nearblack.cpp) folded into one driver row on (op, a, b, c)."""
+    nul = F.lit(None).cast("long")
+    pal = _q_median_cut_palette(spark, sf_dir).select(
+        F.lit("palette").alias("op"), F.col("pr").cast("long").alias("a"),
+        F.col("pg").cast("long").alias("b"), F.col("pb").cast("long").alias("c"),
+    )
+    nb = _q_nearblack_counts(spark, sf_dir).select(
+        F.lit("nearblack").alias("op"), F.col("value").cast("long").alias("a"),
+        F.col("pixel_count").cast("long").alias("b"), nul.alias("c"),
+    )
+    return pal.unionByName(nb)
+
+
+def _sql_palette_nearblack() -> str:
+    return f"""
+        SELECT 'palette' AS op, CAST(pr AS BIGINT) AS a, CAST(pg AS BIGINT) AS b,
+               CAST(pb AS BIGINT) AS c
+        FROM ({_sql_median_cut_palette()})
+        UNION ALL
+        SELECT 'nearblack', CAST(value AS BIGINT), CAST(pixel_count AS BIGINT), {_NULL_L}
+        FROM ({_sql_nearblack_counts()})
+    """
+
+
+def _q_layer_algebra_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six polygon×polygon layer-algebra ops (ogrlayer.cpp Intersection
+    :1954, Union :2220, SymDifference :2564, Identity :2875, Update :3149,
+    Erase :3660) in one driver row — each op runs the real engine composition
+    (engine/algebra.py) on the 10°-grid × offset-15°-grid fixture; rows are
+    (op, a_id, b_id, area_micro) with sub-nano slivers dropped."""
+    from engine import algebra
+
+    a = spark.createDataFrame(_grid_polygons_pdf())
+    b = spark.createDataFrame(_grid15_polygons_pdf())
+
+    def tag(df: DataFrame, op: str, has_b: bool = True) -> DataFrame:
+        bcol = F.col("b_id").cast("long") if has_b else F.lit(None).cast("long")
+        return df.where(F.col("area") > 1e-9).select(
+            F.lit(op).alias("op"),
+            F.col("a_id").cast("long").alias("a_id"),
+            bcol.alias("b_id"),
+            _micro(F.round(F.col("area"), 6)).alias("area_micro"),
+        )
+
+    return (
+        tag(algebra.layer_intersection(a, b, res=10.0), "intersection")
+        .unionByName(tag(algebra.layer_erase(a, b, res=10.0), "erase", has_b=False))
+        .unionByName(tag(algebra.layer_sym_difference(a, b, res=10.0), "sym_difference"))
+        .unionByName(tag(algebra.layer_union(a, b, res=10.0), "union"))
+        .unionByName(tag(algebra.layer_identity(a, b, res=10.0), "identity"))
+        .unionByName(tag(algebra.layer_update(a, b, res=10.0), "update"))
+    )
+
+
+def _sql_layer_algebra_poly() -> str:
+    # rectangle-math oracles: inter = pairwise overlaps, el/er = per-feature
+    # leftovers (both grids internally non-overlapping → covered = Σ overlaps)
+    m = _MICRO_SQL.format(x="ROUND(CAST(v AS DOUBLE), 6)")
+    return f"""
+        WITH {_ALGEBRA_LAYERS_SQL}, inter AS (
+            SELECT a_id, b_id,
+                   (least(ax1, bx1) - greatest(ax0, bx0))
+                 * (least(ay1, by1) - greatest(ay0, by0)) AS v
+            FROM a, b
+            WHERE least(ax1, bx1) > greatest(ax0, bx0)
+              AND least(ay1, by1) > greatest(ay0, by0)
+        ), cov_a AS (
+            SELECT a_id, SUM(v) AS covered FROM inter GROUP BY a_id
+        ), cov_b AS (
+            SELECT b_id, SUM(v) AS covered FROM inter GROUP BY b_id
+        ), el AS (
+            SELECT a.a_id, 100.0 - COALESCE(cov_a.covered, 0) AS v
+            FROM a LEFT JOIN cov_a USING (a_id)
+            WHERE 100.0 - COALESCE(cov_a.covered, 0) > 1e-9
+        ), er AS (
+            SELECT b.b_id, 225.0 - COALESCE(cov_b.covered, 0) AS v
+            FROM b LEFT JOIN cov_b USING (b_id)
+            WHERE 225.0 - COALESCE(cov_b.covered, 0) > 1e-9
+        ), whole_b AS (SELECT b_id, 225.0 AS v FROM b),
+        tagged AS (
+            SELECT 'intersection' AS op, a_id, b_id, v FROM inter
+            UNION ALL SELECT 'erase', a_id, NULL, v FROM el
+            UNION ALL SELECT 'sym_difference', a_id, NULL, v FROM el
+            UNION ALL SELECT 'sym_difference', NULL, b_id, v FROM er
+            UNION ALL SELECT 'union', a_id, b_id, v FROM inter
+            UNION ALL SELECT 'union', a_id, NULL, v FROM el
+            UNION ALL SELECT 'union', NULL, b_id, v FROM er
+            UNION ALL SELECT 'identity', a_id, b_id, v FROM inter
+            UNION ALL SELECT 'identity', a_id, NULL, v FROM el
+            UNION ALL SELECT 'update', NULL, b_id, v FROM whole_b
+            UNION ALL SELECT 'update', a_id, NULL, v FROM el
+        )
+        SELECT op, CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+               {m} AS area_micro
+        FROM tagged
+    """
+
+
+def _q_layer_algebra_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LineString×Polygon layer algebra (Clip ogrlayer.cpp:3424, Erase :3660
+    with line inputs) in one driver row: (op, a_id, n_parts, len_micro)."""
+    clip_ = _q_layer_clip_lines(spark, sf_dir).select(
+        F.lit("clip").alias("op"), F.col("a_id").cast("long").alias("a_id"),
+        F.col("n_parts").cast("long").alias("n_parts"),
+        _micro(F.col("length")).alias("len_micro"),
+    )
+    erase_ = _q_layer_erase_lines(spark, sf_dir).select(
+        F.lit("erase").alias("op"), F.col("a_id").cast("long").alias("a_id"),
+        F.col("n_parts").cast("long").alias("n_parts"),
+        _micro(F.col("length")).alias("len_micro"),
+    )
+    return clip_.unionByName(erase_)
+
+
+def _sql_layer_algebra_lines() -> str:
+    m = _MICRO_SQL.format(x="length")
+    return f"""
+        SELECT 'clip' AS op, CAST(a_id AS BIGINT) AS a_id,
+               CAST(n_parts AS BIGINT) AS n_parts, {m} AS len_micro
+        FROM ({_sql_layer_clip_lines()})
+        UNION ALL
+        SELECT 'erase', CAST(a_id AS BIGINT), CAST(n_parts AS BIGINT), {m}
+        FROM ({_sql_layer_erase_lines()})
+    """
+
+
+def _q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dissolve suite (UnionCascaded, ogr/ogrgeometry.cpp:2657): grid-layer
+    dissolve by group + true overlapping-union dissolve, one driver row."""
+    g = _q_dissolve_area(spark, sf_dir).select(
+        F.lit("grid").alias("op"), F.col("grp").cast("long").alias("grp"),
+        F.col("n_parts").cast("long").alias("n"), _micro(F.col("area")).alias("area_micro"),
+    )
+    u = _q_dissolve_union(spark, sf_dir).select(
+        F.lit("union").alias("op"), F.col("grp").cast("long").alias("grp"),
+        F.col("n_members").cast("long").alias("n"), _micro(F.col("area")).alias("area_micro"),
+    )
+    return g.unionByName(u)
+
+
+def _sql_dissolve() -> str:
+    m = _MICRO_SQL.format(x="area")
+    return f"""
+        SELECT 'grid' AS op, CAST(grp AS BIGINT) AS grp, CAST(n_parts AS BIGINT) AS n,
+               {m} AS area_micro
+        FROM ({_sql_dissolve_area()})
+        UNION ALL
+        SELECT 'union', CAST(grp AS BIGINT), CAST(n_members AS BIGINT), {m}
+        FROM ({_sql_dissolve_union()})
+    """
+
+
+def _q_grid_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDALGrid data-metrics + moving-average (alg/gdalgrid.cpp:834,580) in
+    one driver row: (op, qid, v1..v5) micro-quantized."""
+    nul = F.lit(None).cast("long")
+    met = _q_grid_metrics(spark, sf_dir).select(
+        F.lit("metrics").alias("op"), F.col("qid").cast("long").alias("qid"),
+        _micro(F.col("minimum")).alias("v1"), _micro(F.col("maximum")).alias("v2"),
+        _micro(F.col("range")).alias("v3"), F.col("count").cast("long").alias("v4"),
+        _micro(F.col("average_distance")).alias("v5"),
+    )
+    avg = _q_grid_moving_average(spark, sf_dir).select(
+        F.lit("avg").alias("op"), F.col("qid").cast("long").alias("qid"),
+        _micro(F.col("moving_avg")).alias("v1"), F.col("count").cast("long").alias("v2"),
+        nul.alias("v3"), nul.alias("v4"), nul.alias("v5"),
+    )
+    return met.unionByName(avg)
+
+
+def _sql_grid_interp() -> str:
+    m = _MICRO_SQL
+    return f"""
+        SELECT 'metrics' AS op, CAST(qid AS BIGINT) AS qid,
+               {m.format(x='minimum')} AS v1, {m.format(x='maximum')} AS v2,
+               {m.format(x='"range"')} AS v3, CAST("count" AS BIGINT) AS v4,
+               {m.format(x='average_distance')} AS v5
+        FROM ({_sql_grid_metrics()})
+        UNION ALL
+        SELECT 'avg', CAST(qid AS BIGINT), {m.format(x='moving_avg')},
+               CAST("count" AS BIGINT), {_NULL_L}, {_NULL_L}, {_NULL_L}
+        FROM ({_sql_grid_moving_average()})
+    """
+
+
+def _q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contour suite (alg/contour.cpp): per-level segment counts/lengths +
+    stitched-polyline assembly in one driver row (op, level, n, len_micro,
+    closed)."""
+    nul = F.lit(None).cast("long")
+    lin = _q_contour_linear(spark, sf_dir).select(
+        F.lit("linear").alias("op"), F.col("level").cast("double").alias("level"),
+        F.col("n_segments").cast("long").alias("n"),
+        _micro(F.col("total_length")).alias("len_micro"), nul.alias("closed"),
+    )
+    pol = _q_contour_polylines(spark, sf_dir).select(
+        F.lit("polyline").alias("op"), F.col("level").cast("double").alias("level"),
+        F.col("n_points").cast("long").alias("n"),
+        _micro(F.col("length")).alias("len_micro"), F.col("closed").cast("long").alias("closed"),
+    )
+    return lin.unionByName(pol)
+
+
+def _sql_contour() -> str:
+    m = _MICRO_SQL
+    return f"""
+        SELECT 'linear' AS op, CAST(level AS DOUBLE) AS level,
+               CAST(n_segments AS BIGINT) AS n,
+               {m.format(x='total_length')} AS len_micro, {_NULL_L} AS closed
+        FROM ({_sql_contour_linear()})
+        UNION ALL
+        SELECT 'polyline', CAST(level AS DOUBLE), CAST(n_points AS BIGINT),
+               {m.format(x='length')}, CAST(closed AS BIGINT)
+        FROM ({_sql_contour_polylines()})
+    """
+
+
+def _q_doc_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis suite in one per-doc row: token stats + quality
+    (stopword ratio as ppm integer) + language ID + bottom-k fingerprint —
+    one scan of documents, all JVM-side (engine/textops.py)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        n_stop.cast("long").alias("n_stopwords"),
+        _micro(n_stop.cast("double") / F.size(toks).cast("double")).alias("stopword_ppm"),
+        textops.lang_id(F.col("text")).alias("lang_pred"),
+        textops.bottom_k_fingerprint(F.col("text"), k=4, shingle=5).alias("fingerprint"),
+    )
+
+
+def _sql_doc_text_metrics() -> str:
+    stops = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    lang_counts = []
+    for lang in textops._LANG_ORDER:
+        words = ", ".join(f"'{w}'" for w in textops.LANG_STOPWORDS[lang])
+        lang_counts.append(
+            f"len(list_filter(string_split(lower(text), ' '), t -> t IN ({words}))) AS c_{lang}"
+        )
+    whens = " ".join(
+        f"WHEN c_{lang} = best AND best > 0 THEN '{lang}'" for lang in textops._LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"c_{lang}" for lang in textops._LANG_ORDER) + ")"
+    h = _H60_SQL.format(x="s")
+    ratio_ppm = _MICRO_SQL.format(
+        x=f"CAST(len(list_filter(toks, x -> x IN ({stops}))) AS DOUBLE)"
+        f" / CAST(len(toks) AS DOUBLE)"
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, text, string_split(text, ' ') AS toks,
+                   {', '.join(lang_counts)},
+                   list_sort(list_distinct([substring(text, i, 5)
+                              for i in range(1, greatest(length(text) - 4, 1) + 1)])) AS s5
+            FROM documents
+        ), b AS (
+            SELECT *, {best} AS best,
+                   list_sort(list_transform(s5, s -> {h})) AS hv
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+               CAST(len(list_filter(toks, x -> x IN ({stops}))) AS BIGINT) AS n_stopwords,
+               {ratio_ppm} AS stopword_ppm,
+               CASE {whens} ELSE 'und' END AS lang_pred,
+               array_to_string(list_transform(hv[1:4], x -> CAST(x AS VARCHAR)), ',') AS fingerprint
+        FROM b
+    """
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2311,6 +2824,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries (the driver's correctness check caps at 50 rows):
+    small same-family queries are consolidated so every operator family in
+    SURVEY.md §2 keeps a driver-verified row."""
     return {
         "tile_assign_merc_z8": _q_tile_assign_merc_z8,
         "tile_assign_geodetic_z6": _q_tile_assign_geodetic_z6,
@@ -2327,20 +2843,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_all_layers": _q_union_all_layers,
         "hstore": _q_hstore,
         "dedup_exact": _q_dedup_exact,
-        "doc_token_stats": _q_doc_token_stats,
-        "doc_quality": _q_doc_quality,
+        "doc_text_metrics": _q_doc_text_metrics,
         "embedding_topk": _q_embedding_topk,
-        "lang_id": _q_lang_id,
         "simhash": _q_simhash,
         "minhash_lsh": _q_minhash_lsh,
         "ngram_jaccard": _q_ngram_jaccard,
-        "doc_fingerprint": _q_doc_fingerprint,
         "ogr2ogr_transform": _q_ogr2ogr_transform,
         "orderby_topk": _q_orderby_topk,
         "like_escape": _q_like_escape,
         "spatial_filter_rect": _q_spatial_filter_rect,
         "extent_manifest": _q_extent_manifest,
-        "dissolve_area": _q_dissolve_area,
+        "dissolve": _q_dissolve,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "raster_stats": _q_raster_stats,
@@ -2351,29 +2864,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogrsql_special_fields": _q_ogrsql_special_fields,
         "summary_dates": _q_summary_dates,
         "quadkey_prefix_rollup": _q_quadkey_prefix_rollup,
-        "layer_intersection": _q_layer_intersection,
-        "layer_erase": _q_layer_erase,
+        "layer_algebra_poly": _q_layer_algebra_poly,
+        "layer_algebra_lines": _q_layer_algebra_lines,
         "asof_join": _q_asof_join,
-        "layer_sym_difference": _q_layer_sym_difference,
-        "layer_clip_lines": _q_layer_clip_lines,
-        "layer_erase_lines": _q_layer_erase_lines,
         "proximity_grid": _q_proximity_grid,
         "sieve_value_counts": _q_sieve_value_counts,
-        "contour_linear": _q_contour_linear,
-        "contour_polylines": _q_contour_polylines,
+        "contour": _q_contour,
         "lineref_locate": _q_lineref_locate,
-        "grid_metrics": _q_grid_metrics,
-        "grid_moving_average": _q_grid_moving_average,
-        "st_distance": _q_st_distance,
+        "grid_interp": _q_grid_interp,
         "polygonize_shapes": _q_polygonize_shapes,
-        "median_cut_palette": _q_median_cut_palette,
+        "palette_nearblack": _q_palette_nearblack,
         "st_relations": _q_st_relations,
-        "dissolve_union": _q_dissolve_union,
-        "nearblack_counts": _q_nearblack_counts,
-        "convex_hull": _q_convex_hull,
-        "centroid_lshape": _q_centroid_lshape,
-        "segmentize": _q_segmentize,
-        "buffer_points": _q_buffer_points,
+        "constructive_geometry": _q_constructive_geometry,
+        "warp_lcc": _q_warp_lcc,
+        "dateline_split": _q_dateline_split,
     }
 
 
@@ -2394,20 +2898,17 @@ def oracle_sql() -> dict[str, str]:
         "union_all_layers": _sql_union_all_layers(),
         "hstore": _sql_hstore(),
         "dedup_exact": _sql_dedup_exact(),
-        "doc_token_stats": _sql_doc_token_stats(),
-        "doc_quality": _sql_doc_quality(),
+        "doc_text_metrics": _sql_doc_text_metrics(),
         "embedding_topk": _sql_embedding_topk(),
-        "lang_id": _sql_lang_id(),
         "simhash": _sql_simhash(),
         "minhash_lsh": _sql_minhash_lsh(),
         "ngram_jaccard": _sql_ngram_jaccard(),
-        "doc_fingerprint": _sql_doc_fingerprint(),
         "ogr2ogr_transform": _sql_ogr2ogr_transform(),
         "orderby_topk": _sql_orderby_topk(),
         "like_escape": _sql_like_escape(),
         "spatial_filter_rect": _sql_spatial_filter_rect(),
         "extent_manifest": _sql_extent_manifest(),
-        "dissolve_area": _sql_dissolve_area(),
+        "dissolve": _sql_dissolve(),
         "ann_lsh": _sql_ann_lsh(),
         "ann_ivf": _sql_ann_ivf(),
         "raster_stats": _sql_raster_stats(),
@@ -2418,27 +2919,18 @@ def oracle_sql() -> dict[str, str]:
         "ogrsql_special_fields": _sql_ogrsql_special_fields(),
         "summary_dates": _sql_summary_dates(),
         "quadkey_prefix_rollup": _sql_quadkey_prefix_rollup(),
-        "layer_intersection": _sql_layer_intersection(),
-        "layer_erase": _sql_layer_erase(),
+        "layer_algebra_poly": _sql_layer_algebra_poly(),
+        "layer_algebra_lines": _sql_layer_algebra_lines(),
         "asof_join": _sql_asof_join(),
-        "layer_sym_difference": _sql_layer_sym_difference(),
-        "layer_clip_lines": _sql_layer_clip_lines(),
-        "layer_erase_lines": _sql_layer_erase_lines(),
         "proximity_grid": _sql_proximity_grid(),
         "sieve_value_counts": _sql_sieve_value_counts(),
-        "contour_linear": _sql_contour_linear(),
-        "contour_polylines": _sql_contour_polylines(),
+        "contour": _sql_contour(),
         "lineref_locate": _sql_lineref_locate(),
-        "grid_metrics": _sql_grid_metrics(),
-        "grid_moving_average": _sql_grid_moving_average(),
-        "st_distance": _sql_st_distance(),
+        "grid_interp": _sql_grid_interp(),
         "polygonize_shapes": _sql_polygonize_shapes(),
-        "median_cut_palette": _sql_median_cut_palette(),
+        "palette_nearblack": _sql_palette_nearblack(),
         "st_relations": _sql_st_relations(),
-        "dissolve_union": _sql_dissolve_union(),
-        "nearblack_counts": _sql_nearblack_counts(),
-        "convex_hull": _sql_convex_hull(),
-        "centroid_lshape": _sql_centroid_lshape(),
-        "segmentize": _sql_segmentize(),
-        "buffer_points": _sql_buffer_points(),
+        "constructive_geometry": _sql_constructive_geometry(),
+        "warp_lcc": _sql_warp_lcc(),
+        "dateline_split": _sql_dateline_split(),
     }

@@ -99,7 +99,7 @@ def main():
     _run("summary_lineitem", lambda: _force(q["summary_lineitem"](spark, sf_dir)), timings)
     _run("first_match_join", lambda: _force(q["first_match_join"](spark, sf_dir)), timings)
     _run("dedup_exact", lambda: _force(q["dedup_exact"](spark, sf_dir)), timings)
-    _run("doc_quality", lambda: _force(q["doc_quality"](spark, sf_dir)), timings)
+    _run("doc_quality", lambda: _force(entrymod._q_doc_quality(spark, sf_dir)), timings)
     _run("embedding_topk", lambda: _force(q["embedding_topk"](spark, sf_dir)), timings)
     _run("minhash_lsh", lambda: _force(q["minhash_lsh"](spark, sf_dir)), timings)
     _run("ann_lsh", lambda: _force(q["ann_lsh"](spark, sf_dir)), timings)
@@ -127,13 +127,13 @@ def main():
 
     binar = _warp.raster_calc({"d": base}, lambda b: (b["d"] > 0).astype("int64")).persist()
     binar.count()
-    _run("layer_algebra", lambda: _force(q["layer_intersection"](spark, sf_dir)), timings)
+    _run("layer_algebra", lambda: _force(entrymod._q_layer_intersection(spark, sf_dir)), timings)
     _run("proximity", lambda: _force(_prox.proximity(binar, (1,), maxdist=16.0)), timings)
     _run("contour", lambda: _force(_contour.contour_lengths(base, [2.5, 10.5])), timings)
     _run("polygonize", lambda: _force(_pz.polygonize(binar)), timings)
     _run("sieve", lambda: _force(_components.sieve_filter(binar, 4)), timings)
-    _run("line_clip", lambda: _force(q["layer_clip_lines"](spark, sf_dir)), timings)
-    _run("grid_metrics", lambda: _force(q["grid_metrics"](spark, sf_dir)), timings)
+    _run("line_clip", lambda: _force(entrymod._q_layer_clip_lines(spark, sf_dir)), timings)
+    _run("grid_metrics", lambda: _force(entrymod._q_grid_metrics(spark, sf_dir)), timings)
     _run("lineref_locate", lambda: _force(q["lineref_locate"](spark, sf_dir)), timings)
     _run(
         "convex_hull_groups",
@@ -146,6 +146,12 @@ def main():
     )
     binar.unpersist()
     base.unpersist()
+
+    # round-3 additions: general-SRS LCC warp, antimeridian split, 64-bit
+    # SimHash near-dup banding
+    _run("warp_lcc", lambda: _force(q["warp_lcc"](spark, sf_dir)), timings)
+    _run("dateline_split", lambda: _force(q["dateline_split"](spark, sf_dir)), timings)
+    _run("simhash64_near", lambda: _force(q["simhash"](spark, sf_dir)), timings)
 
     total = round(sum(timings.values()), 3)
     pages_per_sec = round(n_pages / flagship_wall, 1) if flagship_wall > 0 else None

@@ -258,6 +258,13 @@ def min_label_propagate(
         lbl = nxt
         if changed == 0:
             break
+    else:
+        # never reached in practice (pointer jumping converges in
+        # O(log diameter) ≪ max_rounds), but an unconverged labeling would
+        # silently split components downstream (polygonize/sieve/contour)
+        raise RuntimeError(
+            f"min_label_propagate did not converge in {max_rounds} rounds"
+        )
     return lbl
 
 

@@ -311,18 +311,34 @@ def geometry_boundary(wkb: bytes) -> bytes:
             for r in rings
         ]
         return geom.wkb_multilinestring(closed)
-    if kind == "LineString":
-        arr = np.asarray(body, dtype=np.float64)
-        if np.array_equal(arr[0], arr[-1]):
-            ends = []
-        else:
-            ends = [arr[0], arr[-1]]
-        out = [struct.pack("<BII", 1, geom.WKB_MULTIPOINT, len(ends))]
-        for p in ends:
+    def _mpoint(pts) -> bytes:
+        out = [struct.pack("<BII", 1, geom.WKB_MULTIPOINT, len(pts))]
+        for p in pts:
             out.append(geom.wkb_point(float(p[0]), float(p[1])))
         return b"".join(out)
-    # Point → empty GeometryCollection
-    return struct.pack("<BII", 1, geom.WKB_GEOMETRYCOLLECTION, 0)
+
+    if kind == "LineString":
+        arr = np.asarray(body, dtype=np.float64)
+        ends = [] if np.array_equal(arr[0], arr[-1]) else [arr[0], arr[-1]]
+        return _mpoint(ends)
+    if kind == "MultiLineString":
+        # mod-2 rule (OGC SFA / OGRGeometry::Boundary): boundary = points
+        # that are an endpoint of an ODD number of member lines
+        counts: dict = {}
+        for lkind, lbody in body:
+            assert lkind == "LineString"
+            arr = np.asarray(lbody, dtype=np.float64)
+            if np.array_equal(arr[0], arr[-1]):
+                continue  # closed member contributes no boundary
+            for p in (arr[0], arr[-1]):
+                key = (float(p[0]), float(p[1]))
+                counts[key] = counts.get(key, 0) + 1
+        odd = [k for k, v in counts.items() if v % 2 == 1]
+        return _mpoint(odd)
+    if kind in ("Point", "MultiPoint"):
+        # 0-dimensional geometry → empty GeometryCollection
+        return struct.pack("<BII", 1, geom.WKB_GEOMETRYCOLLECTION, 0)
+    raise ValueError(f"Boundary of {kind} unsupported")
 
 
 def _segments_self_intersect(arr: np.ndarray) -> bool:

@@ -691,23 +691,28 @@ def asof_join(
 
     Contract: ``left`` carries (key, time, payload...); ``right`` carries
     exactly (key, time, value).  Output = left payload + ``value``
-    (NULL when no qualifying right row).
+    (NULL when no qualifying right row).  Duplicate (key, time) rows on
+    the right are allowed but resolved deterministically: the GREATEST
+    ``value`` wins (tertiary sort on ``value`` below); pre-aggregate the
+    right side if a different tie rule is wanted.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     l = left.withColumn("_side", F.lit(1))
     r = right.select(key, time, value).withColumn("_side", F.lit(0))
     u = l.unionByName(r, allowMissingColumns=True)
+    # the tertiary value sort makes duplicate (key, time) right rows
+    # deterministic: F.last picks the max value, run-to-run stable
     if direction == "backward":
         w = (
             Window.partitionBy(key)
-            .orderBy(F.col(time).asc(), F.col("_side").asc())
+            .orderBy(F.col(time).asc(), F.col("_side").asc(), F.col(value).asc_nulls_first())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     else:
         w = (
             Window.partitionBy(key)
-            .orderBy(F.col(time).desc(), F.col("_side").asc())
+            .orderBy(F.col(time).desc(), F.col("_side").asc(), F.col(value).asc_nulls_first())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     filled = u.withColumn(value, F.last(value, ignorenulls=True).over(w))

@@ -57,18 +57,37 @@ except ImportError:
     _HAVE_PIL = False
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
 def decode_image(buf: bytes, meta) -> np.ndarray:
-    """Real decoder (PIL) when available; otherwise NotImplementedError.
-    Tests inject :func:`fake_decode` instead."""
+    """Real decode path: PNG via the pure-numpy codec (engine/png.py —
+    always available), any other format via PIL when present; exotic
+    formats without PIL raise (the documented stub path)."""
+    buf = bytes(buf)
+    if buf[:8] == _PNG_SIG:
+        from engine import png
+
+        arr = png.decode_png(buf)
+        return arr[:, :, None] if arr.ndim == 2 else arr
     if not _HAVE_PIL:
         raise NotImplementedError(
-            "image codec not available in this runtime; use fake_decode for tests"
+            "non-PNG image codec not available in this runtime; "
+            "encode fixtures as PNG (engine.png) or use fake_decode"
         )
     import io
 
     from PIL import Image
 
     return np.asarray(Image.open(io.BytesIO(buf)))  # pragma: no cover
+
+
+def encode_image(arr: np.ndarray) -> bytes:
+    """uint8 (h, w[, c]) → PNG bytes (engine/png.py) — the sink-side codec
+    for writing real image fixtures without PIL."""
+    from engine import png
+
+    return png.encode_png(arr)
 
 
 def fake_decode(buf: bytes, meta) -> np.ndarray:

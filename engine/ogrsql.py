@@ -362,8 +362,9 @@ def _lit_value(node):
 
 
 class _Compiler:
-    def __init__(self, resolver):
+    def __init__(self, resolver, geom_col=None):
         self.resolver = resolver  # (table_or_None, colname) -> (Column, DataType)
+        self.geom_col = geom_col  # layer geometry column (geometry CAST gate)
         self.has_agg = False
 
     def col(self, node) -> Column:
@@ -425,7 +426,18 @@ class _Compiler:
             typ, width = node[2], node[3]
             from pyspark.sql.types import BinaryType
 
-            if isinstance(src_t, BinaryType) or typ in ("GEOMETRY", "POLYGON", "MULTIPOLYGON"):
+            # Geometry CAST only for geometry-ish targets, or CHARACTER on
+            # the layer's geometry column — a plain binary field keeps value
+            # semantics (CAST(bin AS INTEGER) was wrongly diverted before)
+            is_geom_col = (
+                isinstance(src_t, BinaryType)
+                and isinstance(node[1], tuple)
+                and node[1][0] == "col"
+                and (node[1][2] or "").lower() == (self.geom_col or "").lower()
+            )
+            if typ in ("GEOMETRY", "POLYGON", "MULTIPOLYGON") or (
+                is_geom_col and typ in ("CHARACTER", "VARCHAR", "TEXT", "STRING")
+            ):
                 return self._geometry_cast(c, src_t, typ, width)
             if typ in ("CHARACTER", "VARCHAR", "TEXT", "STRING"):
                 return sqlcompat.ogr_cast_character(c, width), StringType()
@@ -594,7 +606,7 @@ def _exec(src, ast) -> DataFrame:
             return _special_field(cu, fid_col, geom_col)
         raise ValueError(f"OGR SQL: unknown column {col}")
 
-    comp = _Compiler(resolver)
+    comp = _Compiler(resolver, geom_col=geom_col)
 
     if ast["where"] is not None:
         df = df.where(comp.col(ast["where"]))

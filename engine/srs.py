@@ -112,6 +112,249 @@ def utm_central_meridian(zone: int) -> float:
     return -183.0 + 6.0 * zone
 
 
+# ---------------------------------------------------------------------------
+# Conic projections (Snyder, *Map Projections — A Working Manual*, USGS PP
+# 1395): Lambert conformal conic eqs. 15-1..15-11 and Albers equal-area
+# eqs. 14-1..14-11, ellipsoidal 2-standard-parallel forms — the closed-form
+# subset of the reference's general PROJ reprojection (ogr/ogrct.cpp:39-68)
+# that covers the most common non-UTM projected CRSs (State Plane, Europe's
+# LCC zones, continental equal-area grids).
+# ---------------------------------------------------------------------------
+
+# common reference ellipsoids (semi-major axis, inverse flattening)
+ELLIPSOIDS = {
+    "WGS84": (6378137.0, 298.257223563),
+    "GRS80": (6378137.0, 298.257222101),
+    "clrk66": (6378206.4, 294.9786982),       # Clarke 1866 (NAD27)
+    "intl": (6378388.0, 297.0),               # International 1924 (ED50)
+    "bessel": (6377397.155, 299.1528128),     # Bessel 1841
+}
+
+
+def _ellipsoid(name_or_af) -> tuple:
+    """(a, e², e) from a named ellipsoid or an (a, inverse-f) pair."""
+    a, inv_f = ELLIPSOIDS[name_or_af] if isinstance(name_or_af, str) else name_or_af
+    f = 1.0 / inv_f
+    e2 = f * (2.0 - f)
+    return a, e2, np.sqrt(e2)
+
+
+def _snyder_m(lat_rad, e2):
+    """m(φ) = cosφ/√(1−e²sin²φ) (Snyder eq. 14-15)."""
+    s = np.sin(lat_rad)
+    return np.cos(lat_rad) / np.sqrt(1.0 - e2 * s * s)
+
+
+def _snyder_t(lat_rad, e):
+    """t(φ) = tan(π/4−φ/2) / [(1−e·sinφ)/(1+e·sinφ)]^(e/2) (eq. 15-9)."""
+    s = np.sin(lat_rad)
+    return np.tan(np.pi / 4.0 - lat_rad / 2.0) / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+
+
+def _snyder_q(lat_rad, e, e2):
+    """q(φ) — Albers authalic function (Snyder eq. 3-12)."""
+    s = np.sin(lat_rad)
+    return (1.0 - e2) * (
+        s / (1.0 - e2 * s * s) - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+    )
+
+
+class LCCTransformer:
+    """Lambert conformal conic, 2 standard parallels (Snyder eqs.
+    15-1..15-11).  Composes with :func:`engine.warp.warp_custom` like
+    :class:`UTMTransformer` (the gdalwarp `-t_srs` LCC case, e.g.
+    Lambert-93 / US State Plane)."""
+
+    def __init__(self, lat1: float, lat2: float, lat0: float, lon0: float,
+                 false_easting: float = 0.0, false_northing: float = 0.0,
+                 ellipsoid="WGS84"):
+        self.a, self.e2, self.e = _ellipsoid(ellipsoid)
+        self.lon0 = lon0
+        self._lam0 = np.radians(lon0)
+        self.fe, self.fn = false_easting, false_northing
+        p1, p2, p0 = (np.radians(v) for v in (lat1, lat2, lat0))
+        m1, m2 = _snyder_m(p1, self.e2), _snyder_m(p2, self.e2)
+        t1, t2, t0 = (_snyder_t(p, self.e) for p in (p1, p2, p0))
+        if abs(lat1 - lat2) < 1e-12:
+            self.n = float(np.sin(p1))
+        else:
+            self.n = float((np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2)))
+        self.F = float(m1 / (self.n * t1 ** self.n))
+        self.aF = self.a * self.F
+        self.rho0 = float(self.aF * t0 ** self.n)
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        t = _snyder_t(phi, self.e)
+        rho = self.aF * t ** self.n
+        th = self.n * (lam - self._lam0)
+        x = rho * np.sin(th) + self.fe
+        y = self.rho0 - rho * np.cos(th) + self.fn
+        return x, y
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.fe
+        y = np.asarray(y, dtype=np.float64) - self.fn
+        rho = np.sign(self.n) * np.sqrt(x * x + (self.rho0 - y) ** 2)
+        th = np.arctan2(np.sign(self.n) * x, np.sign(self.n) * (self.rho0 - y))
+        t = (rho / self.aF) ** (1.0 / self.n)
+        lam = th / self.n + self._lam0
+        # iterate φ = π/2 − 2·atan(t·[(1−e·sinφ)/(1+e·sinφ)]^(e/2)) (eq. 7-9)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - self.e * s) / (1.0 + self.e * s)) ** (self.e / 2.0)
+            )
+        return np.degrees(lam), np.degrees(phi)
+
+
+class AlbersTransformer:
+    """Albers equal-area conic, 2 standard parallels (Snyder eqs.
+    14-1..14-11) — the continental statistics / equal-area grid projection."""
+
+    def __init__(self, lat1: float, lat2: float, lat0: float, lon0: float,
+                 false_easting: float = 0.0, false_northing: float = 0.0,
+                 ellipsoid="WGS84"):
+        self.a, self.e2, self.e = _ellipsoid(ellipsoid)
+        self.lon0 = lon0
+        self._lam0 = np.radians(lon0)
+        self.fe, self.fn = false_easting, false_northing
+        p1, p2, p0 = (np.radians(v) for v in (lat1, lat2, lat0))
+        m1, m2 = _snyder_m(p1, self.e2), _snyder_m(p2, self.e2)
+        q1, q2, q0 = (_snyder_q(p, self.e, self.e2) for p in (p1, p2, p0))
+        if abs(lat1 - lat2) < 1e-12:
+            self.n = float(np.sin(p1))
+        else:
+            self.n = float((m1 * m1 - m2 * m2) / (q2 - q1))
+        self.C = float(m1 * m1 + self.n * q1)
+        self.rho0 = float(self.a * np.sqrt(self.C - self.n * q0) / self.n)
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        q = _snyder_q(phi, self.e, self.e2)
+        rho = self.a * np.sqrt(self.C - self.n * q) / self.n
+        th = self.n * (lam - self._lam0)
+        x = rho * np.sin(th) + self.fe
+        y = self.rho0 - rho * np.cos(th) + self.fn
+        return x, y
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.fe
+        y = np.asarray(y, dtype=np.float64) - self.fn
+        rho = np.sqrt(x * x + (self.rho0 - y) ** 2)
+        th = np.arctan2(x, self.rho0 - y)
+        q = (self.C - (rho * self.n / self.a) ** 2) / self.n
+        lam = th / self.n + self._lam0
+        # iterate Snyder eq. 3-16
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        for _ in range(10):
+            s = np.sin(phi)
+            d = 1.0 - self.e2 * s * s
+            phi = phi + (d * d / (2.0 * np.cos(phi))) * (
+                q / (1.0 - self.e2)
+                - s / d
+                + (1.0 / (2.0 * self.e)) * np.log((1.0 - self.e * s) / (1.0 + self.e * s))
+            )
+        return np.degrees(lam), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# 7-parameter Helmert datum shift (position-vector convention, the
+# EPSG:9606 transformation PROJ applies via +towgs84 — ogr/ogrct.cpp datum
+# pipeline).  Composed geodetic(src datum) → geocentric → Helmert →
+# geodetic(dst datum).
+# ---------------------------------------------------------------------------
+
+
+def geodetic_to_geocentric(lon, lat, h=0.0, ellipsoid="WGS84"):
+    """Geodetic degrees (+ellipsoidal height m) → ECEF XYZ meters."""
+    a, e2, _ = _ellipsoid(ellipsoid)
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    s, c = np.sin(phi), np.cos(phi)
+    N = a / np.sqrt(1.0 - e2 * s * s)
+    X = (N + h) * c * np.cos(lam)
+    Y = (N + h) * c * np.sin(lam)
+    Z = (N * (1.0 - e2) + h) * s
+    return X, Y, Z
+
+
+def geocentric_to_geodetic(X, Y, Z, ellipsoid="WGS84", iters: int = 10):
+    """ECEF XYZ meters → geodetic degrees + height (iterative Bowring)."""
+    a, e2, _ = _ellipsoid(ellipsoid)
+    X = np.asarray(X, dtype=np.float64)
+    Y = np.asarray(Y, dtype=np.float64)
+    Z = np.asarray(Z, dtype=np.float64)
+    lam = np.arctan2(Y, X)
+    p = np.sqrt(X * X + Y * Y)
+    phi = np.arctan2(Z, p * (1.0 - e2))
+    for _ in range(iters):
+        s = np.sin(phi)
+        N = a / np.sqrt(1.0 - e2 * s * s)
+        phi = np.arctan2(Z + e2 * N * s, p)
+    s = np.sin(phi)
+    N = a / np.sqrt(1.0 - e2 * s * s)
+    h = np.where(
+        np.abs(np.cos(phi)) > 1e-10, p / np.cos(phi) - N, Z / np.where(s == 0, 1.0, s) - N * (1.0 - e2)
+    )
+    return np.degrees(lam), np.degrees(phi), h
+
+
+class HelmertTransformer:
+    """7-parameter Helmert datum shift between two geodetic datums
+    (position-vector sign convention; ``dx..dz`` meters, ``rx..rz``
+    arc-seconds, ``ds`` ppm).  ``inverse`` applies the exact algebraic
+    inverse (transpose/negate), not the small-angle approximation."""
+
+    def __init__(self, dx, dy, dz, rx=0.0, ry=0.0, rz=0.0, ds=0.0,
+                 src_ellipsoid="WGS84", dst_ellipsoid="WGS84"):
+        self.t = np.array([dx, dy, dz], dtype=np.float64)
+        arc = np.pi / (180.0 * 3600.0)
+        rx, ry, rz = rx * arc, ry * arc, rz * arc
+        self.scale = 1.0 + ds * 1e-6
+        self.R = np.array(
+            [[1.0, -rz, ry], [rz, 1.0, -rx], [-ry, rx, 1.0]], dtype=np.float64
+        )
+        self.src_ell, self.dst_ell = src_ellipsoid, dst_ellipsoid
+
+    def forward(self, lon, lat, h=0.0):
+        X, Y, Z = geodetic_to_geocentric(lon, lat, h, self.src_ell)
+        v = np.stack([np.atleast_1d(X), np.atleast_1d(Y), np.atleast_1d(Z)])
+        out = self.t[:, None] + self.scale * (self.R @ v)
+        lon2, lat2, h2 = geocentric_to_geodetic(out[0], out[1], out[2], self.dst_ell)
+        return lon2, lat2, h2
+
+    def inverse(self, lon, lat, h=0.0):
+        X, Y, Z = geodetic_to_geocentric(lon, lat, h, self.dst_ell)
+        v = np.stack([np.atleast_1d(X), np.atleast_1d(Y), np.atleast_1d(Z)])
+        out = np.linalg.solve(self.scale * self.R, v - self.t[:, None])
+        lon2, lat2, h2 = geocentric_to_geodetic(out[0], out[1], out[2], self.src_ell)
+        return lon2, lat2, h2
+
+
+class DatumProjectedTransformer:
+    """Datum shift + projection chain: geodetic(src datum) --Helmert-->
+    geodetic(dst datum) --projection--> (x, y), the full gdalwarp
+    ``-s_srs EPSG:4267 -t_srs <projected>`` composition
+    (alg/gdaltransformer.cpp:974 chains exactly this)."""
+
+    def __init__(self, helmert: HelmertTransformer, projection):
+        self.helmert = helmert
+        self.projection = projection
+
+    def forward(self, lon, lat):
+        lon2, lat2, _ = self.helmert.forward(lon, lat)
+        return self.projection.forward(lon2, lat2)
+
+    def inverse(self, x, y):
+        lon2, lat2 = self.projection.inverse(x, y)
+        lon1, lat1, _ = self.helmert.inverse(lon2, lat2)
+        return lon1, lat1
+
+
 class UTMTransformer:
     """WGS84 geodetic ↔ UTM (zone easting/northing), the common
     `-t_srs EPSG:326xx/327xx` gdalwarp target.  ``south`` selects the

@@ -240,6 +240,40 @@ def simhash64(text_col: Column, seed: int = 42) -> Column:
     return out
 
 
+def simhash64_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash as a DataFrame op: explode tokens → ONE hash
+    aggregate with 64 conditional bit-count sums → assemble the word.
+
+    Semantically identical to the :func:`simhash64` Column form (every
+    token occurrence votes ±1 per bit), but the per-row cost is one md5 +
+    64 cheap bit ops instead of 64 array folds — the production path at
+    100 TB: a single map-side-combined shuffle on ``id_col``, no Python.
+    Docs with NULL text get a NULL simhash64 (matching the Column form).
+    Returns (id_col, simhash64)."""
+    toks = tokens(F.col(text_col))
+    ex = docs.select(
+        F.col(id_col).alias("_id"), F.size(toks).alias("_n"), F.explode(toks).alias("_t")
+    )
+    md5 = F.md5(F.col("_t").cast("binary"))
+    h1 = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+    aggs = []
+    for i in range(64):
+        src, bit = (h1, i) if i < 32 else (h2, i - 32)
+        aggs.append(F.sum(F.shiftright(src, bit).bitwiseAND(F.lit(1))).alias(f"_c{i}"))
+    g = ex.groupBy("_id", "_n").agg(*aggs)
+    word = F.lit(0).cast("long")
+    for i in range(64):
+        # bit votes positive ⟺ set-count > n/2 ⟺ 2·count > n
+        word = word + F.when(
+            2 * F.col(f"_c{i}") > F.col("_n"),
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+    out = g.select(F.col("_id").alias(id_col), word.alias("simhash64"))
+    # docs whose token array is NULL never explode: restore them as NULL
+    return docs.select(F.col(id_col)).join(out, on=id_col, how="left")
+
+
 def simhash_hamming(a: Column, b: Column) -> Column:
     """Hamming distance between two simhash words (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -260,14 +294,21 @@ def simhash_near_pairs(
     The 4-chunk index is exact for ``max_hamming`` ≤ 3; larger radii would
     need more/finer bands (documented contract, same trade-off as the
     reference MinHash banding)."""
-    sh = docs.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh"))
+    sh = simhash64_df(docs, text_col, id_col).select(
+        F.col(id_col).alias("_id"), F.col("simhash64").alias("_sh")
+    ).where(F.col("_sh").isNotNull())
     chunks = sh.select(
         "_id", "_sh",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("ci"),
-                    (F.shiftrightunsigned(F.col("_sh"), 16 * i) % F.lit(1 << 16)).alias("cv"),
+                    # mask, not %: for i=0 the unshifted word keeps its sign
+                    # and a negative remainder would differ from the same low
+                    # 16 bits of a non-negative word, silently dropping pairs
+                    F.shiftrightunsigned(F.col("_sh"), 16 * i)
+                    .bitwiseAND(F.lit((1 << 16) - 1))
+                    .alias("cv"),
                 )
                 for i in range(4)
             ])

@@ -59,12 +59,20 @@ def _sample_mosaic(mos: np.ndarray, ax: np.ndarray, ay: np.ndarray, resampling: 
     """Sample the local source mosaic at continuous array coords (pixel
     centers at integer+0.5): the GRA_NearestNeighbour / GRA_Bilinear /
     GRA_Cubic kernels (alg/gdalwarpkernel.cpp:424-425, dtype-specialized
-    fast paths :101-119 ≙ this one vectorized numpy path)."""
+    fast paths :101-119 ≙ this one vectorized numpy path).
+
+    Coordinates OUTSIDE the mosaic span ([0, W]×[0, H]) read as nodata 0,
+    not border-replicate: the per-tile source window is estimated from a
+    sample grid, so a strongly non-linear transformer (dense TPS, RPC at
+    the scene edge) can push a true extremum past the window — clamping
+    would silently copy edge pixels there.  In-span edge samples still
+    clamp (the kernel's normal edge-extend)."""
     H, W = mos.shape
+    oob = (ax < 0.0) | (ax > W) | (ay < 0.0) | (ay > H)
     if resampling == "nearest":
         ix = np.clip(np.floor(ax).astype(np.int64), 0, W - 1)
         iy = np.clip(np.floor(ay).astype(np.int64), 0, H - 1)
-        return mos[iy, ix].astype(np.float64)
+        return np.where(oob, 0.0, mos[iy, ix].astype(np.float64))
     gx = ax - 0.5
     gy = ay - 0.5
     if resampling == "bilinear":
@@ -82,7 +90,7 @@ def _sample_mosaic(mos: np.ndarray, ax: np.ndarray, ay: np.ndarray, resampling: 
             + m[y0c, x1c] * wx * (1 - wy)
             + m[y1c, x0c] * (1 - wx) * wy
             + m[y1c, x1c] * wx * wy
-        )
+        ) * np.where(oob, 0.0, 1.0)
     if resampling in ("cubic", "cubicspline", "lanczos"):
         if resampling == "cubic":
             wfn, taps = _cubic_weights, (-1, 0, 1, 2)
@@ -106,7 +114,7 @@ def _sample_mosaic(mos: np.ndarray, ax: np.ndarray, ay: np.ndarray, resampling: 
                 w = wx * wy
                 out += m[yc, xc] * w
                 wsum += w
-        return out / wsum  # weights sum to 1 except at clipped borders
+        return np.where(oob, 0.0, out / wsum)  # weights sum to 1 except at clipped borders
     raise ValueError(f"unknown resampling {resampling!r}")
 
 

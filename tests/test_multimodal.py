@@ -2,6 +2,7 @@
 IDW interpolation vs brute-force oracle."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from engine import multimodal
@@ -161,3 +162,44 @@ def test_kmeans_fit_recovers_clusters(spark):
     out = ann.ivf_topk(emb, cent, q, k=2, nprobe=1).collect()
     for r in out:
         assert r.qid % 4 == r.neighbor % 4  # neighbors come from the same true cluster
+
+
+# -- real PNG codec path (engine/png.py, round 3) ---------------------------
+
+
+def test_png_roundtrip_all_shapes():
+    from engine import png
+
+    rng = np.random.default_rng(3)
+    for shape in [(16, 16), (7, 11, 3), (5, 9, 4)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(png.decode_png(png.encode_png(img)), img)
+
+
+def test_decode_image_real_png():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (12, 10, 3), dtype=np.uint8)
+    out = multimodal.decode_image(multimodal.encode_image(img), None)
+    assert np.array_equal(out, img)
+    # greyscale decodes to (h, w, 1) for uniform downstream pooling
+    grey = rng.integers(0, 256, (6, 8), dtype=np.uint8)
+    out2 = multimodal.decode_image(multimodal.encode_image(grey), None)
+    assert out2.shape == (6, 8, 1) and np.array_equal(out2[:, :, 0], grey)
+
+
+def test_pipeline_on_encoded_png(spark):
+    """Feature-extract + resize run end-to-end on ACTUALLY-encoded PNG
+    bytes through the real codec — no fake decoder."""
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(12):
+        h, w = 8 + i % 5, 8 + (3 * i) % 7
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        rows.append((i, multimodal.encode_image(img), "image/png", {"width": w, "height": h, "channels": 3, "sample_rate": None}))
+    pdf = pd.DataFrame(rows, columns=["media_id", "media", "media_type", "meta"])
+    sdf = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_image_features(sdf, decoder=multimodal.decode_image).collect()
+    assert len(feats) == 12
+    assert all(len(r.features) == 4 * 4 * 3 for r in feats)
+    resized = multimodal.resize_images(sdf, 4, 4, decoder=multimodal.decode_image).collect()
+    assert len(resized) == 12

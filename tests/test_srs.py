@@ -96,3 +96,114 @@ def test_warp_custom_to_utm_grid(spark):
             assert grid[row, col] == g[T - 1 - iy, ix]
         else:
             assert grid[row, col] == 0  # outside the single source tile
+
+
+# -- Lambert conformal conic / Albers / Helmert (round 3) -------------------
+
+
+def test_lcc_snyder_example():
+    """Snyder PP1395 p.296 numerical example (Clarke 1866, SP 33/45,
+    origin 23/-96): φ=35°, λ=-75° → x=1,894,410.9  y=1,564,649.5 (±0.1 m,
+    the table's rounding)."""
+    t = srs.LCCTransformer(33.0, 45.0, 23.0, -96.0, ellipsoid="clrk66")
+    x, y = t.forward(np.array([-75.0]), np.array([35.0]))
+    assert abs(x[0] - 1894410.9) < 0.1
+    assert abs(y[0] - 1564649.5) < 0.1
+
+
+def test_lcc_roundtrip():
+    rng = np.random.default_rng(11)
+    t = srs.LCCTransformer(33.0, 45.0, 23.0, -96.0)
+    lon = rng.uniform(-130.0, -60.0, 2000)
+    lat = rng.uniform(15.0, 60.0, 2000)
+    x, y = t.forward(lon, lat)
+    lon2, lat2 = t.inverse(x, y)
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+
+
+def test_lcc_standard_parallel_scale():
+    """On a standard parallel the scale factor is exactly 1: a tiny
+    east-west step of dλ meters of arc must map to the same projected
+    distance (to first order)."""
+    t = srs.LCCTransformer(33.0, 45.0, 23.0, -96.0)
+    a, e2, _ = srs._ellipsoid("WGS84")
+    lat = 33.0
+    m = srs._snyder_m(np.radians(lat), e2)  # parallel radius factor
+    dlam = 1e-6  # degrees
+    (x0, x1), (y0, y1) = t.forward(np.array([-96.0, -96.0 + dlam]), np.array([lat, lat]))
+    d_proj = np.hypot(x1 - x0, y1 - y0)
+    d_arc = np.radians(dlam) * a * m
+    assert abs(d_proj / d_arc - 1.0) < 1e-7  # finite-difference truncation
+
+
+def test_albers_snyder_example():
+    """Snyder PP1395 p.292 example (Clarke 1866, SP 29.5/45.5, origin
+    23/-96): φ=35°, λ=-75° → x=1,885,472.7  y=1,535,925.0 (±0.1 m)."""
+    t = srs.AlbersTransformer(29.5, 45.5, 23.0, -96.0, ellipsoid="clrk66")
+    x, y = t.forward(np.array([-75.0]), np.array([35.0]))
+    assert abs(x[0] - 1885472.7) < 0.1
+    assert abs(y[0] - 1535925.0) < 0.1
+
+
+def test_albers_roundtrip_and_area_preservation():
+    rng = np.random.default_rng(13)
+    t = srs.AlbersTransformer(29.5, 45.5, 23.0, -96.0)
+    lon = rng.uniform(-120.0, -70.0, 1000)
+    lat = rng.uniform(20.0, 55.0, 1000)
+    x, y = t.forward(lon, lat)
+    lon2, lat2 = t.inverse(x, y)
+    assert np.abs(lon2 - lon).max() < 1e-8
+    assert np.abs(lat2 - lat).max() < 1e-8
+    # equal-area: a small quadrangle's projected area equals its authalic
+    # area on the ellipsoid (relative error < 1e-6 for a 0.01° box)
+    a, e2, e = srs._ellipsoid("WGS84")
+    lat0, lon0, d = 40.0, -100.0, 0.01
+    ring_lon = np.array([lon0, lon0 + d, lon0 + d, lon0])
+    ring_lat = np.array([lat0, lat0, lat0 + d, lat0 + d])
+    rx, ry = t.forward(ring_lon, ring_lat)
+    proj_area = 0.5 * abs(np.sum(rx * np.roll(ry, -1) - np.roll(rx, -1) * ry))
+    q1 = srs._snyder_q(np.radians(lat0), e, e2)
+    q2 = srs._snyder_q(np.radians(lat0 + d), e, e2)
+    ell_area = (a * a / 2.0) * (q2 - q1) * np.radians(d)
+    assert abs(proj_area / ell_area - 1.0) < 1e-6
+
+
+def test_helmert_identity_and_shift():
+    ident = srs.HelmertTransformer(0, 0, 0)
+    lon, lat, h = ident.forward(np.array([12.5]), np.array([-33.25]))
+    assert abs(lon[0] - 12.5) < 1e-12 and abs(lat[0] + 33.25) < 1e-11
+    # ED50→WGS84 European mean shift (-87,-96,-120): ~100 m magnitude,
+    # round-trip exact
+    t = srs.HelmertTransformer(-87.0, -96.0, -120.0, src_ellipsoid="intl")
+    lon2, lat2, h2 = t.forward(np.array([2.0]), np.array([48.0]))
+    dist = np.hypot((lon2[0] - 2.0) * 111000 * np.cos(np.radians(48)), (lat2[0] - 48.0) * 111000)
+    assert 50.0 < dist < 250.0
+    lon1, lat1, _ = t.inverse(lon2, lat2, h2)
+    assert abs(lon1[0] - 2.0) < 1e-11 and abs(lat1[0] - 48.0) < 1e-11
+
+
+def test_helmert_rotation_scale_inverse_exact():
+    t = srs.HelmertTransformer(10.0, -5.0, 3.0, rx=1.5, ry=-0.8, rz=2.0, ds=5.0)
+    rng = np.random.default_rng(17)
+    lon = rng.uniform(-179, 179, 200)
+    lat = rng.uniform(-85, 85, 200)
+    lon2, lat2, h2 = t.forward(lon, lat)
+    lon1, lat1, _ = t.inverse(lon2, lat2, h2)
+    assert np.abs(lon1 - lon).max() < 1e-10
+    assert np.abs(lat1 - lat).max() < 1e-10
+
+
+def test_datum_projected_chain():
+    """NAD27-style chain: Helmert + LCC composes like the reference's
+    transformer chain (alg/gdaltransformer.cpp:974)."""
+    helm = srs.HelmertTransformer(-8.0, 160.0, 176.0, src_ellipsoid="clrk66")
+    proj = srs.LCCTransformer(33.0, 45.0, 23.0, -96.0)
+    chain = srs.DatumProjectedTransformer(helm, proj)
+    lon = np.array([-100.0, -90.0])
+    lat = np.array([35.0, 40.0])
+    x, y = chain.forward(lon, lat)
+    lon2, lat2 = chain.inverse(x, y)
+    # sub-mm: Bowring iteration in the geocentric->geodetic leg
+    assert np.abs(lon2 - lon).max() < 1e-8
+    assert np.abs(lat2 - lat).max() < 1e-8
