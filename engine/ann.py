@@ -20,6 +20,8 @@ whole pipeline reproducible across engines and runs.
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -103,6 +105,97 @@ def ivf_topk(
     )
 
 
+def _kmeans_parallel_seeds(
+    src: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rounds: int = 5,
+    oversample: int | None = None,
+) -> list:
+    """k-means‖ seeding (Bahmani et al., *Scalable K-Means++*, VLDB 2012):
+    ``rounds`` full passes, each sampling ~``oversample`` (default 2k)
+    candidates with probability ∝ d²(x, C), then ONE weighting pass and a
+    deterministic weighted greedy k-center over the ≤ rounds·2k candidates
+    on the driver.
+
+    Replaces the former farthest-point loop whose k−1 sequential full-data
+    jobs serialized on the driver at production k (IVF k of 4k-65k): the
+    job count here is ``rounds + 1``, independent of k.  Fully
+    deterministic: sampling uses an md5-derived uniform per (id, round),
+    every tie breaks on id.
+    """
+    spark = src.sparkSession
+    ell = float(oversample if oversample is not None else 2 * k)
+    first = (
+        src.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(1)
+        .collect()[0]
+    )
+    cand = {first[id_col]: [float(x) for x in first[vec_col]]}
+
+    def _cdf(vals):
+        return spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], schema="cid int, cvec array<double>"
+        )
+
+    d2 = _norm2(F.col(vec_col)) - 2.0 * _dot(F.col(vec_col), F.col("cvec")) + _norm2(F.col("cvec"))
+    for r in range(rounds):
+        dmin = (
+            src.join(F.broadcast(_cdf(list(cand.values()))))
+            .select(id_col, vec_col, d2.alias("_d2"))
+            .groupBy(id_col, vec_col)
+            .agg(F.min("_d2").alias("_dmin"))
+        )
+        tot = dmin.agg(F.sum("_dmin").alias("s")).collect()[0].s
+        if not tot or tot <= 0.0:
+            break  # every point coincides with a candidate
+        # deterministic uniform in [0,1): top 60 bits of md5(id:round)
+        u = (
+            F.conv(F.substring(F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(r)))), 1, 15), 16, 10)
+            .cast("double") / float(1 << 60)
+        )
+        picked = dmin.where(u < F.col("_dmin") * (ell / float(tot))).collect()
+        for row in picked:
+            cand.setdefault(row[id_col], [float(x) for x in row[vec_col]])
+        if len(cand) >= max(k, 1) and r >= 1 and len(cand) >= 4 * k:
+            break  # enough candidates already
+    # weighting pass: points per nearest candidate (ties → smaller cid)
+    ids = sorted(cand.keys())
+    vecs = [cand[i] for i in ids]
+    w_rows = (
+        src.join(F.broadcast(_cdf(vecs)))
+        .select(id_col, F.col("cid"), d2.alias("_d2"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.col("_d2").asc(), F.col("cid").asc())
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    weights = {r.cid: int(r.w) for r in w_rows}
+    # driver-side deterministic weighted greedy k-center over the candidates
+    # (≤ rounds·2k rows — model-sized, not data-sized)
+    arr = np.asarray(vecs, dtype=np.float64)
+    wts = np.array([weights.get(i, 0) for i in range(len(vecs))], dtype=np.float64)
+    start = int(np.argmax(wts))  # unique by construction? break ties by index
+    chosen = [start]
+    dm = np.sum((arr - arr[start]) ** 2, axis=1)
+    while len(chosen) < min(k, len(vecs)):
+        score = wts * dm
+        nxt = int(np.argmax(score))  # np.argmax takes the first max → id order
+        chosen.append(nxt)
+        dm = np.minimum(dm, np.sum((arr - arr[nxt]) ** 2, axis=1))
+    while len(chosen) < k:  # fewer candidates than k (tiny inputs): cycle
+        chosen.append(chosen[len(chosen) % len(vecs)])
+    return [vecs[i] for i in chosen]
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int,
@@ -127,28 +220,7 @@ def kmeans_fit(
     """
     spark = emb.sparkSession
     src = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint(eager=True)
-    first = (
-        src.withColumn("_h", F.md5(F.col(id_col).cast("string")))
-        .orderBy("_h")
-        .limit(1)
-        .collect()[0]
-    )
-    seeds = [[float(x) for x in first[vec_col]]]
-    for _ in range(k - 1):
-        cdf = spark.createDataFrame(
-            [(i, v) for i, v in enumerate(seeds)], schema="cid int, cvec array<double>"
-        )
-        d2 = _norm2(F.col(vec_col)) - 2.0 * _dot(F.col(vec_col), F.col("cvec")) + _norm2(F.col("cvec"))
-        far = (
-            src.join(F.broadcast(cdf))
-            .select(id_col, vec_col, d2.alias("_d2"))
-            .groupBy(id_col, vec_col)
-            .agg(F.min("_d2").alias("_dmin"))
-            .orderBy(F.col("_dmin").desc(), F.col(id_col).asc())
-            .limit(1)
-            .collect()[0]
-        )
-        seeds.append([float(x) for x in far[vec_col]])
+    seeds = _kmeans_parallel_seeds(src, k, vec_col=vec_col, id_col=id_col)
     cents = {i: v for i, v in enumerate(seeds)}
 
     def _cdf():

@@ -500,7 +500,16 @@ def _idnum(cid):
     return tuple(int(x) for x in cid.split("_"))
 
 
-def sieve_filter(tile_df: DataFrame, min_pixels: int, background: int = 0) -> DataFrame:
+# last sieve merge mode, for tests/diagnostics: "driver" | "distributed"
+_LAST_SIEVE_MODE: list = ["?"]
+
+
+def sieve_filter(
+    tile_df: DataFrame,
+    min_pixels: int,
+    background: int = 0,
+    driver_graph_limit: int = 100_000,
+) -> DataFrame:
     """GDALSieveFilter (alg/gdalsievefilter.cpp:133-185), full pixel rewrite:
     connected components below ``min_pixels`` take the value of their largest
     neighboring component (4-connect); background pixels are never rewritten
@@ -513,11 +522,16 @@ def sieve_filter(tile_df: DataFrame, min_pixels: int, background: int = 0) -> Da
        differing-value pairs, mapped to component ids by equi-join, distinct
        at component granularity;
     3. the merge loop itself is GDAL's inherently sequential greedy
-       (merge-into-largest-neighbor with growing sizes) — it runs on the
-       driver, but over a graph PRUNED to small components and their direct
-       neighbors (components untouched by any small component never
-       participate), so driver data is small-component-neighborhood-sized,
-       never pixel-, seam-, or total-component-sized;
+       (merge-into-largest-neighbor with growing sizes) over a graph PRUNED
+       to small components and their direct neighbors.  When the pruned
+       graph fits ``driver_graph_limit`` it runs on the driver; above that
+       (pathological noise rasters: ≥1e5 small components) it decomposes
+       into CONNECTED CLUSTERS of the pruned graph (min_label_propagate)
+       and runs the identical (size, id)-ordered greedy per cluster in an
+       executor cogroup — exact, because merges in disjoint clusters
+       commute: every read/write of the greedy stays inside one cluster,
+       so the global interleaving never changes a cluster's outcome.
+       Nothing graph-proportional reaches the driver in that mode;
     4. pixel rewrite: the changed (component → value) set joins back to the
        per-(tile,label) table and cogroups with the tile table — a
        vectorized numpy relabel per tile, no Python-dict broadcast, no
@@ -597,26 +611,68 @@ def sieve_filter(tile_df: DataFrame, min_pixels: int, background: int = 0) -> Da
         .unionByName(small)
         .distinct()
     )
-    graph_comps = comps.join(touched, on="component_id", how="left_semi").collect()
-    graph_edges = adj_pairs.join(small, adj_pairs["cid_a"] == small["component_id"], "left_semi").unionByName(
-        adj_pairs.join(small, adj_pairs["cid_b"] == small["component_id"], "left_semi")
-    ).distinct().collect()
-
-    sizes = {c.component_id: int(c.pixel_count) for c in graph_comps}
-    values = {c.component_id: int(c.value) for c in graph_comps}
-    adj: dict = {}
-    for e in graph_edges:
-        adj.setdefault(e.cid_a, set()).add(e.cid_b)
-        adj.setdefault(e.cid_b, set()).add(e.cid_a)
-
-    final_value = merge_small_components(dict(sizes), dict(values), adj, min_pixels)
-    changed = [(c, v) for c, v in final_value.items() if values.get(c) != v]
-
-    # --- pixel rewrite: changed ids join back to labels, cogroup tiles ---
-    chdf = spark.createDataFrame(
-        pd.DataFrame(changed, columns=["component_id", "new_value"]),
-        schema="component_id string, new_value long",
+    pruned_nodes = comps.join(touched, on="component_id", how="left_semi").localCheckpoint(eager=True)
+    pruned_edges = (
+        adj_pairs.join(small, adj_pairs["cid_a"] == small["component_id"], "left_semi")
+        .unionByName(
+            adj_pairs.join(small, adj_pairs["cid_b"] == small["component_id"], "left_semi")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
     )
+    n_pruned = pruned_nodes.count()
+
+    if n_pruned <= driver_graph_limit:
+        _LAST_SIEVE_MODE[0] = "driver"
+        graph_comps = pruned_nodes.collect()
+        graph_edges = pruned_edges.collect()
+        sizes = {c.component_id: int(c.pixel_count) for c in graph_comps}
+        values = {c.component_id: int(c.value) for c in graph_comps}
+        adj: dict = {}
+        for e in graph_edges:
+            adj.setdefault(e.cid_a, set()).add(e.cid_b)
+            adj.setdefault(e.cid_b, set()).add(e.cid_a)
+        final_value = merge_small_components(dict(sizes), dict(values), adj, min_pixels)
+        changed = [(c, v) for c, v in final_value.items() if values.get(c) != v]
+        chdf = spark.createDataFrame(
+            pd.DataFrame(changed, columns=["component_id", "new_value"]),
+            schema="component_id string, new_value long",
+        )
+    else:
+        _LAST_SIEVE_MODE[0] = "distributed"
+        # cluster decomposition: connected components of the pruned graph;
+        # isolated nodes (small comps with no neighbors) seed themselves
+        clusters = min_label_propagate(
+            pruned_edges.select(F.col("cid_a").alias("ka"), F.col("cid_b").alias("kb")),
+            nodes=pruned_nodes.select("component_id"),
+        )  # (k, comp) — comp = cluster id
+        nodes_c = pruned_nodes.join(
+            clusters.select(F.col("k").alias("component_id"), F.col("comp").alias("cluster")),
+            on="component_id",
+        )
+        edges_c = pruned_edges.join(
+            clusters.select(F.col("k").alias("cid_a"), F.col("comp").alias("cluster")),
+            on="cid_a",
+        )
+
+        def _merge_cluster(key, npdf: pd.DataFrame, epdf: pd.DataFrame) -> pd.DataFrame:
+            sizes = dict(zip(npdf["component_id"], npdf["pixel_count"].astype(int)))
+            values = dict(zip(npdf["component_id"], npdf["value"].astype(int)))
+            adj: dict = {}
+            for a, b in zip(epdf["cid_a"], epdf["cid_b"]):
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            final = merge_small_components(dict(sizes), values, adj, min_pixels)
+            rows = [(c, v) for c, v in final.items() if values.get(c) != v]
+            return pd.DataFrame(rows, columns=["component_id", "new_value"])
+
+        nparts = spark.sparkContext.defaultParallelism
+        chdf = (
+            nodes_c.repartition(nparts, "cluster")
+            .groupBy("cluster")
+            .cogroup(edges_c.groupBy("cluster"))
+            .applyInPandas(_merge_cluster, "component_id string, new_value long")
+        )
     ch_labels = labels.select("tx", "ty", "label", "component_id").join(
         chdf, on="component_id"
     ).select("tx", "ty", "label", "new_value")

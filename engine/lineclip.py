@@ -82,6 +82,56 @@ def segment_clip_convex(p0: np.ndarray, p1: np.ndarray, conv: np.ndarray):
     return (t0, t1)
 
 
+class ConvexCover:
+    """Flattened edge arrays for a list of convex pieces, built once per
+    cover and reused across every segment of every line in the group —
+    the vectorized replacement for the per-(segment×piece) Python loop
+    that dominated the line_clip profile (round-2 NOTES)."""
+
+    __slots__ = ("pieces", "starts", "ax", "ay", "ex", "ey", "n_edges")
+
+    def __init__(self, pieces: list):
+        self.pieces = pieces
+        if not pieces:
+            self.starts = np.zeros(0, dtype=np.int64)
+            self.ax = self.ay = self.ex = self.ey = np.zeros(0, dtype=np.float64)
+            self.n_edges = 0
+            return
+        counts = np.array([p.shape[0] for p in pieces], dtype=np.int64)
+        self.starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        a = np.concatenate(pieces, axis=0)
+        b = np.concatenate([np.roll(p, -1, axis=0) for p in pieces], axis=0)
+        self.ax, self.ay = a[:, 0].copy(), a[:, 1].copy()
+        e = b - a
+        self.ex, self.ey = e[:, 0].copy(), e[:, 1].copy()
+        self.n_edges = int(a.shape[0])
+
+    def clip_segment(self, p0: np.ndarray, p1: np.ndarray) -> list:
+        """Parametric clip of p0→p1 against every piece at once →
+        [(t0, t1)] for pieces with non-degenerate overlap.  Arithmetic is
+        operation-identical to :func:`segment_clip_convex` (t = −fp0/fd
+        per edge; max/min are order-free), so results are bit-identical."""
+        if self.n_edges == 0:
+            return []
+        dx, dy = p1[0] - p0[0], p1[1] - p0[1]
+        fp0 = self.ex * (p0[1] - self.ay) - self.ey * (p0[0] - self.ax)
+        fd = self.ex * dy - self.ey * dx
+        parallel = np.abs(fd) < _EPS
+        bad_edge = parallel & (fp0 < -_EPS)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = -fp0 / fd
+        entering = (~parallel) & (fd > 0)
+        leaving = (~parallel) & (fd < 0)
+        t_in = np.where(entering, t, 0.0)
+        t_out = np.where(leaving, t, 1.0)
+        t0 = np.maximum.reduceat(t_in, self.starts)
+        t1 = np.minimum.reduceat(t_out, self.starts)
+        bad = np.bitwise_or.reduceat(bad_edge, self.starts)
+        valid = (~bad) & (t1 - t0 > _EPS)
+        idx = np.nonzero(valid)[0]
+        return list(zip(t0[idx].tolist(), t1[idx].tolist()))
+
+
 def _merge_intervals(iv: list) -> list:
     """Union of [t0,t1] intervals (pieces are disjoint, so intervals only
     touch at piece boundaries)."""
@@ -116,25 +166,19 @@ def clip_line_pieces(line: np.ndarray, pieces: list, keep_inside: bool = True, b
     Returns a list of (N,2) sub-polylines: the parts inside
     (``keep_inside``) or outside the cover.  Parts contiguous across
     segment boundaries are stitched into one polyline.
+
+    ``pieces`` may be a list of convex rings or a prebuilt
+    :class:`ConvexCover`; ``boxes`` is accepted for backward
+    compatibility and ignored (the vectorized kernel evaluates all
+    pieces at once — a bbox-disjoint piece yields no interval anyway).
     """
-    if boxes is None:
-        boxes = [clipmod._bbox(p) for p in pieces]
+    cover = pieces if isinstance(pieces, ConvexCover) else ConvexCover(pieces)
     out = []
     cur: list | None = None  # open polyline being stitched
     for i in range(line.shape[0] - 1):
         p0 = line[i]
         p1 = line[i + 1]
-        sb = (
-            min(p0[0], p1[0]), min(p0[1], p1[1]),
-            max(p0[0], p1[0]), max(p0[1], p1[1]),
-        )
-        iv = []
-        for p, bx in zip(pieces, boxes):
-            if clipmod._bbox_disjoint(sb, bx):
-                continue
-            r = segment_clip_convex(p0, p1, p)
-            if r is not None:
-                iv.append(r)
+        iv = cover.clip_segment(p0, p1)
         iv = _merge_intervals(iv)
         if not keep_inside:
             iv = _complement(iv)

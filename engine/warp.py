@@ -296,7 +296,11 @@ def warp_mercator_to_geodetic(
             SX1 = int(pdf["wx1"].iat[0])
             SY0 = int(pdf["wy0"].iat[0])
             SY1 = int(pdf["wy1"].iat[0])
-            mos = np.zeros(((SY1 - SY0 + 1) * TILE_SIZE, (SX1 - SX0 + 1) * TILE_SIZE), dtype=np.int64)
+            # fast path: a fully-present cover window needs no zero-fill
+            # (every byte is overwritten by a source tile below)
+            n_win = (SY1 - SY0 + 1) * (SX1 - SX0 + 1)
+            alloc = np.empty if len(srcs) == n_win else np.zeros
+            mos = alloc(((SY1 - SY0 + 1) * TILE_SIZE, (SX1 - SX0 + 1) * TILE_SIZE), dtype=np.int64)
             for (sx, sy), g in srcs.items():
                 r0 = (SY1 - sy) * TILE_SIZE
                 mos[r0 : r0 + TILE_SIZE, (sx - SX0) * TILE_SIZE : (sx - SX0 + 1) * TILE_SIZE] = g
@@ -379,7 +383,9 @@ def warp_custom(
         SX1 = int(pdf["wx1"].iat[0])
         SY0 = int(pdf["wy0"].iat[0])
         SY1 = int(pdf["wy1"].iat[0])
-        mos = np.zeros(((SY1 - SY0 + 1) * T, (SX1 - SX0 + 1) * T), dtype=np.int64)
+        # fully-present window → no zero-fill (every byte overwritten)
+        alloc = np.empty if len(srcs) == (SY1 - SY0 + 1) * (SX1 - SX0 + 1) else np.zeros
+        mos = alloc(((SY1 - SY0 + 1) * T, (SX1 - SX0 + 1) * T), dtype=np.int64)
         for (sx, sy), g in srcs.items():
             if SX0 <= sx <= SX1 and SY0 <= sy <= SY1:
                 r0 = (SY1 - sy) * T

@@ -262,3 +262,83 @@ def test_label_vectorized_matches_reference():
         assert np.array_equal(
             components.label_tile(grid), _label_tile_reference(grid)
         )
+
+
+# -- distributed sieve merge (round 3: cluster-decomposed greedy) -----------
+
+
+def _noise_tiles(spark, n_tiles=8):
+    """8 side-by-side tiles: full value-2 rows at even rows (seam-spanning
+    comps of 256·n), a 1-px value-1 comp at every (odd row, even col) —
+    16384 small comps per tile, 131072 total."""
+    import pandas as pd
+
+    from engine import raster
+
+    T = raster.TILE_SIZE
+    base = np.zeros((T, T), dtype=np.int64)
+    base[0::2, :] = 2
+    base[1::2, 0::2] = 1
+    rows = [(3, tx, 0, raster.tile_to_bytes(base)) for tx in range(n_tiles)]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["zoom", "tx", "ty", "data"]))
+
+
+def _value_counts(df):
+    import collections
+
+    from engine import raster
+
+    out = collections.Counter()
+    for r in df.collect():
+        g = raster.bytes_to_tile(r.data)
+        vals, cnts = np.unique(g, return_counts=True)
+        for v, c in zip(vals, cnts):
+            out[int(v)] += int(c)
+    return dict(out)
+
+
+def test_sieve_distributed_mode_at_1e5_components(spark):
+    from engine import components
+
+    tiles = _noise_tiles(spark)
+    out = components.sieve_filter(tiles, min_pixels=25, driver_graph_limit=1000)
+    counts = _value_counts(out)
+    assert components._LAST_SIEVE_MODE[0] == "distributed"
+    n = 8 * 256 * 256
+    assert counts.get(1, 0) == 0                       # every 1-px comp absorbed
+    assert counts[2] == 128 * 2048 + 131072            # rows + absorbed pixels
+    assert counts[0] == n - counts[2]
+
+
+def test_sieve_modes_agree(spark):
+    """Driver greedy and cluster-decomposed greedy produce byte-identical
+    tiles on a mixed fixture (several clusters, cascading merges)."""
+    import pandas as pd
+
+    from engine import components, raster
+
+    T = raster.TILE_SIZE
+    a = np.zeros((T, T), dtype=np.int64)
+    b = np.zeros((T, T), dtype=np.int64)
+    for i in range(40):
+        row = 6 * i + 2
+        end = 230 + 26 + i
+        a[row, 230 : min(end, T)] = 1 + i % 5
+        if end > T:
+            b[row, : end - T] = 1 + i % 5
+        e2 = 233 + 1 + i % 8
+        a[row + 1, 233 : min(e2, T)] = 6 + i % 3
+        if e2 > T:
+            b[row + 1, : e2 - T] = 6 + i % 3
+    tiles = spark.createDataFrame(
+        pd.DataFrame(
+            {"zoom": [3, 3], "tx": [0, 1], "ty": [0, 0],
+             "data": [raster.tile_to_bytes(a), raster.tile_to_bytes(b)]}
+        )
+    )
+    drv = {(r.tx, r.ty): bytes(r.data) for r in components.sieve_filter(tiles, 25).collect()}
+    assert components._LAST_SIEVE_MODE[0] == "driver"
+    dist = {(r.tx, r.ty): bytes(r.data)
+            for r in components.sieve_filter(tiles, 25, driver_graph_limit=0).collect()}
+    assert components._LAST_SIEVE_MODE[0] == "distributed"
+    assert drv == dist
