@@ -32,7 +32,10 @@ contour   marching squares + polyline stitching         (alg/contour.cpp)
 focal     3×3 DEM kernels (incl. TPI) + color-relief     (apps/gdaldem.cpp)
 warp      reprojection (full GRA kernel set, cutline), warp_custom, raster calc
 transformer GCP polynomial / TPS / approximate transformers (alg/gdaltransformer.cpp)
-srs       closed-form transverse Mercator / UTM          (PROJ tmerc analog)
+srs       closed-form SRS: tmerc/UTM, Lambert conformal conic, Albers,
+          polar stereographic, 7-param Helmert datum shifts (PROJ analog)
+dateline  antimeridian (WRAPDATELINE) splitting + seam tile cover
+png       pure numpy+zlib PNG codec (multimodal decode without PIL)
 lineclip  LineString × polygon layer algebra             (ogrlayer.cpp Clip/Erase)
 geomops   hull, simplify(+topology), centroid, buffer, distance, boundary, validity, force-casts
 lineref   linear referencing                            (apps/ogrlineref.cpp)
@@ -42,7 +45,7 @@ sinks     KML superoverlay serializer                   (frmts/kmlsuperoverlay/)
 sqludfs   registered ST_* SQL functions                 (ogrsqlitesqlfunctions.cpp)
 ann       IVF approximate nearest neighbors + distributed k-means training
 textops   MinHash/SimHash(16+64-bit, banded pairs)/Jaccard/lang-id/quality/fingerprints
-multimodal binary media columns + stubbed decode plumbing
+multimodal binary media columns; PNG decode real, exotic formats stubbed
 streaming Structured-Streaming seam + stateful dedup
 vector    spatial filters, extents, dissolve (disjoint + true union)
 pipeline  stage runner: lineage/metrics manifest + resume

@@ -137,11 +137,26 @@ def geodetic_tile_cover_x(x0: float, x1: float, zoom: int) -> tuple:
     return max(0, tminx), min(n_tiles - 1, tmaxx)
 
 
+def split_polygons_df(df: DataFrame, wkb_col: str = "geom_wkb") -> DataFrame:
+    """Dataframe-level WRAPDATELINE for polygon layers: replace each
+    (possibly crossing) polygon with its wrapped parts (MultiPolygon WKB
+    per wrap window).  Adds ``part_idx``; other columns pass through; one
+    Arrow-batched stage, no shuffle.  Downstream cell-keyed joins
+    (engine.algebra.pair_candidates) then see only in-range longitudes —
+    the pre-join normalization the reference applies in
+    transformWithOptions (ogr/ogrgeometryfactory.cpp:2436)."""
+    return _split_df(df, wkb_col)
+
+
 def split_lines_df(df: DataFrame, wkb_col: str = "geom_wkb") -> DataFrame:
     """Dataframe-level WRAPDATELINE for line layers: explode each
     (possibly crossing) linestring into wrapped parts.  Output adds
     ``part_idx`` and replaces ``wkb_col``; all other columns pass
     through.  Runs as one Arrow-batched stage — no shuffle."""
+    return _split_df(df, wkb_col)
+
+
+def _split_df(df: DataFrame, wkb_col: str) -> DataFrame:
     other = [c for c in df.columns if c != wkb_col]
     schema = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}" for c in other)
     schema += f", part_idx int, {wkb_col} binary"

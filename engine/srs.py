@@ -261,6 +261,55 @@ class AlbersTransformer:
         return np.degrees(lam), np.degrees(phi)
 
 
+class PolarStereographicTransformer:
+    """Polar stereographic, standard-parallel variant (Snyder eqs.
+    21-7..21-11 / 15-9, ellipsoidal) — the polar-region projection family
+    (EPSG:3031/3413-style grids).  ``lat_ts`` < 0 selects the south
+    aspect (computed by the sign-mirror rule, Snyder p. 161).  Validated
+    against Snyder PP1395's published south-polar example."""
+
+    def __init__(self, lat_ts: float, lon0: float,
+                 false_easting: float = 0.0, false_northing: float = 0.0,
+                 ellipsoid="WGS84"):
+        self.a, self.e2, self.e = _ellipsoid(ellipsoid)
+        self.south = lat_ts < 0
+        self._sgn = -1.0 if self.south else 1.0
+        pc = np.radians(self._sgn * lat_ts)
+        self._lam0 = np.radians(self._sgn * lon0)
+        self.fe, self.fn = false_easting, false_northing
+        self.mc = float(_snyder_m(pc, self.e2))
+        self.tc = float(_snyder_t(pc, self.e))
+
+    def forward(self, lon, lat):
+        sgn = self._sgn
+        phi = np.radians(sgn * np.asarray(lat, dtype=np.float64))
+        lam = np.radians(sgn * np.asarray(lon, dtype=np.float64))
+        t = _snyder_t(phi, self.e)
+        rho = self.a * self.mc * t / self.tc
+        x = rho * np.sin(lam - self._lam0)
+        y = -rho * np.cos(lam - self._lam0)
+        return sgn * x + self.fe, sgn * y + self.fn
+
+    def inverse(self, x, y):
+        sgn = self._sgn
+        x = sgn * (np.asarray(x, dtype=np.float64) - self.fe)
+        y = sgn * (np.asarray(y, dtype=np.float64) - self.fn)
+        rho = np.hypot(x, y)
+        t = rho * self.tc / (self.a * self.mc)
+        lam = self._lam0 + np.arctan2(x, -y)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - self.e * s) / (1.0 + self.e * s)) ** (self.e / 2.0)
+            )
+        lon = sgn * np.degrees(lam)
+        lat = sgn * np.degrees(phi)
+        # wrap into [-180, 180) (atan2 plus lam0 can leave the range)
+        lon = (lon + 180.0) % 360.0 - 180.0
+        return lon, lat
+
+
 # ---------------------------------------------------------------------------
 # 7-parameter Helmert datum shift (position-vector convention, the
 # EPSG:9606 transformation PROJ applies via +towgs84 — ogr/ogrct.cpp datum

@@ -101,3 +101,51 @@ def test_join_equivalence_across_seam(spark):
     assert covers[0][0][1] == 127 and covers[0][1][0] == 0
     px = (180.0 + -30.0) / tiles.geodetic_resolution(6)
     assert covers[1][0][0] == int(np.floor(px / 256))
+
+
+def test_pip_join_equivalence_with_split_polygons(spark):
+    """A dateline-crossing polygon, split by split_polygons_df, must PIP-join
+    the same point set as its hand-split halves — the mis-join failure mode
+    WRAPDATELINE exists to prevent (ogr/ogrgeometryfactory.cpp:2436)."""
+    from engine import joins
+
+    # polygon [176, 186]×[-10, 10] in unwrapped space (crosses the seam)
+    crossing = spark.createDataFrame(
+        pd.DataFrame(
+            {"polygon_id": pd.array([7], dtype="int32"),
+             "geom_wkb": [geom.wkb_polygon(
+                 [[(176.0, -10.0), (186.0, -10.0), (186.0, 10.0), (176.0, 10.0)]]
+             )]}
+        )
+    )
+    split_pdf = dateline.split_polygons_df(crossing).toPandas()
+    assert len(split_pdf) == 2
+    assert set(split_pdf["part_idx"]) == {0, 1}
+
+    # points on both sides of the seam + controls outside
+    rows = []
+    for i, (x, y) in enumerate(
+        [(177.0, 0.0), (179.9, 5.0), (-179.9, -5.0), (-174.5, 0.0),
+         (-173.0, 0.0), (170.0, 0.0), (0.0, 0.0)]
+    ):
+        rows.append((i, x, y))
+    pts = spark.createDataFrame(pd.DataFrame(rows, columns=["event_id", "lon", "lat"]))
+
+    split_polys = split_pdf[["polygon_id", "geom_wkb"]].reset_index(drop=True)
+    got = sorted(
+        r.event_id
+        for r in joins.pip_join_broadcast(pts, split_polys, keep_cols=("event_id",)).collect()
+    )
+    # hand-split oracle: [176,180] and [-180,-174] at |lat|<10
+    exp = sorted(
+        i for i, (x, y) in enumerate(
+            [(177.0, 0.0), (179.9, 5.0), (-179.9, -5.0), (-174.5, 0.0),
+             (-173.0, 0.0), (170.0, 0.0), (0.0, 0.0)]
+        )
+        if (176.0 < x < 180.0 or -180.0 < x < -174.0) and -10.0 < y < 10.0
+    )
+    assert got == exp
+    # the UNSPLIT polygon would read as a 176→186 bar: the engine's PIP
+    # kernel never sees out-of-range lons after the split stage
+    allx = [geom.envelope(b) for b in split_pdf["geom_wkb"]]
+    assert all(-180.0 <= e[0] and e[2] <= 180.0 for e in allx)

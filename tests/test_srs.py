@@ -207,3 +207,115 @@ def test_datum_projected_chain():
     # sub-mm: Bowring iteration in the geocentric->geodetic leg
     assert np.abs(lon2 - lon).max() < 1e-8
     assert np.abs(lat2 - lat).max() < 1e-8
+
+
+def test_warp_custom_to_lcc_grid(spark):
+    """General-SRS warp composition, LCC case: mercator tile table → LCC
+    pixel grid via warp_custom with (LCC inverse ∘ lonlat→mercator-pixels)
+    as the dst→src map — gdalwarp -t_srs <LCC> (mirrors the UTM test)."""
+    import pandas as pd
+
+    from engine import raster, tiles, warp
+
+    T = raster.TILE_SIZE
+    src_zoom = 6
+    tx, ty = tiles.lonlat_to_tile(np.array([-90.0]), np.array([40.0]), src_zoom)
+    tx, ty = int(tx[0]), int(ty[0])
+    rng = np.random.default_rng(8)
+    g = rng.integers(0, 100, (T, T)).astype(np.int64)
+    src = spark.createDataFrame(
+        pd.DataFrame({"zoom": [src_zoom], "tx": [tx], "ty": [ty], "data": [raster.tile_to_bytes(g)]})
+    )
+
+    lcc = srs.LCCTransformer(33.0, 45.0, 23.0, -96.0)
+    res_m = 500.0
+    minlon, minlat, maxlon, maxlat = (float(v) for v in tiles.tile_lonlat_bounds(tx, ty, src_zoom))
+    x0, y0 = lcc.forward(np.array([(minlon + maxlon) / 2]), np.array([(minlat + maxlat) / 2]))
+    x0, y0 = float(x0[0]), float(y0[0])
+
+    def inv_fn(dpx, dpy):
+        x = x0 + np.asarray(dpx) * res_m
+        y = y0 + np.asarray(dpy) * res_m
+        lon, lat = lcc.inverse(x, y)
+        return tiles.lonlat_to_pixels(lon, lat, src_zoom)
+
+    out = warp.warp_custom(spark, src, src_zoom, [(0, 0)], inv_fn).collect()
+    assert len(out) == 1
+    grid = raster.bytes_to_tile(out[0].data)
+    hits = 0
+    for row, col in [(10, 10), (100, 200), (255, 0), (128, 128)]:
+        dpx = col + 0.5
+        dpy = T - row - 0.5
+        spx, spy = inv_fn(np.array([dpx]), np.array([dpy]))
+        stx, sty = tiles.pixels_to_tile(spx, spy)
+        if (int(stx[0]), int(sty[0])) == (tx, ty):
+            ix = int(np.clip(np.floor(spx[0]) - tx * T, 0, T - 1))
+            iy = int(np.clip(np.floor(spy[0]) - ty * T, 0, T - 1))
+            assert grid[row, col] == g[T - 1 - iy, ix]
+            hits += 1
+        else:
+            assert grid[row, col] == 0
+    assert hits >= 1  # the probe set must actually exercise the source
+
+
+def test_warp_custom_datum_shift_chain(spark):
+    """NAD27-style datum chain through warp_custom: the dst→src map runs
+    DatumProjectedTransformer.inverse (LCC⁻¹ then Helmert⁻¹) — the full
+    gdalwarp -s_srs <datum> -t_srs <LCC> composition."""
+    import pandas as pd
+
+    from engine import raster, tiles, warp
+
+    T = raster.TILE_SIZE
+    src_zoom = 6
+    tx, ty = tiles.lonlat_to_tile(np.array([-90.0]), np.array([40.0]), src_zoom)
+    tx, ty = int(tx[0]), int(ty[0])
+    g = np.arange(T * T, dtype=np.int64).reshape(T, T) % 251
+    src = spark.createDataFrame(
+        pd.DataFrame({"zoom": [src_zoom], "tx": [tx], "ty": [ty], "data": [raster.tile_to_bytes(g)]})
+    )
+    chain = srs.DatumProjectedTransformer(
+        srs.HelmertTransformer(-8.0, 160.0, 176.0, src_ellipsoid="clrk66"),
+        srs.LCCTransformer(33.0, 45.0, 23.0, -96.0),
+    )
+    res_m = 500.0
+    minlon, minlat, maxlon, maxlat = (float(v) for v in tiles.tile_lonlat_bounds(tx, ty, src_zoom))
+    x0, y0 = chain.forward(np.array([(minlon + maxlon) / 2]), np.array([(minlat + maxlat) / 2]))
+    x0, y0 = float(x0[0]), float(y0[0])
+
+    def inv_fn(dpx, dpy):
+        lon, lat = chain.inverse(x0 + np.asarray(dpx) * res_m, y0 + np.asarray(dpy) * res_m)
+        return tiles.lonlat_to_pixels(lon, lat, src_zoom)
+
+    out = warp.warp_custom(spark, src, src_zoom, [(0, 0)], inv_fn).collect()
+    grid = raster.bytes_to_tile(out[0].data)
+    spx, spy = inv_fn(np.array([128 + 0.5]), np.array([T - 128 - 0.5]))
+    stx, sty = tiles.pixels_to_tile(spx, spy)
+    assert (int(stx[0]), int(sty[0])) == (tx, ty)
+    ix = int(np.floor(spx[0]) - tx * T)
+    iy = int(np.floor(spy[0]) - ty * T)
+    assert grid[128, 128] == g[T - 1 - iy, ix]
+
+
+def test_polar_stereographic_snyder_example():
+    """Snyder PP1395 p.315 south-polar example (International ellipsoid,
+    std parallel −71°, λ0=−100°): φ=−75°, λ=150° →
+    x=−1,540,033.6  y=−560,526.4 (±0.1 m)."""
+    t = srs.PolarStereographicTransformer(-71.0, -100.0, ellipsoid="intl")
+    x, y = t.forward(np.array([150.0]), np.array([-75.0]))
+    assert abs(x[0] + 1540033.6) < 0.1
+    assert abs(y[0] + 560526.4) < 0.1
+    lo, la = t.inverse(x, y)
+    assert abs(lo[0] - 150.0) < 1e-9 and abs(la[0] + 75.0) < 1e-9
+
+
+def test_polar_stereographic_roundtrip_both_aspects():
+    rng = np.random.default_rng(19)
+    for lat_ts, lo_rng in ((70.0, (60.0, 89.9)), (-71.0, (-89.9, -60.0))):
+        t = srs.PolarStereographicTransformer(lat_ts, -45.0)
+        lon = rng.uniform(-179.9, 179.9, 1500)
+        lat = rng.uniform(*lo_rng, 1500)
+        x, y = t.forward(lon, lat)
+        lon2, lat2 = t.inverse(x, y)
+        assert np.abs(lon2 - lon).max() < 1e-9
+        assert np.abs(lat2 - lat).max() < 1e-9
