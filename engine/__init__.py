@@ -35,6 +35,7 @@ transformer GCP polynomial / TPS / approximate transformers (alg/gdaltransformer
 srs       closed-form SRS: tmerc/UTM, Lambert conformal conic, Albers,
           polar stereographic, 7-param Helmert datum shifts (PROJ analog)
 dateline  antimeridian (WRAPDATELINE) splitting + seam tile cover
+style     OGR feature style strings (PEN/BRUSH/SYMBOL/LABEL) parse + explode
 png       pure numpy+zlib PNG codec (multimodal decode without PIL)
 lineclip  LineString × polygon layer algebra             (ogrlayer.cpp Clip/Erase)
 geomops   hull, simplify(+topology), centroid, buffer, distance, boundary, validity, force-casts

@@ -438,3 +438,84 @@ def force_multipolygon(wkb: bytes) -> bytes:
     if kind == "Polygon":
         return geom.wkb_multipolygon([body])
     raise ValueError(f"forceToMultiPolygon: unsupported {kind}")
+
+
+# ---------------------------------------------------------------------------
+# organizePolygons (OGRGeometryFactory::organizePolygons,
+# ogr/ogrgeometryfactory.cpp:1055): assemble a flat ring soup into
+# polygons-with-holes by containment nesting — the step drivers run after
+# reading formats that store rings unstructured (shapefile rule), and the
+# general companion of the dateline splitter.
+# ---------------------------------------------------------------------------
+
+
+def _point_in_ring(px: float, py: float, ring: np.ndarray) -> bool:
+    """Even-odd ray cast of one point against one ring (vectorized edges)."""
+    x0, y0 = ring[:, 0], ring[:, 1]
+    x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+    cross = (y0 > py) != (y1 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
+    return bool(np.count_nonzero(cross & (px < xint)) % 2)
+
+
+def organize_polygons(rings: list) -> list:
+    """Ring soup → list of polygons (each ``[exterior, hole, ...]``).
+
+    DEFAULT-method semantics for non-crossing rings: rings sorted by
+    |area| descending; each ring nests inside the smallest previously
+    placed ring containing it; even nesting depth → new exterior, odd →
+    hole of its parent exterior (islands inside holes become their own
+    polygons).  Ring orientation in the output follows OGR convention:
+    exterior CCW, holes CW.
+    """
+    from . import clip as clipmod
+
+    items = []
+    for r in rings:
+        arr = np.asarray(r, dtype=np.float64)
+        if arr.shape[0] >= 3 and abs(clipmod.signed_area(arr)) > 1e-12:
+            items.append(arr)
+    order = sorted(range(len(items)), key=lambda i: -abs(clipmod.signed_area(items[i])))
+    depth = {}
+    parent_exterior = {}
+    polygons: dict = {}  # exterior index -> [exterior, holes...]
+    placed: list = []
+    for i in order:
+        ring = items[i]
+        bx0, by0 = ring[:, 0].min(), ring[:, 1].min()
+        bx1, by1 = ring[:, 0].max(), ring[:, 1].max()
+        container = None
+        # placed is in descending area order: scan backwards = smallest first
+        for j in reversed(placed):
+            rj = items[j]
+            if bx0 < rj[:, 0].min() or bx1 > rj[:, 0].max():
+                continue
+            if by0 < rj[:, 1].min() or by1 > rj[:, 1].max():
+                continue
+            if _point_in_ring(float(ring[0, 0]), float(ring[0, 1]), rj):
+                container = j
+                break
+        if container is None:
+            depth[i] = 0
+        else:
+            depth[i] = depth[container] + 1
+        if depth[i] % 2 == 0:  # exterior (possibly island inside a hole)
+            ext = clipmod.ensure_ccw(ring)
+            polygons[i] = [ext]
+            parent_exterior[i] = i
+        else:  # hole of the containing exterior
+            owner = parent_exterior[container]
+            hole = clipmod.ensure_ccw(ring)[::-1].copy()  # CW per convention
+            polygons[owner].append(hole)
+            parent_exterior[i] = owner
+        placed.append(i)
+    return [polygons[i] for i in sorted(polygons)]
+
+
+def organize_polygons_wkb(ring_wkbs: list) -> bytes:
+    """WKB polygon/ring list → one organized MultiPolygon WKB."""
+    rings = []
+    for b in ring_wkbs:
+        rings.extend(geom.polygon_rings(bytes(b)))
+    return geom.wkb_multipolygon(organize_polygons(rings))

@@ -512,19 +512,21 @@ class _Compiler:
 _SPECIAL_FIELDS = {"FID", "OGR_GEOMETRY", "OGR_GEOM_WKT", "OGR_GEOM_AREA", "OGR_STYLE"}
 
 
-def _special_field(name: str, fid_col: str, geom_col):
+def _special_field(name: str, fid_col: str, geom_col, style_col=None):
     """OGR SQL special fields (ogr/ogr_p.h:104-111, semantics
     ogr/ogr_sql.dox:459-520): FID = feature id (first column, scan order);
     OGR_GEOMETRY = geometry type name; OGR_GEOM_WKT = WKT export;
-    OGR_GEOM_AREA = planar area; OGR_STYLE = feature style string (NULL —
-    the engine's layers carry no style table, matching featureless OGR
-    sources).  Real fields of the same name shadow these (the reference
-    resolves schema fields first)."""
+    OGR_GEOM_AREA = planar area; OGR_STYLE = the layer's ``ogr_style``
+    column when present (engine/style.py parses it), else NULL — matching
+    featureless OGR sources.  Real fields of the same name shadow these
+    (the reference resolves schema fields first)."""
     from . import geom as geommod
 
     if name == "FID":
         return F.col(fid_col).cast("long"), None
     if name == "OGR_STYLE":
+        if style_col is not None:
+            return F.col(style_col).cast("string"), StringType()
         return F.lit(None).cast("string"), StringType()
     if geom_col is None:
         raise ValueError(f"OGR SQL: {name} requires a geometry column (geom_wkb)")
@@ -597,13 +599,14 @@ def _exec(src, ast) -> DataFrame:
 
     fid_col = primary.columns[0]  # scan order = first column (fid by convention)
     geom_col = "geom_wkb" if "geom_wkb" in primary.columns else None
+    style_col = "ogr_style" if "ogr_style" in primary.columns else None
 
     def resolver(tbl, col):
         if col in schema_types:  # real fields shadow special fields
             return F.col(col), schema_types[col]
         cu = col.upper()
         if cu in _SPECIAL_FIELDS:
-            return _special_field(cu, fid_col, geom_col)
+            return _special_field(cu, fid_col, geom_col, style_col)
         raise ValueError(f"OGR SQL: unknown column {col}")
 
     comp = _Compiler(resolver, geom_col=geom_col)

@@ -263,3 +263,47 @@ def test_sql_geometry_cast_and_st_functions(spark):
     ).collect()[0]
     assert got.d == 0.0 and got.v is True
     assert geom.wkb_loads(bytes(got.b))[0] == "MultiLineString"
+
+
+# -- organizePolygons (round 3) ---------------------------------------------
+
+
+def test_organize_polygons_nesting():
+    from engine import clip as clipmod
+    from engine import geomops
+
+    sq = lambda x0, y0, s: np.array([(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s)], dtype=float)
+    # exterior 20, hole 10, island-in-hole 4, separate exterior 5
+    rings = [sq(0, 0, 20), sq(5, 5, 10), sq(7, 7, 4), sq(40, 0, 5)]
+    polys = geomops.organize_polygons(rings)
+    assert len(polys) == 3
+    by_area = sorted(polys, key=lambda p: -abs(clipmod.signed_area(p[0])))
+    big, sep, island = by_area  # areas 400, 25, 16
+    assert len(big) == 2            # exterior + its hole
+    assert abs(clipmod.signed_area(big[0]) - 400.0) < 1e-9       # CCW exterior
+    assert abs(clipmod.signed_area(big[1]) + 100.0) < 1e-9       # CW hole
+    assert len(island) == 1 and abs(clipmod.signed_area(island[0]) - 16.0) < 1e-9
+    assert len(sep) == 1 and abs(clipmod.signed_area(sep[0]) - 25.0) < 1e-9
+
+
+def test_organize_polygons_deep_nesting_and_orientation_insensitivity():
+    from engine import geomops
+
+    sq = lambda x0, y0, s: np.array([(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s)], dtype=float)
+    # 4 concentric squares: ext > hole > island > island-hole, input orientations mixed
+    rings = [sq(0, 0, 16)[::-1], sq(2, 2, 12), sq(4, 4, 8)[::-1], sq(6, 6, 4)]
+    polys = geomops.organize_polygons(rings)
+    assert len(polys) == 2
+    assert sorted(len(p) for p in polys) == [2, 2]
+
+
+def test_organize_polygons_wkb_roundtrip():
+    from engine import geom as geommod
+    from engine import geomops
+
+    sq = lambda x0, y0, s: [(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s)]
+    wkbs = [geommod.wkb_polygon([sq(0, 0, 10)]), geommod.wkb_polygon([sq(2, 2, 4)])]
+    out = geomops.organize_polygons_wkb(wkbs)
+    kind, body = geommod.wkb_loads(out)
+    assert kind == "MultiPolygon"
+    assert len(body) == 1 and len(body[0][1]) == 2  # one polygon, ext + hole
