@@ -33,7 +33,8 @@ focal     3×3 DEM kernels (incl. TPI) + color-relief     (apps/gdaldem.cpp)
 warp      reprojection (full GRA kernel set, cutline), warp_custom, raster calc
 transformer GCP polynomial / TPS / approximate transformers (alg/gdaltransformer.cpp)
 srs       closed-form SRS: tmerc/UTM, Lambert conformal conic, Albers,
-          polar stereographic, 7-param Helmert datum shifts (PROJ analog)
+          polar stereographic, sinusoidal, equirectangular, 7-param
+          Helmert datum shifts (PROJ analog)
 dateline  antimeridian (WRAPDATELINE) splitting + seam tile cover
 style     OGR feature style strings (PEN/BRUSH/SYMBOL/LABEL) parse + explode
 png       pure numpy+zlib PNG codec (multimodal decode without PIL)

@@ -261,6 +261,87 @@ class AlbersTransformer:
         return np.degrees(lam), np.degrees(phi)
 
 
+def _m_arc_ell(lat_rad: np.ndarray, a: float, e2: float) -> np.ndarray:
+    """Meridian arc length on an arbitrary ellipsoid (Snyder eq. 3-21)."""
+    e4, e6 = e2 ** 2, e2 ** 3
+    return a * (
+        (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * lat_rad
+        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * lat_rad)
+        + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * lat_rad)
+        - (35 * e6 / 3072) * np.sin(6 * lat_rad)
+    )
+
+
+def _footpoint_lat(M: np.ndarray, a: float, e2: float) -> np.ndarray:
+    """Inverse meridian arc via the e1 series (Snyder eqs. 7-19, 3-26)."""
+    e1 = (1 - np.sqrt(1 - e2)) / (1 + np.sqrt(1 - e2))
+    mu = M / (a * (1 - e2 / 4 - 3 * e2 ** 2 / 64 - 5 * e2 ** 3 / 256))
+    phi = (
+        mu
+        + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * np.sin(2 * mu)
+        + (21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32) * np.sin(4 * mu)
+        + (151 * e1 ** 3 / 96) * np.sin(6 * mu)
+        + (1097 * e1 ** 4 / 512) * np.sin(8 * mu)
+    )
+    # Newton refinement on M(φ) (series alone leaves ~cm residuals)
+    for _ in range(2):
+        s = np.sin(phi)
+        R = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+        phi = phi + (M - _m_arc_ell(phi, a, e2)) / R
+    return phi
+
+
+class SinusoidalTransformer:
+    """Sinusoidal (Sanson–Flamsteed) equal-area projection, ellipsoidal
+    form (Snyder eqs. 30-8..30-11) — the MODIS land-grid projection."""
+
+    def __init__(self, lon0: float = 0.0, ellipsoid="WGS84"):
+        self.a, self.e2, self.e = _ellipsoid(ellipsoid)
+        self._lam0 = np.radians(lon0)
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        s = np.sin(phi)
+        x = self.a * (lam - self._lam0) * np.cos(phi) / np.sqrt(1.0 - self.e2 * s * s)
+        y = _m_arc_ell(phi, self.a, self.e2)
+        return x, y
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        phi = _footpoint_lat(y, self.a, self.e2)
+        s = np.sin(phi)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = self._lam0 + x * np.sqrt(1.0 - self.e2 * s * s) / (self.a * np.cos(phi))
+        lam = np.where(np.abs(np.cos(phi)) < 1e-12, self._lam0, lam)
+        return np.degrees(lam), np.degrees(phi)
+
+
+class EquirectangularTransformer:
+    """Equirectangular / Plate Carrée with standard parallel ``lat_ts``
+    (Snyder eqs. 12-1..12-6, spherical form on the ellipsoid's semi-major
+    axis — the EPSG:32662/4087-style grid)."""
+
+    def __init__(self, lat_ts: float = 0.0, lon0: float = 0.0, ellipsoid="WGS84"):
+        self.a, _, _ = _ellipsoid(ellipsoid)
+        self._lam0 = np.radians(lon0)
+        self._cos_ts = float(np.cos(np.radians(lat_ts)))
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        return self.a * (lam - self._lam0) * self._cos_ts, self.a * phi
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        return (
+            np.degrees(x / (self.a * self._cos_ts) + self._lam0),
+            np.degrees(y / self.a),
+        )
+
+
 class PolarStereographicTransformer:
     """Polar stereographic, standard-parallel variant (Snyder eqs.
     21-7..21-11 / 15-9, ellipsoidal) — the polar-region projection family

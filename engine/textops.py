@@ -294,6 +294,11 @@ def simhash_near_pairs(
     The 4-chunk index is exact for ``max_hamming`` ≤ 3; larger radii would
     need more/finer bands (documented contract, same trade-off as the
     reference MinHash banding)."""
+    if max_hamming > 3:
+        raise ValueError(
+            "the 4x16-bit chunk index is exact only for max_hamming <= 3; "
+            "use more/finer bands for larger radii"
+        )
     sh = simhash64_df(docs, text_col, id_col).select(
         F.col(id_col).alias("_id"), F.col("simhash64").alias("_sh")
     ).where(F.col("_sh").isNotNull())

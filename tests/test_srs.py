@@ -319,3 +319,44 @@ def test_polar_stereographic_roundtrip_both_aspects():
         lon2, lat2 = t.inverse(x, y)
         assert np.abs(lon2 - lon).max() < 1e-9
         assert np.abs(lat2 - lat).max() < 1e-9
+
+
+def test_sinusoidal_properties_and_roundtrip():
+    t = srs.SinusoidalTransformer(lon0=0.0)
+    # y on the central meridian equals the meridian arc (tmerc shares it)
+    y_arc = srs._m_arc(np.radians(np.array([45.0])))
+    _, y = t.forward(np.array([0.0]), np.array([45.0]))
+    assert abs(y[0] - y_arc[0]) < 1e-6
+    # MODIS-known constant: equator circumference/2 at x for lon=180
+    x, _ = t.forward(np.array([180.0]), np.array([0.0]))
+    assert abs(x[0] - np.pi * 6378137.0) < 1e-3
+    rng = np.random.default_rng(23)
+    lon = rng.uniform(-179, 179, 2000)
+    lat = rng.uniform(-85, 85, 2000)
+    lon2, lat2 = t.inverse(*t.forward(lon, lat))
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+    # equal-area: a small quad's projected area ~ its authalic area
+    a, e2, e = srs._ellipsoid("WGS84")
+    d = 0.01
+    rl = np.array([10.0, 10.0 + d, 10.0 + d, 10.0])
+    rp = np.array([40.0, 40.0, 40.0 + d, 40.0 + d])
+    x, y = t.forward(rl, rp)
+    proj_area = 0.5 * abs(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    q1 = srs._snyder_q(np.radians(40.0), e, e2)
+    q2 = srs._snyder_q(np.radians(40.0 + d), e, e2)
+    ell_area = (a * a / 2.0) * (q2 - q1) * np.radians(d)
+    assert abs(proj_area / ell_area - 1.0) < 1e-5
+
+
+def test_equirectangular_roundtrip_and_scale():
+    t = srs.EquirectangularTransformer(lat_ts=30.0, lon0=10.0)
+    rng = np.random.default_rng(29)
+    lon = rng.uniform(-179, 179, 500)
+    lat = rng.uniform(-89, 89, 500)
+    lon2, lat2 = t.inverse(*t.forward(lon, lat))
+    assert np.abs(lon2 - lon).max() < 1e-12
+    assert np.abs(lat2 - lat).max() < 1e-12
+    # x-scale at the standard parallel: a*cos(30°) per radian
+    x1, _ = t.forward(np.array([11.0]), np.array([30.0]))
+    assert abs(x1[0] - 6378137.0 * np.cos(np.radians(30.0)) * np.radians(1.0)) < 1e-6
