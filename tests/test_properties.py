@@ -1,0 +1,130 @@
+"""Property-based tests (hypothesis) over the pure-numpy kernels — the
+randomized layer the reference's test strategy lacks (SURVEY §5.4).  All
+properties are Spark-free and run in milliseconds per example.
+
+Invariants:
+* WKB codec round-trips arbitrary polylines/polygons bit-exactly;
+* dateline interval split: parts partition the input length, stay in
+  [-180, 180], and wrap back to the original interval;
+* the vectorized ConvexCover segment clip equals the scalar Cyrus–Beck
+  reference for random convex polygons;
+* mercator tile assignment is consistent with pixel-floor arithmetic and
+  the quadkey prefix property (z8 key starts with the z5 key);
+* SRS forward/inverse round-trips (LCC) for in-domain points;
+* organize_polygons preserves ring count and orientation conventions.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from engine import dateline, geom, lineclip, srs, tiles
+
+_COORD = st.floats(min_value=-179.99, max_value=179.99, allow_nan=False)
+_LAT = st.floats(min_value=-79.99, max_value=79.99, allow_nan=False)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(_COORD, _LAT), min_size=2, max_size=12))
+def test_wkb_linestring_roundtrip(pts):
+    buf = geom.wkb_linestring(pts)
+    kind, body = geom.wkb_loads(buf)
+    assert kind == "LineString"
+    assert np.array_equal(np.asarray(body), np.asarray(pts, dtype=np.float64))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.floats(min_value=-300.0, max_value=300.0, allow_nan=False),
+    st.floats(min_value=0.01, max_value=150.0, allow_nan=False),
+)
+def test_split_lon_interval_partitions(x0, width):
+    x1 = x0 + width
+    if x1 >= 540.0 or x0 <= -540.0:
+        return
+    parts = dateline.split_lon_interval(x0, x1)
+    assert parts
+    total = sum(b - a for a, b in parts)
+    assert abs(total - width) < 1e-9
+    for a, b in parts:
+        assert -180.0 <= a < b <= 180.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=3, max_value=8),
+    st.floats(min_value=0.5, max_value=10.0, allow_nan=False),
+    st.tuples(
+        st.floats(min_value=-15.0, max_value=15.0, allow_nan=False),
+        st.floats(min_value=-15.0, max_value=15.0, allow_nan=False),
+    ),
+    st.tuples(
+        st.floats(min_value=-15.0, max_value=15.0, allow_nan=False),
+        st.floats(min_value=-15.0, max_value=15.0, allow_nan=False),
+    ),
+)
+def test_vectorized_clip_equals_scalar(n, radius, p0, p1):
+    ang = 2.0 * np.pi * np.arange(n) / n
+    conv = np.stack([radius * np.cos(ang), radius * np.sin(ang)], axis=1)
+    p0 = np.asarray(p0, dtype=np.float64)
+    p1 = np.asarray(p1, dtype=np.float64)
+    if np.allclose(p0, p1):
+        return
+    scalar = lineclip.segment_clip_convex(p0, p1, conv)
+    vec = lineclip.ConvexCover([conv]).clip_segment(p0, p1)
+    if scalar is None:
+        assert vec == []
+    else:
+        assert len(vec) == 1
+        assert vec[0][0] == scalar[0] and vec[0][1] == scalar[1]  # bit-equal
+
+
+@settings(max_examples=80, deadline=None)
+@given(_COORD, st.floats(min_value=-84.9, max_value=84.9, allow_nan=False))
+def test_tile_assignment_consistency_and_quadkey_prefix(lon, lat):
+    lon_a = np.array([lon])
+    lat_a = np.array([lat])
+    px, py = tiles.lonlat_to_pixels(lon_a, lat_a, 8)
+    tx, ty = tiles.pixels_to_tile(px, py)
+    # ceil-1 rule ≡ pixel-floor for off-boundary points
+    if px[0] % 256 != 0 and py[0] % 256 != 0:
+        assert tx[0] == int(px[0] // 256) and ty[0] == int(py[0] // 256)
+    # prefix property: z8 quadkey extends the z5 quadkey
+    qk8 = tiles.quadkey(tx, ty, 8)[0]
+    tx5, ty5 = tiles.lonlat_to_tile(lon_a, lat_a, 5)
+    qk5 = tiles.quadkey(tx5, ty5, 5)[0]
+    assert qk8.startswith(qk5)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.floats(min_value=-125.0, max_value=-70.0, allow_nan=False),
+    st.floats(min_value=20.0, max_value=55.0, allow_nan=False),
+)
+def test_lcc_roundtrip_property(lon, lat):
+    t = srs.LCCTransformer(33.0, 45.0, 23.0, -96.0)
+    x, y = t.forward(np.array([lon]), np.array([lat]))
+    lon2, lat2 = t.inverse(x, y)
+    assert abs(lon2[0] - lon) < 1e-9 and abs(lat2[0] - lat) < 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(
+    st.floats(min_value=-50.0, max_value=50.0, allow_nan=False),
+    st.floats(min_value=-50.0, max_value=50.0, allow_nan=False),
+    st.floats(min_value=1.0, max_value=10.0, allow_nan=False),
+), min_size=1, max_size=5))
+def test_organize_polygons_ring_conservation(squares):
+    from engine import clip as clipmod
+    from engine import geomops
+
+    rings = [
+        np.array([(x, y), (x + s, y), (x + s, y + s), (x, y + s)], dtype=np.float64)
+        for x, y, s in squares
+    ]
+    polys = geomops.organize_polygons(rings)
+    # every input ring appears exactly once across the output polygons
+    assert sum(len(p) for p in polys) == len(rings)
+    for p in polys:
+        assert clipmod.signed_area(p[0]) > 0          # exterior CCW
+        for hole in p[1:]:
+            assert clipmod.signed_area(hole) < 0      # holes CW
