@@ -1163,10 +1163,10 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     textops.simhash_near_pairs — never all-pairs; the brute-force oracle
     proves the banding exact)."""
     docs = _read(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", textops.simhash16(F.col("text")).alias("simhash")
-    ).join(textops.simhash64_df(docs), on="doc_id")
-    pairs = textops.simhash_near_pairs(docs, max_hamming=3)
+    # both widths in ONE document scan; the near-pair banding reuses the
+    # same signature frame (localCheckpoint: three consumers below)
+    base = textops.simhash_all_df(docs).localCheckpoint(eager=False)
+    pairs = textops.simhash_near_pairs(docs, max_hamming=3, sig=base)
     cnt = (
         pairs.select(F.col("a").alias("doc_id"))
         .unionAll(pairs.select(F.col("b").alias("doc_id")))
