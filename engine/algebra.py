@@ -50,6 +50,24 @@ def _parts(wkb: bytes):
     return geom.polygon_parts(wkb)
 
 
+_TRIS_CACHE: dict = {}
+
+
+def _parts_tris(wkb: bytes) -> list:
+    """Memoized per-executor triangulation of a polygon WKB → list of
+    PreTriangulated covers (one per MultiPolygon part).  Method-layer
+    polygons repeat across thousands of candidate pairs; re-triangulating
+    per pair dominated the overlay refine profile."""
+    key = bytes(wkb)
+    hit = _TRIS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = [clip.PreTriangulated(clip._tris(part)) for part in _parts(key)]
+    if len(_TRIS_CACHE) < 4096:
+        _TRIS_CACHE[key] = out
+    return out
+
+
 def with_bbox(df: DataFrame, wkb_col: str = "geom_wkb") -> DataFrame:
     """Attach (minx,miny,maxx,maxy) sidecar columns (OGRGeometry::getEnvelope)."""
     if "minx" in df.columns:
@@ -124,7 +142,7 @@ def _overlay_pairs(pairs: DataFrame, op: str) -> DataFrame:
             out = {k: [] for k in ("a_id", "b_id", "n_pieces", "area", "geom_wkb")}
             for i in range(len(pdf)):
                 a_parts = _parts(pdf["a_wkb"].iat[i])
-                b_parts = _parts(pdf["b_wkb"].iat[i])
+                b_parts = _parts_tris(pdf["b_wkb"].iat[i])
                 pieces = []
                 for pa in a_parts:
                     for pb in b_parts:
@@ -176,7 +194,7 @@ def _grouped_overlay(inp: DataFrame, method: DataFrame, res: float, op: str, kee
     pairs = pair_candidates(inp, method, res)
 
     def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
-        b_polys = [part for b in pdf["b_wkb"] for part in _parts(b)]
+        b_polys = [part for b in pdf["b_wkb"] for part in _parts_tris(b)]
         pieces = []
         for pa in _parts(pdf["a_wkb"].iat[0]):
             pieces.extend(fn(pa, b_polys))

@@ -284,9 +284,17 @@ def _bbox_disjoint(b1, b2) -> bool:
     return b1[2] < b2[0] or b2[2] < b1[0] or b1[3] < b2[1] or b2[3] < b1[1]
 
 
+class PreTriangulated(list):
+    """Marker list: already a disjoint convex (triangle) cover — _tris
+    passes it through.  Lets callers memoize triangulation of repeated
+    method polygons (dimension tables hit thousands of candidate pairs)."""
+
+
 def _tris(poly) -> list:
-    """Triangles of a polygon given as one exterior ring (ndarray) or a
-    ring-list [exterior, hole, ...]."""
+    """Triangles of a polygon given as one exterior ring (ndarray), a
+    ring-list [exterior, hole, ...], or a PreTriangulated cover."""
+    if isinstance(poly, PreTriangulated):
+        return poly
     if isinstance(poly, (list, tuple)):
         return triangulate_polygon(list(poly))
     return triangulate(poly)
