@@ -539,33 +539,64 @@ def sieve_filter(
     """
     spark = tile_df.sparkSession
     src = tile_df.select("tx", "ty", "data")
-    adj_schema = "tx long, ty long, la int, lb int"
+    stats_adj_schema = (
+        "tx long, ty long, kind int, label int, value long, pixel_count long, "
+        "la int, lb int"
+    )
 
-    def _adj(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _stats_adj(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # ONE tile scan + labeling for BOTH per-label stats (kind=0) and
+        # within-tile label adjacency (kind=1) — labeling each tile twice
+        # in separate passes doubled the O(pixels) work
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
                 g = bytes_to_tile(r.data)
                 lab = label_tile(g, background)
+                if lab.max() == 0:
+                    continue
+                flat_l = lab.ravel()
+                nz = np.nonzero(flat_l)[0]
+                ls = flat_l[nz]
+                vals = g.ravel()[nz]
+                order = np.argsort(ls, kind="stable")
+                uls, starts = np.unique(ls[order], return_index=True)
+                bounds = np.append(starts, ls.shape[0])
+                for gi in range(uls.shape[0]):
+                    sel = order[starts[gi] : bounds[gi + 1]]
+                    rows.append(
+                        (int(r.tx), int(r.ty), 0, int(uls[gi]), int(vals[sel[0]]),
+                         int(sel.size), None, None)
+                    )
                 for a, b in ((lab[:, :-1], lab[:, 1:]), (lab[:-1, :], lab[1:, :])):
                     m = (a != b) & (a != 0) & (b != 0)
                     if m.any():
                         pairs = np.unique(
                             np.stack([np.minimum(a[m], b[m]), np.maximum(a[m], b[m])], axis=1), axis=0
                         )
-                        rows.extend((int(r.tx), int(r.ty), int(x), int(y)) for x, y in pairs)
-            yield pd.DataFrame(rows, columns=["tx", "ty", "la", "lb"])
+                        rows.extend(
+                            (int(r.tx), int(r.ty), 1, None, None, None, int(x), int(y))
+                            for x, y in pairs
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["tx", "ty", "kind", "label", "value", "pixel_count", "la", "lb"],
+            )
 
     strips = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA).localCheckpoint(eager=True)
     mapping = seam_component_map(src, background, strips=strips).localCheckpoint(eager=True)
+    stats_adj = src.mapInPandas(_stats_adj, stats_adj_schema).localCheckpoint(eager=True)
     labels = attach_component_id(
-        src.mapInPandas(_label_stats_factory(background), _STATS_SCHEMA), mapping
+        stats_adj.where(F.col("kind") == 0).select(
+            "tx", "ty", "label", "value", "pixel_count"
+        ),
+        mapping,
     ).select("tx", "ty", "label", "value", "pixel_count", "component_id").localCheckpoint(eager=True)
     comps = labels.groupBy("component_id", "value").agg(F.sum("pixel_count").alias("pixel_count"))
 
     # --- component adjacency, fully distributed --------------------------
     cid_of = labels.select("tx", "ty", "label", F.col("component_id").alias("cid"))
-    within = src.mapInPandas(_adj, adj_schema)
+    within = stats_adj.where(F.col("kind") == 1).select("tx", "ty", "la", "lb")
     adj_a = within.join(
         cid_of.withColumnRenamed("label", "la").withColumnRenamed("cid", "cid_a"),
         on=["tx", "ty", "la"],
