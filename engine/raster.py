@@ -158,6 +158,112 @@ def burn_base_tiles(points: DataFrame, zoom: int, lon_col: str = "lon", lat_col:
     return counts.repartition(nparts, "tx", "ty").groupBy("tx", "ty").applyInPandas(_assemble, TILE_SCHEMA)
 
 
+def rasterize_polygons(
+    polys: DataFrame,
+    zoom: int,
+    value_col: str | None = None,
+    merge_alg: str = "replace",
+    id_col: str | None = None,
+    wkb_col: str = "geom_wkb",
+) -> DataFrame:
+    """gdal_rasterize polygon burn (alg/gdalrasterize.cpp): every mercator
+    pixel whose CENTER falls inside a polygon takes its burn value (the
+    default center rule; ALL_TOUCHED unsupported).  Features burn in
+    feature-id order — on overlap the LAST feature wins (``replace``, the
+    reference default) or values sum (``add``, MERGE_ALG=ADD).
+
+    Input: (id, geom_wkb[, value]); burn value = ``value_col`` or 1.
+    Output: (zoom, tx, ty, data) tile table at ``zoom``.
+
+    Plan (scales like warp): per-polygon envelope → covering mercator
+    tile rectangle (pure arithmetic, exploded JVM-side — a polygon ships
+    to exactly the tiles it can touch) → grouped burn per tile: prepared
+    polygon PIP over the pixel-center subgrid of the polygon's bbox, all
+    vectorized numpy.  No driver geometry, no per-pixel Python.
+    """
+    if merge_alg not in ("replace", "add"):
+        raise ValueError("merge_alg must be 'replace' or 'add'")
+    pid = id_col or polys.columns[0]
+    val = F.col(value_col).cast("long") if value_col else F.lit(1).cast("long")
+    src = polys.select(
+        F.col(pid).cast("long").alias("_pid"), val.alias("_val"), F.col(wkb_col).alias("_wkb")
+    )
+
+    lat_lim = tiles.MERCATOR_LAT_MAX - 1e-9
+
+    @F.pandas_udf("minx double, miny double, maxx double, maxy double")
+    def _env(wkb: pd.Series) -> pd.DataFrame:
+        from . import geom as geommod
+
+        rows = [geommod.envelope(bytes(b)) for b in wkb]
+        return pd.DataFrame(rows, columns=["minx", "miny", "maxx", "maxy"])
+
+    env = src.withColumn("_e", _env("_wkb")).select(
+        "_pid", "_val", "_wkb",
+        F.col("_e.minx").alias("minx"),
+        F.greatest(F.col("_e.miny"), F.lit(-lat_lim)).alias("miny"),
+        F.col("_e.maxx").alias("maxx"),
+        F.least(F.col("_e.maxy"), F.lit(lat_lim)).alias("maxy"),
+    )
+
+    @F.pandas_udf("tx0 long, ty0 long, tx1 long, ty1 long")
+    def _trange(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.DataFrame:
+        tx0, ty0 = tiles.lonlat_to_tile(minx.to_numpy(np.float64), miny.to_numpy(np.float64), zoom)
+        tx1, ty1 = tiles.lonlat_to_tile(maxx.to_numpy(np.float64), maxy.to_numpy(np.float64), zoom)
+        n = 2 ** zoom
+        return pd.DataFrame({
+            "tx0": np.clip(tx0, 0, n - 1), "ty0": np.clip(ty0, 0, n - 1),
+            "tx1": np.clip(tx1, 0, n - 1), "ty1": np.clip(ty1, 0, n - 1),
+        })
+
+    cover = (
+        env.withColumn("_t", _trange("minx", "miny", "maxx", "maxy"))
+        .withColumn("tx", F.explode(F.sequence("_t.tx0", "_t.tx1")))
+        .withColumn("ty", F.explode(F.sequence("_t.ty0", "_t.ty1")))
+        .select("tx", "ty", "_pid", "_val", "_wkb")
+    )
+
+    add_mode = merge_alg == "add"
+
+    def _burn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from . import geom as geommod
+
+        tx = int(pdf["tx"].iat[0])
+        ty = int(pdf["ty"].iat[0])
+        cols = np.arange(TILE_SIZE)
+        px = tx * TILE_SIZE + cols + 0.5
+        py = (ty + 1) * TILE_SIZE - np.arange(TILE_SIZE) - 0.5  # row 0 = top
+        mx, _ = tiles.pixels_to_meters(px, np.zeros_like(px), zoom)
+        _, my = tiles.pixels_to_meters(np.zeros_like(py), py, zoom)
+        lon, _ = tiles.meters_to_lonlat(mx, np.zeros_like(mx))
+        _, lat = tiles.meters_to_lonlat(np.zeros_like(my), my)
+        grid = np.zeros((TILE_SIZE, TILE_SIZE), dtype=np.int64)
+        order = np.argsort(pdf["_pid"].to_numpy(), kind="stable")
+        for i in order:
+            prep = geommod.PreparedPolygon(bytes(pdf["_wkb"].iat[i]))
+            # pixel-center subwindow of the polygon bbox
+            ci = np.nonzero((lon >= prep.minx) & (lon <= prep.maxx))[0]
+            ri = np.nonzero((lat >= prep.miny) & (lat <= prep.maxy))[0]
+            if ci.size == 0 or ri.size == 0:
+                continue
+            lg, tg = np.meshgrid(lon[ci], lat[ri])
+            inside = prep.contains(lg.ravel(), tg.ravel()).reshape(ri.size, ci.size)
+            v = int(pdf["_val"].iat[i])
+            sub = grid[np.ix_(ri, ci)]
+            grid[np.ix_(ri, ci)] = np.where(inside, sub + v if add_mode else v, sub)
+        return pd.DataFrame(
+            {
+                "zoom": [np.int32(zoom)],
+                "tx": [tx],
+                "ty": [ty],
+                "data": [tile_to_bytes(grid)],
+            }
+        )
+
+    nparts = polys.sparkSession.sparkContext.defaultParallelism
+    return cover.repartition(nparts, "tx", "ty").groupBy("tx", "ty").applyInPandas(_burn, TILE_SCHEMA)
+
+
 def pyramid_reduce(tile_df: DataFrame, method: str = "average") -> DataFrame:
     """Tile table at zoom z → zoom z−1 by 2×2 reduce; ``method`` ∈
     average / nearest / mode / gauss / cubic (gcore/overview.cpp:1582-1590

@@ -271,3 +271,89 @@ def test_pyramid_cubic_and_magphase(spark):
     ok = vec_m > 0
     assert np.abs(got_mag - avg_mag)[ok].max() < 1.0
     assert (got_mag[~ok] == 0).all()
+
+
+# -- polygon rasterization (gdal_rasterize analog, round 3) -----------------
+
+
+def _pixel_centers(tx, ty, zoom):
+    from engine import raster, tiles
+
+    T = raster.TILE_SIZE
+    px = tx * T + np.arange(T) + 0.5
+    py = (ty + 1) * T - np.arange(T) - 0.5
+    mx, _ = tiles.pixels_to_meters(px, np.zeros_like(px), zoom)
+    _, my = tiles.pixels_to_meters(np.zeros_like(py), py, zoom)
+    lon, _ = tiles.meters_to_lonlat(mx, np.zeros_like(mx))
+    _, lat = tiles.meters_to_lonlat(np.zeros_like(my), my)
+    return lon, lat
+
+
+def test_rasterize_polygons_rect_matches_bruteforce(spark):
+    import pandas as pd
+
+    from engine import geom, raster
+
+    x0, y0, x1, y1 = -10.0, -5.0, 25.0, 20.0  # spans several z3 tiles
+    rect = geom.wkb_polygon([[(x0, y0), (x1, y0), (x1, y1), (x0, y1)]])
+    polys = spark.createDataFrame(pd.DataFrame({"pid": [0], "geom_wkb": [rect]}))
+    out = {(r.tx, r.ty): raster.bytes_to_tile(r.data)
+           for r in raster.rasterize_polygons(polys, zoom=3).collect()}
+    assert out
+    total = 0
+    for (tx, ty), grid in out.items():
+        lon, lat = _pixel_centers(tx, ty, 3)
+        exp = ((lon[None, :] >= x0) & (lon[None, :] <= x1)
+               & (lat[:, None] >= y0) & (lat[:, None] <= y1)).astype(np.int64)
+        assert np.array_equal(grid, exp), (tx, ty)
+        total += int(exp.sum())
+    assert total > 1000  # non-vacuous
+
+
+def test_rasterize_polygons_overlap_semantics(spark):
+    import pandas as pd
+
+    from engine import geom, raster
+
+    a = geom.wkb_polygon([[(0.0, 0.0), (20.0, 0.0), (20.0, 20.0), (0.0, 20.0)]])
+    b = geom.wkb_polygon([[(10.0, 10.0), (30.0, 10.0), (30.0, 30.0), (10.0, 30.0)]])
+    polys = spark.createDataFrame(
+        pd.DataFrame({"pid": [1, 2], "geom_wkb": [a, b], "v": [5, 9]})
+    )
+    rep = {(r.tx, r.ty): raster.bytes_to_tile(r.data)
+           for r in raster.rasterize_polygons(polys, 3, value_col="v").collect()}
+    add = {(r.tx, r.ty): raster.bytes_to_tile(r.data)
+           for r in raster.rasterize_polygons(polys, 3, value_col="v", merge_alg="add").collect()}
+    vals_rep = set()
+    vals_add = set()
+    for (tx, ty), grid in rep.items():
+        lon, lat = _pixel_centers(tx, ty, 3)
+        in_a = (lon[None, :] >= 0) & (lon[None, :] <= 20) & (lat[:, None] >= 0) & (lat[:, None] <= 20)
+        in_b = (lon[None, :] >= 10) & (lon[None, :] <= 30) & (lat[:, None] >= 10) & (lat[:, None] <= 30)
+        exp_rep = np.where(in_b, 9, np.where(in_a, 5, 0))
+        exp_add = np.where(in_b, 9, 0) + np.where(in_a, 5, 0)
+        assert np.array_equal(grid, exp_rep), (tx, ty)
+        assert np.array_equal(add[(tx, ty)], exp_add), (tx, ty)
+        vals_rep.update(np.unique(grid).tolist())
+        vals_add.update(np.unique(add[(tx, ty)]).tolist())
+    assert 14 in vals_add   # overlap sums
+    assert 14 not in vals_rep  # replace keeps the later feature's value
+
+
+def test_rasterize_polygon_with_hole(spark):
+    import pandas as pd
+
+    from engine import geom, raster
+
+    ring = [(0.0, 0.0), (30.0, 0.0), (30.0, 30.0), (0.0, 30.0)]
+    hole = [(10.0, 10.0), (20.0, 10.0), (20.0, 20.0), (10.0, 20.0)]
+    polys = spark.createDataFrame(
+        pd.DataFrame({"pid": [0], "geom_wkb": [geom.wkb_polygon([ring, hole])]})
+    )
+    for r in raster.rasterize_polygons(polys, 3).collect():
+        grid = raster.bytes_to_tile(r.data)
+        lon, lat = _pixel_centers(r.tx, r.ty, 3)
+        in_ext = (lon[None, :] >= 0) & (lon[None, :] <= 30) & (lat[:, None] >= 0) & (lat[:, None] <= 30)
+        in_hole = (lon[None, :] > 10) & (lon[None, :] < 20) & (lat[:, None] > 10) & (lat[:, None] < 20)
+        exp = (in_ext & ~in_hole).astype(np.int64)
+        assert np.array_equal(grid, exp), (r.tx, r.ty)
