@@ -251,6 +251,8 @@ def rasterize_polygons(
             v = int(pdf["_val"].iat[i])
             sub = grid[np.ix_(ri, ci)]
             grid[np.ix_(ri, ci)] = np.where(inside, sub + v if add_mode else v, sub)
+        if not grid.any():  # sparse tile table: bbox-covered but unburned
+            return pd.DataFrame({"zoom": [], "tx": [], "ty": [], "data": []})
         return pd.DataFrame(
             {
                 "zoom": [np.int32(zoom)],
@@ -261,6 +263,137 @@ def rasterize_polygons(
         )
 
     nparts = polys.sparkSession.sparkContext.defaultParallelism
+    return cover.repartition(nparts, "tx", "ty").groupBy("tx", "ty").applyInPandas(_burn, TILE_SCHEMA)
+
+
+def _bresenham(ix0: int, iy0: int, ix1: int, iy1: int):
+    """Integer Bresenham pixel walk between endpoint pixels — the
+    reference's line burner (alg/llrasterize.cpp GDALdllImageLine).
+    Yields (ix, iy) inclusive of both endpoints."""
+    dx = abs(ix1 - ix0)
+    dy = abs(iy1 - iy0)
+    sx = 1 if ix0 < ix1 else -1
+    sy = 1 if iy0 < iy1 else -1
+    err = dx - dy
+    x, y = ix0, iy0
+    while True:
+        yield x, y
+        if x == ix1 and y == iy1:
+            return
+        e2 = 2 * err
+        if e2 > -dy:
+            err -= dy
+            x += sx
+        if e2 < dx:
+            err += dx
+            y += sy
+
+
+def rasterize_lines(
+    lines: DataFrame,
+    zoom: int,
+    value_col: str | None = None,
+    merge_alg: str = "replace",
+    id_col: str | None = None,
+    wkb_col: str = "geom_wkb",
+) -> DataFrame:
+    """gdal_rasterize for line layers: integer Bresenham between the
+    endpoint pixels of every segment (alg/llrasterize.cpp
+    GDALdllImageLine), features burning in id order with last-wins
+    (``replace``) or summing (``add``) overlap semantics.
+
+    Seam-exact by construction: each covering tile re-runs the SAME
+    global-pixel Bresenham walk for its candidate segments and keeps only
+    its own pixels, so the walk's error-accumulator state never depends
+    on tile boundaries.  A segment ships only to the tiles its bbox
+    covers.
+    """
+    if merge_alg not in ("replace", "add"):
+        raise ValueError("merge_alg must be 'replace' or 'add'")
+    pid = id_col or lines.columns[0]
+    val = F.col(value_col).cast("long") if value_col else F.lit(1).cast("long")
+    src = lines.select(
+        F.col(pid).cast("long").alias("_pid"), val.alias("_val"), F.col(wkb_col).alias("_wkb")
+    )
+    lat_lim = tiles.MERCATOR_LAT_MAX - 1e-9
+
+    @F.pandas_udf("minx double, miny double, maxx double, maxy double")
+    def _env(wkb: pd.Series) -> pd.DataFrame:
+        from . import geom as geommod
+
+        rows = [geommod.envelope(bytes(b)) for b in wkb]
+        return pd.DataFrame(rows, columns=["minx", "miny", "maxx", "maxy"])
+
+    @F.pandas_udf("tx0 long, ty0 long, tx1 long, ty1 long")
+    def _trange(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.DataFrame:
+        tx0, ty0 = tiles.lonlat_to_tile(minx.to_numpy(np.float64), miny.to_numpy(np.float64), zoom)
+        tx1, ty1 = tiles.lonlat_to_tile(maxx.to_numpy(np.float64), maxy.to_numpy(np.float64), zoom)
+        n = 2 ** zoom
+        # pad 1: the Bresenham walk indexes pixels by floor(), which maps
+        # an exactly-on-boundary coordinate to the NEXT tile while the
+        # ceil-1 cover rule maps it to the previous one
+        return pd.DataFrame({
+            "tx0": np.clip(tx0 - 1, 0, n - 1), "ty0": np.clip(ty0 - 1, 0, n - 1),
+            "tx1": np.clip(tx1 + 1, 0, n - 1), "ty1": np.clip(ty1 + 1, 0, n - 1),
+        })
+
+    env = src.withColumn("_e", _env("_wkb")).select(
+        "_pid", "_val", "_wkb",
+        F.col("_e.minx").alias("minx"),
+        F.greatest(F.col("_e.miny"), F.lit(-lat_lim)).alias("miny"),
+        F.col("_e.maxx").alias("maxx"),
+        F.least(F.col("_e.maxy"), F.lit(lat_lim)).alias("maxy"),
+    )
+    cover = (
+        env.withColumn("_t", _trange("minx", "miny", "maxx", "maxy"))
+        .withColumn("tx", F.explode(F.sequence("_t.tx0", "_t.tx1")))
+        .withColumn("ty", F.explode(F.sequence("_t.ty0", "_t.ty1")))
+        .select("tx", "ty", "_pid", "_val", "_wkb")
+    )
+    add_mode = merge_alg == "add"
+
+    def _burn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from . import lineclip as lcmod
+
+        tx = int(pdf["tx"].iat[0])
+        ty = int(pdf["ty"].iat[0])
+        gx0, gx1 = tx * TILE_SIZE, (tx + 1) * TILE_SIZE
+        gy0, gy1 = ty * TILE_SIZE, (ty + 1) * TILE_SIZE
+        grid = np.zeros((TILE_SIZE, TILE_SIZE), dtype=np.int64)
+        order = np.argsort(pdf["_pid"].to_numpy(), kind="stable")
+        for i in order:
+            v = int(pdf["_val"].iat[i])
+            # track burned pixels per FEATURE so 'add' counts a feature
+            # once per pixel even when consecutive segments share a vertex
+            seen = set()
+            for pts in lcmod.line_points(bytes(pdf["_wkb"].iat[i])):
+                px, py = tiles.lonlat_to_pixels(pts[:, 0], pts[:, 1], zoom)
+                ix = np.floor(px).astype(np.int64)
+                iy = np.floor(py).astype(np.int64)
+                for s in range(ix.shape[0] - 1):
+                    # skip segments that cannot touch this tile
+                    if max(ix[s], ix[s + 1]) < gx0 - 1 or min(ix[s], ix[s + 1]) > gx1:
+                        continue
+                    if max(iy[s], iy[s + 1]) < gy0 - 1 or min(iy[s], iy[s + 1]) > gy1:
+                        continue
+                    for cx, cy in _bresenham(int(ix[s]), int(iy[s]), int(ix[s + 1]), int(iy[s + 1])):
+                        if gx0 <= cx < gx1 and gy0 <= cy < gy1 and (cx, cy) not in seen:
+                            seen.add((cx, cy))
+                            r = TILE_SIZE - 1 - (cy - gy0)
+                            c = cx - gx0
+                            grid[r, c] = grid[r, c] + v if add_mode else v
+        if not grid.any():  # padded/bbox-covered tile the walk never hit
+            return pd.DataFrame({"zoom": [], "tx": [], "ty": [], "data": []})
+        return pd.DataFrame(
+            {
+                "zoom": [np.int32(zoom)],
+                "tx": [tx],
+                "ty": [ty],
+                "data": [tile_to_bytes(grid)],
+            }
+        )
+
+    nparts = lines.sparkSession.sparkContext.defaultParallelism
     return cover.repartition(nparts, "tx", "ty").groupBy("tx", "ty").applyInPandas(_burn, TILE_SCHEMA)
 
 

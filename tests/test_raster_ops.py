@@ -357,3 +357,65 @@ def test_rasterize_polygon_with_hole(spark):
         in_hole = (lon[None, :] > 10) & (lon[None, :] < 20) & (lat[:, None] > 10) & (lat[:, None] < 20)
         exp = (in_ext & ~in_hole).astype(np.int64)
         assert np.array_equal(grid, exp), (r.tx, r.ty)
+
+
+def test_rasterize_lines_bresenham_oracle(spark):
+    """Line burn equals a single-process Bresenham walk of the same
+    global pixel endpoints — incl. a seam-crossing segment burned across
+    two tiles with the same error-accumulator state."""
+    import pandas as pd
+
+    from engine import geom, raster, tiles
+
+    zoom = 3
+    rows = [
+        (0, geom.wkb_linestring([(-30.0, 5.0), (10.0, 5.0)])),    # horizontal, crosses tiles
+        (1, geom.wkb_linestring([(2.0, 2.0), (18.0, 14.0)])),      # oblique
+        (2, geom.wkb_linestring([(50.0, -10.0), (50.0, 25.0)])),   # vertical
+    ]
+    lines = spark.createDataFrame(pd.DataFrame(rows, columns=["lid", "geom_wkb"]))
+    got = {(r.tx, r.ty): raster.bytes_to_tile(r.data)
+           for r in raster.rasterize_lines(lines, zoom).collect()}
+
+    exp: dict = {}
+    for _, wkb in rows:
+        _, pts = geom.wkb_loads(wkb)
+        arr = np.asarray(pts)
+        px, py = tiles.lonlat_to_pixels(arr[:, 0], arr[:, 1], zoom)
+        ix = np.floor(px).astype(np.int64)
+        iy = np.floor(py).astype(np.int64)
+        seen = set()
+        for s in range(len(ix) - 1):
+            for cx, cy in raster._bresenham(int(ix[s]), int(iy[s]), int(ix[s + 1]), int(iy[s + 1])):
+                if (cx, cy) in seen:
+                    continue
+                seen.add((cx, cy))
+                tx, ty = cx // 256, cy // 256
+                g = exp.setdefault((tx, ty), np.zeros((256, 256), dtype=np.int64))
+                g[256 - 1 - (cy - ty * 256), cx - tx * 256] = 1
+    assert set(exp) <= set(got)
+    for k in exp:
+        assert np.array_equal(got[k], exp[k]), k
+    for k in set(got) - set(exp):  # padded cover tiles burn nothing
+        assert not got[k].any(), k
+    # the horizontal line's row really spans a tile seam
+    assert len({k[0] for k in exp}) >= 2
+
+
+def test_rasterize_lines_add_counts_features_once(spark):
+    import pandas as pd
+
+    from engine import geom, raster
+
+    # two features over the same horizontal path; a multi-vertex polyline
+    # revisiting its midpoint must count once per feature
+    l1 = geom.wkb_linestring([(0.0, 0.0), (5.0, 0.0)])
+    l2 = geom.wkb_linestring([(0.0, 0.0), (2.5, 0.0), (5.0, 0.0)])
+    lines = spark.createDataFrame(
+        pd.DataFrame({"lid": [1, 2], "geom_wkb": [l1, l2], "v": [3, 4]})
+    )
+    out = raster.rasterize_lines(lines, 3, value_col="v", merge_alg="add").collect()
+    vals = set()
+    for r in out:
+        vals.update(np.unique(raster.bytes_to_tile(r.data)).tolist())
+    assert vals == {0, 7}  # every burned pixel = 3 + 4, never 3+4+4
