@@ -330,7 +330,7 @@ def warp_custom(
     spark: SparkSession,
     src_tiles: DataFrame,
     src_zoom: int,
-    dst_tiles: list,
+    dst_tiles,
     inv_fn,
     dst_zoom: int | None = None,
     resampling: str = "nearest",
@@ -349,7 +349,16 @@ def warp_custom(
     """
     T = TILE_SIZE
     pad = 0 if resampling == "nearest" else 1
-    dst = spark.createDataFrame(pd.DataFrame(dst_tiles, columns=["dtx", "dty"]))
+    # dst_tiles: a small python list OR a DataFrame (dtx, dty) — pass a
+    # DataFrame (e.g. spark.range arithmetic) when the destination
+    # rectangle is deep-zoom large; a driver list would be
+    # tile-count-proportional (the CollectChunkList anti-pattern)
+    if isinstance(dst_tiles, DataFrame):
+        dst = dst_tiles.select(
+            F.col("dtx").cast("int").alias("dtx"), F.col("dty").cast("int").alias("dty")
+        )
+    else:
+        dst = spark.createDataFrame(pd.DataFrame(dst_tiles, columns=["dtx", "dty"]))
 
     def _windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -155,3 +155,28 @@ def test_rpc_affine_center():
     # one L-unit east → one SAMP_SCALE of pixels
     s1, _ = t.forward(np.array([21.0]), np.array([10.0]))
     assert abs(s1[0] - 280.0) < 1e-9
+
+
+def test_warp_custom_accepts_dataframe_dst(spark):
+    """dst tiles can arrive as a DataFrame (spark.range arithmetic) so a
+    deep-zoom destination rectangle never materializes on the driver;
+    output must equal the list form."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from engine import raster, warp
+
+    T = raster.TILE_SIZE
+    g = (np.arange(T * T, dtype=np.int64) % 251).reshape(T, T)
+    src = spark.createDataFrame(
+        pd.DataFrame({"zoom": [4], "tx": [3], "ty": [5], "data": [raster.tile_to_bytes(g)]})
+    )
+
+    def inv_fn(dpx, dpy):  # identity into the source tile's pixel space
+        return np.asarray(dpx) + 3 * T, np.asarray(dpy) + 5 * T
+
+    lst = {(r.tx, r.ty): bytes(r.data) for r in warp.warp_custom(spark, src, 4, [(0, 0)], inv_fn).collect()}
+    dfd = spark.range(1).select(F.lit(0).alias("dtx"), F.lit(0).alias("dty"))
+    dfo = {(r.tx, r.ty): bytes(r.data) for r in warp.warp_custom(spark, src, 4, dfd, inv_fn).collect()}
+    assert lst == dfo and lst
