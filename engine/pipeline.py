@@ -56,7 +56,8 @@ def _append_manifest(spark: SparkSession, base: str, record: dict) -> None:
     # one json file per completed stage — append-only commit log; written
     # AFTER the level's parquet commit, so a crash between the two re-runs
     # the level (idempotent overwrite) rather than trusting a torn write
-    fname = os.path.join(path, f"zoom_{record['zoom']}_{int(record['ts'])}.json")
+    key = f"zoom_{record['zoom']}" if "zoom" in record else f"stage_{record['stage']}"
+    fname = os.path.join(path, f"{key}_{int(record['ts'])}.json")
     with open(fname, "w") as f:
         f.write(json.dumps(record) + "\n")
 
@@ -159,3 +160,62 @@ def run_tiling(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select("zoom", "tx", "ty", "data")
+
+
+def completed_stages(spark: SparkSession, base: str) -> set:
+    """Stage names with a manifest record (generic-stage analog of
+    :func:`completed_levels`)."""
+    m = read_manifest(spark, base)
+    if m is None or "stage" not in m.columns:
+        return set()
+    return {r.stage for r in m.select("stage").distinct().collect()}
+
+
+def run_stage(
+    spark: SparkSession,
+    stage: str,
+    tile_df_fn,
+    base: str,
+    resume: bool = False,
+) -> DataFrame:
+    """Materialize ONE named tile-table stage under ``base/stage=<name>``
+    with the same contract as :func:`run_tiling`: parquet persist, a
+    manifest record (rows, checksum-xor, wall), a per-partition lineage
+    sidecar, and resume (a completed stage is read back, its producer
+    never re-invoked).  Generalizes checkpoint/resume to any operator
+    producing a (zoom, tx, ty, data) table — rasterize_polygons/lines,
+    warp outputs, sieve/proximity products.
+    """
+    path = os.path.join(base, f"stage={stage}")
+    if resume and stage in completed_stages(spark, base):
+        return spark.read.parquet(path)
+    t0 = time.time()
+    out = tile_df_fn()
+    out.write.mode("overwrite").parquet(path)
+    persisted = spark.read.parquet(path)
+    stats = _level_stats(persisted)
+    lineage = (
+        raster.tile_checksums(persisted)
+        .withColumn("part_id", F.spark_partition_id())
+        .groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum("page_count").alias("page_count"),
+            F.expr("aggregate(collect_list(checksum), 0, (a, x) -> int(a ^ x))").alias("ck_xor"),
+        )
+    )
+    lineage.write.mode("overwrite").parquet(os.path.join(base, "_lineage", f"stage={stage}"))
+    stats["n_partitions"] = lineage.count()
+    _append_manifest(
+        spark,
+        base,
+        {
+            "stage": stage,
+            "ts": time.time(),
+            "wall_s": round(time.time() - t0, 3),
+            "master": spark.sparkContext.master,
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            **stats,
+        },
+    )
+    return persisted

@@ -181,3 +181,41 @@ def test_kml_superoverlay_sink(spark):
     leaf = ET.fromstring(rows["4/4/10.kml"])
     assert not leaf.findall(".//k:NetworkLink", ns)
     assert leaf.find(".//k:Lod/k:maxLodPixels", ns).text == "-1"
+
+
+def test_run_stage_checkpoint_and_resume(spark, tmp_path):
+    """Generic stage runner: a rasterize stage persists with manifest +
+    lineage sidecar; a resumed run reads the parquet back WITHOUT invoking
+    the producer again (mid-pipeline resume, mission brief)."""
+    import pandas as pd
+
+    from engine import geom, pipeline, raster
+
+    rect = geom.wkb_polygon([[(-10.0, -5.0), (25.0, -5.0), (25.0, 20.0), (-10.0, 20.0)]])
+    polys = spark.createDataFrame(pd.DataFrame({"pid": [0], "geom_wkb": [rect]}))
+    base = str(tmp_path / "stages")
+
+    calls = {"n": 0}
+
+    def produce():
+        calls["n"] += 1
+        return raster.rasterize_polygons(polys, zoom=3)
+
+    out1 = pipeline.run_stage(spark, "rasterize_rect", produce, base)
+    n1 = out1.count()
+    assert calls["n"] == 1 and n1 > 0
+    # manifest + per-partition lineage sidecar exist
+    m = pipeline.read_manifest(spark, base)
+    rec = [r for r in m.collect() if r.stage == "rasterize_rect"]
+    assert len(rec) == 1 and rec[0].n_tiles == n1
+    lin = spark.read.parquet(f"{base}/_lineage/stage=rasterize_rect")
+    assert lin.count() >= 1
+
+    def boom():
+        raise AssertionError("resume must not re-invoke the producer")
+
+    out2 = pipeline.run_stage(spark, "rasterize_rect", boom, base, resume=True)
+    assert out2.count() == n1
+    got1 = {(r.tx, r.ty): bytes(r.data) for r in out1.collect()}
+    got2 = {(r.tx, r.ty): bytes(r.data) for r in out2.collect()}
+    assert got1 == got2
