@@ -189,12 +189,63 @@ def tpi_kernel(pad: np.ndarray) -> np.ndarray:
     return np.floor(np.abs(v) * 100.0 + 0.5).astype(np.int64) * np.sign(v).astype(np.int64)
 
 
+def _horn_gradients(pad: np.ndarray):
+    a = pad.astype(np.float64)
+    dzdx = (
+        (a[:-2, 2:] + 2 * a[1:-1, 2:] + a[2:, 2:])
+        - (a[:-2, :-2] + 2 * a[1:-1, :-2] + a[2:, :-2])
+    ) / 8.0
+    dzdy = (
+        (a[2:, :-2] + 2 * a[2:, 1:-1] + a[2:, 2:])
+        - (a[:-2, :-2] + 2 * a[:-2, 1:-1] + a[:-2, 2:])
+    ) / 8.0
+    return dzdx, dzdy
+
+
+def hillshade_combined_kernel(pad: np.ndarray) -> np.ndarray:
+    """gdaldem hillshade -combined: the standard shade MULTIPLIED by the
+    slope-darkening term (combined = shade · (1 − slope/(π/2)), the
+    published gdaldem combined formula)."""
+    dzdx, dzdy = _horn_gradients(pad)
+    az = np.radians(315.0)
+    alt = np.radians(45.0)
+    slope = np.arctan(np.sqrt(dzdx**2 + dzdy**2))
+    aspect = np.arctan2(dzdy, -dzdx)
+    shaded = np.sin(alt) * np.cos(slope) + np.cos(alt) * np.sin(slope) * np.cos(az - np.pi / 2.0 - aspect)
+    combined = shaded * (1.0 - slope / (np.pi / 2.0))
+    return np.clip(np.floor(combined * 255.0 + 0.5), 0, 255).astype(np.int64)
+
+
+def hillshade_multidirectional_kernel(pad: np.ndarray) -> np.ndarray:
+    """gdaldem hillshade -multidirectional (USGS open-file report 92-422,
+    the formula gdaldem documents): weighted shades from azimuths
+    225/270/315/360 with weights sin²(aspect − azimuth), normalized by
+    the weight sum."""
+    dzdx, dzdy = _horn_gradients(pad)
+    alt = np.radians(45.0)
+    slope = np.arctan(np.sqrt(dzdx**2 + dzdy**2))
+    aspect = np.arctan2(dzdy, -dzdx)
+    num = np.zeros_like(slope)
+    den = np.zeros_like(slope)
+    for az_deg in (225.0, 270.0, 315.0, 360.0):
+        az = np.radians(az_deg)
+        w = np.sin(aspect - (az - np.pi / 2.0)) ** 2
+        sh = np.sin(alt) * np.cos(slope) + np.cos(alt) * np.sin(slope) * np.cos(az - np.pi / 2.0 - aspect)
+        num += w * sh
+        den += w
+    flat = den < 1e-12  # perfectly flat: every directional shade equals sin(alt)
+    shaded = np.where(flat, np.sin(alt), num / np.where(flat, 1.0, den))
+    return np.clip(np.floor(shaded * 255.0 + 0.5), 0, 255).astype(np.int64)
+
+
 KERNELS = {
     "slope": slope_kernel,
     "tri": tri_kernel,
     "roughness": roughness_kernel,
     "aspect": aspect_kernel,
     "hillshade": hillshade_kernel,
+    "hillshade_combined": hillshade_combined_kernel,
+    "hillshade_multidirectional": hillshade_multidirectional_kernel,
     "tpi": tpi_kernel,
 }
 

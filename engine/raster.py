@@ -397,6 +397,62 @@ def rasterize_lines(
     return cover.repartition(nparts, "tx", "ty").groupBy("tx", "ty").applyInPandas(_burn, TILE_SCHEMA)
 
 
+def translate(
+    tile_df: DataFrame,
+    scale: tuple | None = None,
+    out_range: tuple | None = None,
+    window_px: tuple | None = None,
+    round_half_up: bool = True,
+) -> DataFrame:
+    """gdal_translate analog (apps/gdal_translate.cpp): optional
+    ``-srcwin``-style crop + ``-scale`` linear rescale + ``-ot`` output
+    clamp, all per-tile vectorized (no shuffle — a pure map over the tile
+    table, exactly the reference's per-block copy loop re-expressed).
+
+    * ``scale`` = (src_min, src_max, dst_min, dst_max): v' = dst_min +
+      (v − src_min)·(dst_max−dst_min)/(src_max−src_min) (the -scale
+      formula), rounded half-up to int like the Byte/Int paths.
+    * ``out_range`` = (lo, hi): clamp after scaling (the -ot Byte
+      saturation, gcore round/clamp semantics).
+    * ``window_px`` = (gx0, gy0, gx1, gy1) GLOBAL pixel rect (x right,
+      y up — TMS): pixels outside become 0 and tiles fully outside are
+      dropped (the -srcwin crop on the tile layout).
+    """
+    if scale is None and out_range is None and window_px is None:
+        return tile_df
+
+    def _tr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                tx, ty = int(r.tx), int(r.ty)
+                if window_px is not None:
+                    gx0, gy0, gx1, gy1 = window_px
+                    if (tx + 1) * TILE_SIZE <= gx0 or tx * TILE_SIZE >= gx1:
+                        continue
+                    if (ty + 1) * TILE_SIZE <= gy0 or ty * TILE_SIZE >= gy1:
+                        continue
+                g = bytes_to_tile(r.data).astype(np.float64)
+                if window_px is not None:
+                    cols = tx * TILE_SIZE + np.arange(TILE_SIZE)
+                    rows_g = (ty + 1) * TILE_SIZE - 1 - np.arange(TILE_SIZE)  # row 0 = top
+                    keep = ((cols >= gx0) & (cols < gx1))[None, :] & (
+                        (rows_g >= gy0) & (rows_g < gy1)
+                    )[:, None]
+                    g = np.where(keep, g, 0.0)
+                if scale is not None:
+                    s0, s1, d0, d1 = (float(v) for v in scale)
+                    g = d0 + (g - s0) * ((d1 - d0) / (s1 - s0))
+                if round_half_up:
+                    g = np.floor(g + 0.5)
+                if out_range is not None:
+                    g = np.clip(g, float(out_range[0]), float(out_range[1]))
+                rows.append((int(r.zoom), tx, ty, tile_to_bytes(g.astype(np.int64))))
+            yield pd.DataFrame(rows, columns=["zoom", "tx", "ty", "data"])
+
+    return tile_df.select("zoom", "tx", "ty", "data").mapInPandas(_tr, TILE_SCHEMA)
+
+
 def pyramid_reduce(tile_df: DataFrame, method: str = "average") -> DataFrame:
     """Tile table at zoom z → zoom z−1 by 2×2 reduce; ``method`` ∈
     average / nearest / mode / gauss / cubic (gcore/overview.cpp:1582-1590

@@ -101,7 +101,7 @@ def test_point_raster_lookup(spark, tile_table):
         assert out[2] is None
 
 
-@pytest.mark.parametrize("kernel", ["slope", "tri", "roughness", "aspect", "hillshade", "tpi"])
+@pytest.mark.parametrize("kernel", ["slope", "tri", "roughness", "aspect", "hillshade", "tpi", "hillshade_combined", "hillshade_multidirectional",])
 def test_focal_matches_numpy(spark, tile_table, kernel):
     """Distributed halo-exchange focal == single-process numpy on the
     mosaicked full grid (cross-tile seams must be exact)."""
@@ -419,3 +419,51 @@ def test_rasterize_lines_add_counts_features_once(spark):
     for r in out:
         vals.update(np.unique(raster.bytes_to_tile(r.data)).tolist())
     assert vals == {0, 7}  # every burned pixel = 3 + 4, never 3+4+4
+
+
+def test_translate_scale_clamp_window(spark):
+    """gdal_translate analog: -scale linear map + -ot Byte clamp + -srcwin
+    crop, all against closed-form numpy."""
+    import pandas as pd
+
+    from engine import raster
+
+    T = raster.TILE_SIZE
+    g0 = (np.arange(T * T, dtype=np.int64) % 1000).reshape(T, T)
+    g1 = g0 + 7
+    tiles_df = spark.createDataFrame(
+        pd.DataFrame({"zoom": [3, 3], "tx": [2, 3], "ty": [1, 1],
+                      "data": [raster.tile_to_bytes(g0), raster.tile_to_bytes(g1)]})
+    )
+    # scale [0,1000] -> [0,255], clamp byte
+    out = {(r.tx, r.ty): raster.bytes_to_tile(r.data)
+           for r in raster.translate(tiles_df, scale=(0, 1000, 0, 255), out_range=(0, 255)).collect()}
+    for (tx, ty), g in (((2, 1), g0), ((3, 1), g1)):
+        exp = np.clip(np.floor(g * (255.0 / 1000.0) + 0.5), 0, 255).astype(np.int64)
+        assert np.array_equal(out[(tx, ty)], exp), (tx, ty)
+    # srcwin keeping only tile (2,1)'s right half: global x in [2.5T, 3T)
+    w = raster.translate(tiles_df, window_px=(int(2.5 * T), T, 3 * T, 2 * T)).collect()
+    got = {(r.tx, r.ty): raster.bytes_to_tile(r.data) for r in w}
+    assert set(got) == {(2, 1)}  # tile (3,1) fully outside -> dropped
+    half = got[(2, 1)]
+    assert not half[:, : T // 2].any()
+    assert np.array_equal(half[:, T // 2 :], g0[:, T // 2 :])
+    # identity short-circuit
+    assert raster.translate(tiles_df) is tiles_df
+
+
+def test_hillshade_variants(spark):
+    """gdaldem -combined and -multidirectional variant properties (seam
+    exactness is covered by the parametrized focal test): flat terrain
+    shades to round(sin(45°)·255) in every variant, and the combined
+    form never exceeds the plain shade (slope darkening)."""
+    from engine import focal
+
+    T = 256
+    flat = np.full((T + 2, T + 2), 7.0)
+    v = int(np.floor(np.sin(np.radians(45.0)) * 255.0 + 0.5))
+    assert (focal.hillshade_multidirectional_kernel(flat) == v).all()
+    assert (focal.hillshade_combined_kernel(flat) == v).all()
+    rng = np.random.default_rng(6)
+    pad2 = np.pad(rng.integers(0, 50, (T, T)).astype(np.int64), 1, mode="edge")
+    assert (focal.hillshade_combined_kernel(pad2) <= focal.hillshade_kernel(pad2)).all()
