@@ -1860,10 +1860,11 @@ def _q_grid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points(spark, sf_dir).select(
         "lon", "lat", (F.col("event_id") % 97).cast("double").alias("z")
     )
-    out = joins.grid_metrics(centers, pts, "z", radius=1.5, zoom=6, ring=1)
+    out = joins.grid_metrics(centers, pts, "z", radius=1.5, zoom=6, ring=1, distance_pts=True)
     return out.select(
         "qid", "minimum", "maximum", "range", "count",
         F.round("average_distance", 6).alias("average_distance"),
+        F.round("average_distance_pts", 6).alias("average_distance_pts"),
     )
 
 
@@ -1879,17 +1880,32 @@ def _sql_grid_metrics() -> str:
                    CAST(event_id % 97 AS DOUBLE) AS z
             FROM events
         ), hits AS (
-            SELECT qid, z,
+            SELECT qid, z, lon, lat,
                    sqrt((clon - lon) * (clon - lon) + (clat - lat) * (clat - lat)) AS d
             FROM centers, pts
             WHERE (clon - lon) * (clon - lon) + (clat - lat) * (clat - lat) <= 2.25
+        ), idx AS (
+            SELECT qid, lon, lat,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY lon, lat) AS i
+            FROM hits
+        ), pair_agg AS (
+            SELECT a.qid,
+                   ROUND(CAST(SUM(CAST(sqrt((a.lon - b.lon) * (a.lon - b.lon)
+                                          + (a.lat - b.lat) * (a.lat - b.lat))
+                                     AS DECIMAL(26,12))) AS DOUBLE) / COUNT(*), 6)
+                       AS average_distance_pts
+            FROM idx a JOIN idx b ON a.qid = b.qid AND a.i < b.i
+            GROUP BY a.qid
+        ), main AS (
+            SELECT qid, MIN(z) AS minimum, MAX(z) AS maximum,
+                   MAX(z) - MIN(z) AS range, COUNT(*) AS "count",
+                   ROUND(CAST(SUM(CAST(d AS DECIMAL(26,12))) AS DOUBLE) / COUNT(*), 6) AS average_distance
+            FROM hits
+            GROUP BY qid
+            HAVING COUNT(*) >= 1
         )
-        SELECT qid, MIN(z) AS minimum, MAX(z) AS maximum,
-               MAX(z) - MIN(z) AS range, COUNT(*) AS "count",
-               ROUND(CAST(SUM(CAST(d AS DECIMAL(26,12))) AS DOUBLE) / COUNT(*), 6) AS average_distance
-        FROM hits
-        GROUP BY qid
-        HAVING COUNT(*) >= 1
+        SELECT main.*, pair_agg.average_distance_pts
+        FROM main LEFT JOIN pair_agg ON main.qid = pair_agg.qid
     """
 
 
@@ -2701,11 +2717,12 @@ def _q_grid_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         _micro(F.col("minimum")).alias("v1"), _micro(F.col("maximum")).alias("v2"),
         _micro(F.col("range")).alias("v3"), F.col("count").cast("long").alias("v4"),
         _micro(F.col("average_distance")).alias("v5"),
+        _micro(F.col("average_distance_pts")).alias("v6"),
     )
     avg = _q_grid_moving_average(spark, sf_dir).select(
         F.lit("avg").alias("op"), F.col("qid").cast("long").alias("qid"),
         _micro(F.col("moving_avg")).alias("v1"), F.col("count").cast("long").alias("v2"),
-        nul.alias("v3"), nul.alias("v4"), nul.alias("v5"),
+        nul.alias("v3"), nul.alias("v4"), nul.alias("v5"), nul.alias("v6"),
     )
     return met.unionByName(avg)
 
@@ -2716,11 +2733,12 @@ def _sql_grid_interp() -> str:
         SELECT 'metrics' AS op, CAST(qid AS BIGINT) AS qid,
                {m.format(x='minimum')} AS v1, {m.format(x='maximum')} AS v2,
                {m.format(x='"range"')} AS v3, CAST("count" AS BIGINT) AS v4,
-               {m.format(x='average_distance')} AS v5
+               {m.format(x='average_distance')} AS v5,
+               {m.format(x='average_distance_pts')} AS v6
         FROM ({_sql_grid_metrics()})
         UNION ALL
         SELECT 'avg', CAST(qid AS BIGINT), {m.format(x='moving_avg')},
-               CAST("count" AS BIGINT), {_NULL_L}, {_NULL_L}, {_NULL_L}
+               CAST("count" AS BIGINT), {_NULL_L}, {_NULL_L}, {_NULL_L}, {_NULL_L}
         FROM ({_sql_grid_moving_average()})
     """
 

@@ -619,6 +619,7 @@ def grid_metrics(
     ring: int = 1,
     min_points: int = 1,
     query_id: str = "qid",
+    distance_pts: bool = False,
 ) -> DataFrame:
     """Per-query-cell data metrics over the points within ``radius``
     (euclidean degrees): minimum / maximum / range / count /
@@ -626,6 +627,15 @@ def grid_metrics(
     alg/gdal_alg.h:359-368, impls alg/gdalgrid.cpp:834+) with a circular
     search window and nMinPoints semantics (rows with fewer than
     ``min_points`` neighbors are dropped, the reference's nodata case).
+
+    With ``distance_pts=True`` an ``average_distance_pts`` column is added:
+    the mean distance over all unordered PAIRS of in-window points
+    (GGA_MetricAverageDistancePts, alg/gdalgrid.cpp:1385) — NULL when the
+    window holds fewer than two points.  Pairs are enumerated exactly once
+    via a per-cell row_number self-join (i < j); duplicate coordinates are
+    distinct points, matching the reference's index-pair loop.  The extra
+    cost is one window + one equi-join on the (radius-bounded) hit set —
+    quadratic only in per-window point count, never in table size.
 
     Plan: ring explode + cell equi-join + JVM-side distance filter +
     groupBy agg — no Python in the hot path.  The (2r+1)² cell window must
@@ -649,7 +659,7 @@ def grid_metrics(
     dlat = F.col("lat") - F.col("_plat")
     d2 = dlon * dlon + dlat * dlat
     hits = cand.where(d2 <= F.lit(radius * radius)).select(
-        query_id, F.col("_v"), F.sqrt(d2).alias("_d")
+        query_id, F.col("_v"), F.sqrt(d2).alias("_d"), "_plon", "_plat"
     )
     # average distance accumulates in decimal so the sum is order-independent
     # (same device as summary_select's float SUMs): double(exact Σ)/n is
@@ -657,7 +667,7 @@ def grid_metrics(
     avg_dist = (
         F.sum(F.col("_d").cast("decimal(26,12)")).cast("double") / F.count(F.lit(1))
     ).alias("average_distance")
-    return (
+    out = (
         hits.groupBy(query_id)
         .agg(
             F.min("_v").alias("minimum"),
@@ -668,6 +678,33 @@ def grid_metrics(
         )
         .where(F.col("count") >= min_points)
     )
+    if distance_pts:
+        from pyspark.sql import Window
+
+        idx = hits.select(
+            query_id, "_plon", "_plat",
+            F.row_number()
+            .over(Window.partitionBy(query_id).orderBy("_plon", "_plat"))
+            .alias("_i"),
+        )
+        a = idx.select(query_id, F.col("_plon").alias("_ax"), F.col("_plat").alias("_ay"), F.col("_i").alias("_ia"))
+        b = idx.select(query_id, F.col("_plon").alias("_bx"), F.col("_plat").alias("_by"), F.col("_i").alias("_ib"))
+        dx = F.col("_ax") - F.col("_bx")
+        dy = F.col("_ay") - F.col("_by")
+        pair_d = F.sqrt(dx * dx + dy * dy)
+        pairs = (
+            a.join(b, on=query_id)
+            .where(F.col("_ia") < F.col("_ib"))
+            .groupBy(query_id)
+            .agg(
+                (
+                    F.sum(pair_d.cast("decimal(26,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("average_distance_pts")
+            )
+        )
+        out = out.join(pairs, on=query_id, how="left")
+    return out
 
 
 def asof_join(

@@ -203,3 +203,50 @@ def test_pipeline_on_encoded_png(spark):
     assert all(len(r.features) == 4 * 4 * 3 for r in feats)
     resized = multimodal.resize_images(sdf, 4, 4, decoder=multimodal.decode_image).collect()
     assert len(resized) == 12
+
+
+def test_grid_metrics_average_distance_pts_bruteforce(spark):
+    """GGA_MetricAverageDistancePts (alg/gdalgrid.cpp:1385): mean distance
+    over all unordered pairs of in-window points — checked against an
+    O(n^2) numpy oracle, including the <2-point NULL case and duplicate
+    coordinates counting as distinct points."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from engine import joins
+
+    spark_pts = spark.range(0, 400).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") % 40) * 0.25 - 5.0).alias("lon"),
+        # id=0,1 collide exactly with id=200,201 → duplicate coordinates
+        (((F.col("id") % 200) * 13 % 40) * 0.25 - 5.0).alias("lat"),
+        (F.col("id") % 7).cast("double").alias("z"),
+    )
+    queries = spark.range(0, 25).select(
+        F.col("id").cast("int").alias("qid"),
+        ((F.col("id") % 5) * 2.0 - 4.0).alias("lon"),
+        (F.floor(F.col("id") / 5) * 2.0 - 4.0).alias("lat"),
+    )
+    out = {
+        r.qid: r
+        for r in joins.grid_metrics(
+            queries, spark_pts, "z", radius=1.2, zoom=6, ring=1, distance_pts=True
+        ).collect()
+    }
+    pts = [(r.lon, r.lat) for r in spark_pts.collect()]
+    for q in queries.collect():
+        inw = [(x, y) for x, y in pts if (x - q.lon) ** 2 + (y - q.lat) ** 2 <= 1.2 ** 2]
+        if not inw:
+            assert q.qid not in out
+            continue
+        row = out[q.qid]
+        assert row["count"] == len(inw)
+        if len(inw) < 2:
+            assert row.average_distance_pts is None
+        else:
+            ds = [
+                ((a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2) ** 0.5
+                for a, b in itertools.combinations(inw, 2)
+            ]
+            assert abs(row.average_distance_pts - sum(ds) / len(ds)) < 1e-9
