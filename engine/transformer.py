@@ -20,6 +20,8 @@ polynomial basis and TPS kernel (r²·ln r) match the reference's.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 
@@ -243,3 +245,160 @@ def approx_transform(exact_fn, x: np.ndarray, y: np.ndarray, max_error: float = 
     solve(0, n - 1, float(fx0[0]), float(fy0[0]), float(fx1[0]), float(fy1[0]))
     assert done.all()
     return ox, oy
+
+
+class GeolocArrayTransformer:
+    """Geolocation-array (swath) transformer — the GDALCreateGeoLocTransformer
+    analog (alg/gdalgeoloc.cpp; registered in the alg/gdaltransformer.cpp:974
+    chain).  Per-cell longitude/latitude arrays define pixel→georef.
+
+    Forward is the reference's clamped-anchor bilinear over the geoloc
+    arrays (alg/gdalgeoloc.cpp:940-1006) with linear extrapolation past the
+    borders (the reference degrades to 1-D interpolation on the far edges;
+    inside the grid the two agree exactly).  The inverse re-expresses the
+    reference's scatter + 8-neighbor hole-fill backmap (:209) as a numpy
+    grid seed followed by Newton refinement against the bilinear forward —
+    sub-pixel exact for smooth swaths where the reference's 2.0-era backmap
+    answer is quantized to backmap-cell resolution.  Any nodata corner in
+    the interpolation patch propagates NaN (the reference's HUGE_VAL
+    failure flag).
+
+    ``geo_x``/``geo_y``: 2-D arrays (line, pixel) of georef coordinates.
+    ``pixel_offset``/``line_offset``/``pixel_step``/``line_step``: the
+    PIXEL_OFFSET/LINE_OFFSET/PIXEL_STEP/LINE_STEP geolocation metadata
+    (geoloc row/col ``g`` covers raster pixel ``offset + g*step``).
+    """
+
+    def __init__(self, geo_x, geo_y, pixel_offset: float = 0.0,
+                 line_offset: float = 0.0, pixel_step: float = 1.0,
+                 line_step: float = 1.0, nodata: float | None = None,
+                 oversample: float = 1.3, fill_iters: int = 3,
+                 newton_iters: int = 8):
+        gx = np.asarray(geo_x, dtype=np.float64)
+        gy = np.asarray(geo_y, dtype=np.float64)
+        if gx.shape != gy.shape or gx.ndim != 2 or min(gx.shape) < 2:
+            raise ValueError("geo_x/geo_y must be equal-shape 2-D arrays, >=2 per axis")
+        if nodata is not None:
+            bad = gx == nodata
+            gx = np.where(bad, np.nan, gx)
+            gy = np.where(bad, np.nan, gy)
+        self.gx, self.gy = gx, gy
+        self.po, self.lo = float(pixel_offset), float(line_offset)
+        self.ps, self.ls = float(pixel_step), float(line_step)
+        self.newton_iters = int(newton_iters)
+        self._build_backmap(float(oversample), int(fill_iters))
+
+    # -- forward: raster pixel -> georef ---------------------------------
+    def _bilinear(self, gp: np.ndarray, gl: np.ndarray):
+        h, w = self.gx.shape
+        ix = np.clip(np.floor(gp).astype(np.int64), 0, w - 2)
+        iy = np.clip(np.floor(gl).astype(np.int64), 0, h - 2)
+        fx = gp - ix
+        fy = gl - iy
+        out = []
+        for a in (self.gx, self.gy):
+            a00 = a[iy, ix]
+            a01 = a[iy, ix + 1]
+            a10 = a[iy + 1, ix]
+            a11 = a[iy + 1, ix + 1]
+            top = a00 + fx * (a01 - a00)
+            bot = a10 + fx * (a11 - a10)
+            out.append(top + fy * (bot - top))
+        return out[0], out[1]
+
+    def forward(self, px, py):
+        px = np.asarray(px, dtype=np.float64)
+        py = np.asarray(py, dtype=np.float64)
+        gp = (px - self.po) / self.ps
+        gl = (py - self.lo) / self.ls
+        return self._bilinear(gp, gl)
+
+    # -- backmap seed grid (vectorized scatter + hole fill) --------------
+    def _build_backmap(self, oversample: float, fill_iters: int) -> None:
+        h, w = self.gx.shape
+        valid = ~(np.isnan(self.gx) | np.isnan(self.gy))
+        if not valid.any():
+            raise ValueError("geolocation arrays are entirely nodata")
+        vx, vy = self.gx[valid], self.gy[valid]
+        minx, maxx = float(vx.min()), float(vx.max())
+        miny, maxy = float(vy.min()), float(vy.max())
+        span = max((maxx - minx) * (maxy - miny), 1e-300)
+        psz = math.sqrt(span / (w * h * oversample))
+        psz = max(psz, 1e-12)
+        bw = int((maxx - minx) / psz + 1) + 1
+        bh = int((maxy - miny) / psz + 1) + 1
+        self._bm_minx = minx - psz / 2.0
+        self._bm_maxy = maxy + psz / 2.0
+        self._bm_psz = psz
+        bmx = np.full((bh, bw), np.nan)
+        bmy = np.full((bh, bw), np.nan)
+        gl, gp = np.nonzero(valid)
+        cx = ((self.gx[gl, gp] - self._bm_minx) / psz).astype(np.int64)
+        cy = ((self._bm_maxy - self.gy[gl, gp]) / psz).astype(np.int64)
+        keep = (cx >= 0) & (cy >= 0) & (cx < bw) & (cy < bh)
+        bmx[cy[keep], cx[keep]] = self.po + gp[keep] * self.ps
+        bmy[cy[keep], cx[keep]] = self.lo + gl[keep] * self.ls
+        for _ in range(fill_iters):
+            hole = np.isnan(bmx)
+            if not hole.any():
+                break
+            sx = np.zeros_like(bmx)
+            sy = np.zeros_like(bmy)
+            cnt = np.zeros_like(bmx)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    shx = np.full_like(bmx, np.nan)
+                    ys = slice(max(dy, 0), bh + min(dy, 0))
+                    yd = slice(max(-dy, 0), bh + min(-dy, 0))
+                    xs = slice(max(dx, 0), bw + min(dx, 0))
+                    xd = slice(max(-dx, 0), bw + min(-dx, 0))
+                    shx[yd, xd] = bmx[ys, xs]
+                    shy = np.full_like(bmy, np.nan)
+                    shy[yd, xd] = bmy[ys, xs]
+                    ok = ~np.isnan(shx)
+                    sx[ok] += shx[ok]
+                    sy[ok] += shy[ok]
+                    cnt[ok] += 1.0
+            fill = hole & (cnt > 0)
+            bmx[fill] = sx[fill] / cnt[fill]
+            bmy[fill] = sy[fill] / cnt[fill]
+        self._bmx, self._bmy = bmx, bmy
+
+    # -- inverse: georef -> raster pixel ---------------------------------
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        bh, bw = self._bmx.shape
+        cx = np.clip(((x - self._bm_minx) / self._bm_psz).astype(np.int64), 0, bw - 1)
+        cy = np.clip(((self._bm_maxy - y) / self._bm_psz).astype(np.int64), 0, bh - 1)
+        px = self._bmx[cy, cx]
+        py = self._bmy[cy, cx]
+        ok = ~(np.isnan(px) | np.isnan(py) | np.isnan(x) | np.isnan(y))
+        px = np.where(ok, px, np.nan)
+        py = np.where(ok, py, np.nan)
+        # Newton refinement on the bilinear forward; Jacobian by central
+        # differences at half-step (exact for the piecewise-bilinear map
+        # away from cell seams, ample inside them)
+        hx = 0.5 * abs(self.ps)
+        hy = 0.5 * abs(self.ls)
+        for _ in range(self.newton_iters):
+            fx, fy = self.forward(px, py)
+            ex = fx - x
+            ey = fy - y
+            fxp, fyp = self.forward(px + hx, py)
+            fxm, fym = self.forward(px - hx, py)
+            a = (fxp - fxm) / (2 * hx)
+            c = (fyp - fym) / (2 * hx)
+            fxp, fyp = self.forward(px, py + hy)
+            fxm, fym = self.forward(px, py - hy)
+            b = (fxp - fxm) / (2 * hy)
+            d = (fyp - fym) / (2 * hy)
+            det = a * d - b * c
+            with np.errstate(divide="ignore", invalid="ignore"):
+                dx = np.where(np.abs(det) > 1e-300, (d * ex - b * ey) / det, 0.0)
+                dy = np.where(np.abs(det) > 1e-300, (a * ey - c * ex) / det, 0.0)
+            px = px - dx
+            py = py - dy
+        return px, py

@@ -180,3 +180,78 @@ def test_warp_custom_accepts_dataframe_dst(spark):
     dfd = spark.range(1).select(F.lit(0).alias("dtx"), F.lit(0).alias("dty"))
     dfo = {(r.tx, r.ty): bytes(r.data) for r in warp.warp_custom(spark, src, 4, dfd, inv_fn).collect()}
     assert lst == dfo and lst
+
+
+def test_geoloc_forward_matches_bilinear_patch():
+    """Forward interpolation agrees with the closed form on an affine
+    swath (bilinear is exact there) including PIXEL/LINE offset+step
+    metadata (alg/gdalgeoloc.cpp:940-1006 semantics)."""
+    H, W = 12, 18
+    line, pix = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    gx = 10.0 + 0.05 * pix + 0.01 * line
+    gy = 50.0 - 0.04 * line + 0.002 * pix
+    # geoloc row g covers raster pixel 1 + 2g (subsampled geoloc array)
+    t = transformer.GeolocArrayTransformer(
+        gx, gy, pixel_offset=1.0, line_offset=1.0, pixel_step=2.0, line_step=2.0
+    )
+    px = np.array([1.0, 5.0, 8.4, 30.2])
+    py = np.array([1.0, 3.0, 12.6, 20.0])
+    X, Y = t.forward(px, py)
+    gp = (px - 1.0) / 2.0
+    gl = (py - 1.0) / 2.0
+    assert np.allclose(X, 10.0 + 0.05 * gp + 0.01 * gl, atol=1e-12)
+    assert np.allclose(Y, 50.0 - 0.04 * gl + 0.002 * gp, atol=1e-12)
+
+
+def test_geoloc_inverse_roundtrip_curved_swath():
+    """Newton-refined inverse round-trips a genuinely curved (non-affine)
+    swath to sub-1e-6 pixels — tighter than the reference's 2.0-era
+    backmap, which quantizes to backmap cells."""
+    H, W = 40, 60
+    line, pix = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    gx = -100.0 + 0.02 * pix + 0.004 * line + 2e-4 * pix * line + 1e-4 * line ** 2
+    gy = 35.0 - 0.018 * line + 0.003 * pix - 1.5e-4 * pix * line
+    t = transformer.GeolocArrayTransformer(gx, gy)
+    rng = np.random.default_rng(11)
+    px = rng.uniform(1, W - 2, 200)
+    py = rng.uniform(1, H - 2, 200)
+    X, Y = t.forward(px, py)
+    ipx, ipy = t.inverse(X, Y)
+    assert np.abs(ipx - px).max() < 1e-6
+    assert np.abs(ipy - py).max() < 1e-6
+
+
+def test_geoloc_nodata_propagates_nan():
+    H, W = 8, 8
+    line, pix = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    gx = pix * 1.0
+    gy = line * 1.0
+    gx[3, 3] = -999.0
+    t = transformer.GeolocArrayTransformer(gx, gy, nodata=-999.0)
+    X, _ = t.forward(np.array([2.5, 6.0]), np.array([2.5, 6.0]))
+    assert np.isnan(X[0]) and np.isfinite(X[1])
+
+
+def test_warp_custom_geoloc_matches_polynomial_on_affine(spark):
+    """A geoloc-array transformer built by sampling an affine map warps
+    bit-identically to the equivalent GCP polynomial transformer (both
+    exact on affine data) — the gdaltransformer.cpp:974 chain with a
+    geolocation source."""
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 90, (T, T)).astype(np.int64)
+    src = spark.createDataFrame(
+        pd.DataFrame({"zoom": [5], "tx": [1], "ty": [1], "data": [raster.tile_to_bytes(g)]})
+    )
+    # dst pixel (dpx,dpy) -> src pixel (T + dpx, T + dpy), sampled on a
+    # subsampled geoloc grid (step 16) over the dst tile
+    step = 16
+    n = T // step + 2
+    line, pix = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    glx = T + pix * float(step)
+    gly = T + line * float(step)
+    geo = transformer.GeolocArrayTransformer(glx, gly, pixel_step=step, line_step=step)
+    gcps = [(0, 0, T, T), (T, 0, 2 * T, T), (0, T, T, 2 * T), (T, T, 2 * T, 2 * T)]
+    p = transformer.GCPPolynomialTransformer(gcps, order=1)
+    a = warp.warp_custom(spark, src, 5, [(0, 0)], p.forward).collect()[0]
+    b = warp.warp_custom(spark, src, 5, [(0, 0)], geo.forward).collect()[0]
+    assert np.array_equal(raster.bytes_to_tile(a.data), raster.bytes_to_tile(b.data))
