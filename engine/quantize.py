@@ -24,6 +24,7 @@ three tile tables with :func:`engine.warp.raster_calc`-style equi-joins.
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -164,3 +165,31 @@ def apply_palette(rgb: DataFrame, palette: np.ndarray, dither: bool = False) -> 
             yield pd.DataFrame(rows, columns=["tx", "ty", "data"])
 
     return rgb.mapInPandas(_apply, "tx long, ty long, data binary")
+
+
+def pct2rgb(pct: DataFrame, palette: np.ndarray) -> DataFrame:
+    """pct2rgb analog (swig/python/scripts/pct2rgb.py): expand a
+    palette-index tile table back to r/g/b bands via one broadcast LUT
+    lookup per tile — the exact inverse of :func:`apply_palette` for
+    in-gamut indices.  ``palette``: (n, 3) ints."""
+    from .raster import tile_to_bytes
+
+    pal = np.asarray(palette, dtype=np.int64)
+    out_schema = "tx long, ty long, data_r binary, data_g binary, data_b binary"
+
+    def _expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for tx, ty, b in zip(pdf["tx"], pdf["ty"], pdf["data"]):
+                # apply_palette emits <i4 index tiles (quantize.py:163)
+                flat = np.frombuffer(bytes(b), dtype="<i4").astype(np.int64)
+                side = int(round(math.isqrt(flat.size)))
+                idx = np.clip(flat.reshape(side, side), 0, pal.shape[0] - 1)
+                rows.append(
+                    (int(tx), int(ty),
+                     tile_to_bytes(pal[idx, 0]), tile_to_bytes(pal[idx, 1]),
+                     tile_to_bytes(pal[idx, 2]))
+                )
+            yield pd.DataFrame(rows, columns=["tx", "ty", "data_r", "data_g", "data_b"])
+
+    return pct.mapInPandas(_expand, out_schema)

@@ -737,3 +737,143 @@ def build_pyramid(points: DataFrame, base_zoom: int, min_zoom: int, lon_col: str
     for z in range(base_zoom - 1, min_zoom - 1, -1):
         levels[z] = pyramid_reduce(levels[z + 1])
     return levels
+
+
+def equalize(tile_df: DataFrame, hist_bins: int = 256, lut_bins: int = 256) -> DataFrame:
+    """gdalenhance -equalize analog (apps/gdalenhance.cpp:477-560
+    ComputeEqualizationLUTs + :571 EnhancerCallback): per-zoom histogram
+    equalization to ``lut_bins`` output levels.
+
+    Three bounded stages, all scan-proportional: (1) per-zoom min/max
+    (:func:`raster_statistics` partials), (2) per-zoom histogram over
+    [min, max] with ``hist_bins`` equal-width bins (map-combined groupBy),
+    (3) the reference's LUT rule on the driver — extreme bins zeroed,
+    cumulative with half-bin midpoint, ``LUT[i] = clamp(cum[(i*H)/L]*L /
+    total)`` — broadcast back and applied as one shuffle-free tile map.
+    The collected state is zooms × ``hist_bins`` rows, never
+    pixel-proportional.
+    """
+    stats = {
+        int(r.zoom): (float(r.min_val), float(r.max_val))
+        for r in raster_statistics(tile_df).collect()
+    }
+    out_schema = "zoom int, bucket int, pix_count long"
+
+    def _hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            acc: dict = {}
+            for z, b in zip(pdf["zoom"], pdf["data"]):
+                lo, hi = stats[int(z)]
+                g = bytes_to_tile(b).ravel().astype(np.float64)
+                scale = hist_bins / (hi - lo) if hi > lo else 0.0
+                idx = np.clip(((g - lo) * scale).astype(np.int64), 0, hist_bins - 1)
+                binc = np.bincount(idx, minlength=hist_bins)
+                key = int(z)
+                acc[key] = acc.get(key, 0) + binc
+            yield pd.DataFrame(
+                [(z, i, int(c)) for z, bc in acc.items() for i, c in enumerate(bc)],
+                columns=["zoom", "bucket", "pix_count"],
+            )
+
+    hist_rows = (
+        tile_df.mapInPandas(_hist, out_schema)
+        .groupBy("zoom", "bucket")
+        .agg(F.sum("pix_count").alias("pix_count"))
+        .collect()
+    )
+    luts: dict = {}
+    for z in stats:
+        hist = np.zeros(hist_bins, dtype=np.int64)
+        for r in hist_rows:
+            if int(r.zoom) == z:
+                hist[int(r.bucket)] = int(r.pix_count)
+        hist[0] = 0          # zero out extremes (nodata etc), gdalenhance.cpp:522
+        hist[-1] = 0
+        cum = np.cumsum(hist) - hist + hist // 2   # total-so-far + bin/2 (:534)
+        total = max(int(hist.sum()), 1)
+        ih = (np.arange(lut_bins, dtype=np.int64) * hist_bins) // lut_bins
+        luts[z] = np.clip((cum[ih] * lut_bins) // total, 0, lut_bins - 1).astype(np.int64)
+
+    def _apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b, z in zip(pdf["data"], pdf["zoom"]):
+                lo, hi = stats[int(z)]
+                g = bytes_to_tile(b).astype(np.float64)
+                scale = lut_bins / (hi - lo) if hi > lo else 0.0
+                bins = np.clip(((g - lo) * scale).astype(np.int64), 0, lut_bins - 1)
+                out.append(tile_to_bytes(luts[int(z)][bins]))
+            pdf = pdf.copy()
+            pdf["data"] = out
+            yield pdf
+
+    return tile_df.mapInPandas(_apply, tile_df.schema)
+
+
+def to_xyz(tile_df: DataFrame, skip_zero: bool = False) -> DataFrame:
+    """gdal2xyz analog (swig/python/scripts/gdal2xyz.py): explode a
+    mercator tile table to one (lon, lat, value) row per pixel center —
+    shuffle-free mapInPandas, row count = pixel count by design."""
+    from . import tiles as tmod
+
+    out_schema = "lon double, lat double, value long"
+
+    def _xyz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for z, tx, ty, b in zip(pdf["zoom"], pdf["tx"], pdf["ty"], pdf["data"]):
+                g = bytes_to_tile(b)
+                t = g.shape[0]
+                px = int(tx) * t + np.arange(t) + 0.5
+                py = int(ty) * t + np.arange(t) + 0.5
+                gx, gy = np.meshgrid(px, py)
+                mx, my = tmod.pixels_to_meters(gx.ravel(), gy.ravel(), int(z))
+                lon, lat = tmod.meters_to_lonlat(mx, my)
+                v = g.ravel()
+                if skip_zero:
+                    keep = v != 0
+                    lon, lat, v = lon[keep], lat[keep], v[keep]
+                yield pd.DataFrame({"lon": lon, "lat": lat, "value": v})
+
+    return tile_df.mapInPandas(_xyz, out_schema)
+
+
+def compare_tiles(golden: DataFrame, new: DataFrame) -> DataFrame:
+    """gdalcompare analog (swig/python/scripts/gdalcompare.py): per-tile
+    pixel comparison of two tile tables — full outer join on (zoom, tx,
+    ty); rows report pixels_differing, max_abs_diff and checksum equality;
+    tiles present on one side only report NULL on the missing side's
+    checksum.  One co-partitioned join, per-tile numpy diff, no collect."""
+    a = golden.select("zoom", "tx", "ty", F.col("data").alias("_da"))
+    b = new.select("zoom", "tx", "ty", F.col("data").alias("_db"))
+    joined = a.join(b, on=["zoom", "tx", "ty"], how="full_outer")
+    out_schema = (
+        "zoom int, tx int, ty int, pixels_differing long, max_abs_diff long, "
+        "checksum_golden long, checksum_new long, match boolean"
+    )
+
+    def _cmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for z, tx, ty, da, db in zip(
+                pdf["zoom"], pdf["tx"], pdf["ty"], pdf["_da"], pdf["_db"]
+            ):
+                ga = bytes_to_tile(da) if da is not None else None
+                gb = bytes_to_tile(db) if db is not None else None
+                cka = int(gdal_checksum(ga)) if ga is not None else None
+                ckb = int(gdal_checksum(gb)) if gb is not None else None
+                if ga is not None and gb is not None:
+                    d = np.abs(ga - gb)
+                    nd, mx = int((d != 0).sum()), int(d.max())
+                else:
+                    miss = ga if ga is not None else gb
+                    nd, mx = int(miss.size), int(np.abs(miss).max())
+                rows.append((int(z), int(tx), int(ty), nd, mx, cka, ckb, nd == 0))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "zoom", "tx", "ty", "pixels_differing", "max_abs_diff",
+                    "checksum_golden", "checksum_new", "match",
+                ],
+            )
+
+    return joined.mapInPandas(_cmp, out_schema)

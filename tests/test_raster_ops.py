@@ -467,3 +467,101 @@ def test_hillshade_variants(spark):
     rng = np.random.default_rng(6)
     pad2 = np.pad(rng.integers(0, 50, (T, T)).astype(np.int64), 1, mode="edge")
     assert (focal.hillshade_combined_kernel(pad2) <= focal.hillshade_kernel(pad2)).all()
+
+
+def test_equalize_matches_reference_lut(spark, tile_table):
+    """gdalenhance -equalize: the distributed LUT must match a direct
+    single-process implementation of apps/gdalenhance.cpp:477-560 (extreme
+    bins zeroed, half-bin-midpoint cumulative, integer LUT rule) applied
+    per pixel."""
+    H = L = 256
+    grids = _collect_grids(tile_table)
+    allv = np.concatenate([g.ravel() for g in grids.values()]).astype(np.float64)
+    lo, hi = allv.min(), allv.max()
+    scale = H / (hi - lo)
+    idx = np.clip(((allv - lo) * scale).astype(np.int64), 0, H - 1)
+    hist = np.bincount(idx, minlength=H)
+    hist[0] = 0
+    hist[-1] = 0
+    cum = np.cumsum(hist) - hist + hist // 2
+    total = max(int(hist.sum()), 1)
+    lut = np.clip((cum[(np.arange(L) * H) // L] * L) // total, 0, L - 1)
+    out = _collect_grids(raster.equalize(tile_table))
+    assert set(out) == set(grids)
+    for k, g in grids.items():
+        bins = np.clip(((g.astype(np.float64) - lo) * (L / (hi - lo))).astype(np.int64), 0, L - 1)
+        assert np.array_equal(out[k], lut[bins]), k
+
+
+def test_to_xyz_pixel_centers(spark, tile_table):
+    from engine import tiles as tmod
+
+    one = tile_table.limit(1)
+    r = one.collect()[0]
+    g = raster.bytes_to_tile(r.data)
+    rows = raster.to_xyz(one).collect()
+    assert len(rows) == g.size
+    # nonzero filter drops exactly the zero pixels
+    assert len(raster.to_xyz(one, skip_zero=True).collect()) == int((g != 0).sum())
+    # a known pixel center round-trips through the tile math
+    got = {(round(x.lon, 9), round(x.lat, 9)): x.value for x in rows}
+    t = g.shape[0]
+    for py_, px_ in [(0, 0), (t - 1, t - 1), (t // 2, 3)]:
+        mx, my = tmod.pixels_to_meters(
+            np.array([r.tx * t + px_ + 0.5]), np.array([r.ty * t + py_ + 0.5]), r.zoom
+        )
+        lon, lat = tmod.meters_to_lonlat(mx, my)
+        assert got[(round(float(lon[0]), 9), round(float(lat[0]), 9))] == g[py_, px_]
+
+
+def test_compare_tiles(spark, tile_table):
+    same = raster.compare_tiles(tile_table, tile_table)
+    assert same.where("NOT match").count() == 0
+    # perturb one tile and drop another
+    rows = tile_table.collect()
+    pert = []
+    bumped_key, dropped_key = None, None
+    for i, r in enumerate(rows):
+        if i == 0:
+            g = raster.bytes_to_tile(r.data).copy()
+            g[5, 7] += 3
+            g[9, 2] += 1
+            pert.append((r.zoom, r.tx, r.ty, raster.tile_to_bytes(g)))
+            bumped_key = (r.zoom, r.tx, r.ty)
+        elif i == 1:
+            dropped_key = (r.zoom, r.tx, r.ty)
+        else:
+            pert.append((r.zoom, r.tx, r.ty, r.data))
+    newdf = spark.createDataFrame(pd.DataFrame(pert, columns=["zoom", "tx", "ty", "data"]))
+    cmp_rows = {
+        (r.zoom, r.tx, r.ty): r for r in raster.compare_tiles(tile_table, newdf).collect()
+    }
+    assert len(cmp_rows) == len(rows)
+    bad = cmp_rows[bumped_key]
+    assert not bad.match and bad.pixels_differing == 2 and bad.max_abs_diff == 3
+    miss = cmp_rows[dropped_key]
+    assert not miss.match and miss.checksum_new is None and miss.checksum_golden is not None
+    assert sum(1 for r in cmp_rows.values() if r.match) == len(rows) - 2
+
+
+def test_pct2rgb_roundtrip(spark, tile_table):
+    """apply_palette → pct2rgb is the identity on in-palette pixels
+    (pct2rgb.py semantics: pure LUT expand)."""
+    from engine import quantize
+
+    rgb = tile_table.selectExpr(
+        "zoom", "tx", "ty",
+        "data as data_r", "data as data_g", "data as data_b"
+    )
+    pal = quantize.compute_median_cut_pct(rgb, n_colors=16)
+    pct = quantize.apply_palette(rgb, pal)
+    back = quantize.pct2rgb(pct, pal)
+    got = {(r.tx, r.ty): r for r in back.collect()}
+    for r in pct.collect():
+        idx = np.frombuffer(bytes(r.data), dtype="<i4").astype(np.int64)
+        side = int(round(np.sqrt(idx.size)))
+        idx = idx.reshape(side, side)
+        o = got[(r.tx, r.ty)]
+        assert np.array_equal(raster.bytes_to_tile(o.data_r), pal[idx, 0])
+        assert np.array_equal(raster.bytes_to_tile(o.data_g), pal[idx, 1])
+        assert np.array_equal(raster.bytes_to_tile(o.data_b), pal[idx, 2])
