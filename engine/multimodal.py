@@ -61,19 +61,25 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def decode_image(buf: bytes, meta) -> np.ndarray:
-    """Real decode path: PNG via the pure-numpy codec (engine/png.py —
-    always available), any other format via PIL when present; exotic
-    formats without PIL raise (the documented stub path)."""
+    """Real decode path: PNG and baseline JPEG via the pure-numpy codecs
+    (engine/png.py, engine/jpeg.py — always available), any other format
+    via PIL when present; exotic formats without PIL raise (the documented
+    stub path)."""
     buf = bytes(buf)
     if buf[:8] == _PNG_SIG:
         from engine import png
 
         arr = png.decode_png(buf)
         return arr[:, :, None] if arr.ndim == 2 else arr
+    if buf[:2] == b"\xFF\xD8":
+        from engine import jpeg
+
+        return jpeg.decode_jpeg(buf)
     if not _HAVE_PIL:
         raise NotImplementedError(
-            "non-PNG image codec not available in this runtime; "
-            "encode fixtures as PNG (engine.png) or use fake_decode"
+            "non-PNG/JPEG image codec not available in this runtime; "
+            "encode fixtures as PNG (engine.png) / JPEG (engine.jpeg) "
+            "or use fake_decode"
         )
     import io
 

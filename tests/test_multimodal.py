@@ -250,3 +250,158 @@ def test_grid_metrics_average_distance_pts_bruteforce(spark):
                 for a, b in itertools.combinations(inw, 2)
             ]
             assert abs(row.average_distance_pts - sum(ds) / len(ds)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Pure-numpy baseline JPEG codec (engine/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def _smooth_rgb(h, w, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w].astype(float)
+    return np.stack(
+        [
+            128 + 80 * np.sin(xx / 4 + seed) * np.cos(yy / 5),
+            128 + 70 * np.cos(xx / 3 - seed),
+            128 + 60 * np.sin(yy / 6 + 2 * seed),
+        ],
+        axis=-1,
+    ).clip(0, 255).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_error_bounds():
+    from engine import jpeg
+
+    img = _smooth_rgb(70, 50)
+    for q, bound in [(50, 12.0), (90, 4.0), (95, 3.0)]:
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.mean() < bound, (q, err.mean())
+
+
+def test_jpeg_flat_image_exact():
+    from engine import jpeg
+
+    flat = np.full((24, 40, 3), 77, dtype=np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(flat, quality=90))
+    assert np.array_equal(out, flat)
+
+
+def test_jpeg_grey_and_odd_dims():
+    from engine import jpeg
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, (13, 21), dtype=np.uint8)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=85))
+    assert out.shape == (13, 21, 1)
+    # (h, w, 1) accepted like (h, w)
+    out2 = jpeg.decode_jpeg(jpeg.encode_jpeg(g[:, :, None], quality=85))
+    assert np.array_equal(out, out2)
+
+
+def test_jpeg_420_matches_intrinsic_subsampling_loss():
+    """4:2:0 decode error must track the unavoidable chroma box-average
+    loss, not accumulate across MCUs (regression: restart-split ran after
+    destuffing, so data FF + Dx bytes split the entropy segment)."""
+    from engine import jpeg
+    from engine.jpeg import _rgb_to_ycbcr, _ycbcr_to_rgb
+
+    img = _smooth_rgb(70, 50, seed=1)
+    ycc = _rgb_to_ycbcr(img)
+
+    def updown(p):
+        q = p.reshape(35, 2, 25, 2).mean(axis=(1, 3))
+        return np.repeat(np.repeat(q, 2, axis=0), 2, axis=1)
+
+    intrinsic = np.abs(
+        _ycbcr_to_rgb(
+            np.stack([ycc[:, :, 0], updown(ycc[:, :, 1]), updown(ycc[:, :, 2])], axis=-1)
+        ).astype(int)
+        - img.astype(int)
+    ).mean()
+    for ri in (0, 3):
+        out = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(img, quality=95, subsample="420", restart_interval=ri)
+        )
+        err = np.abs(out.astype(int) - img.astype(int)).mean()
+        assert err < intrinsic + 1.5, (ri, err, intrinsic)
+
+
+def test_jpeg_restart_markers_present_and_equal():
+    from engine import jpeg
+
+    img = _smooth_rgb(48, 48, seed=2)
+    plain = jpeg.encode_jpeg(img, quality=90)
+    rst = jpeg.encode_jpeg(img, quality=90, restart_interval=2)
+    assert b"\xFF\xDD" in rst and b"\xFF\xDD" not in plain
+    a = jpeg.decode_jpeg(plain)
+    b = jpeg.decode_jpeg(rst)
+    # restart markers change framing, not reconstruction
+    assert np.array_equal(a, b)
+
+
+def test_jpeg_entropy_layer_lossless():
+    """Huffman+magnitude coding round-trips arbitrary quantized blocks
+    exactly (T.81 F.1.2) — isolates the lossless layer from the DCT."""
+    from engine.jpeg import (_BitReader, _BitWriter, _encode_block, _extend,
+                             _huff_codes, _huff_decoder, _read_symbol,
+                             _HT_AC_C, _HT_DC_C)
+
+    rng = np.random.default_rng(0)
+    blocks = []
+    for _ in range(300):
+        zz = np.zeros(64, dtype=np.int64)
+        nz = rng.integers(0, 30)
+        pos = rng.choice(64, size=nz, replace=False)
+        zz[pos] = rng.integers(-1000, 1000, nz)
+        blocks.append(zz)
+    enc_dc, enc_ac = _huff_codes(*_HT_DC_C), _huff_codes(*_HT_AC_C)
+    dec_dc, dec_ac = _huff_decoder(*_HT_DC_C), _huff_decoder(*_HT_AC_C)
+    bw = _BitWriter()
+    pred = 0
+    for zz in blocks:
+        pred = _encode_block(bw, zz, pred, enc_dc, enc_ac)
+    bw.flush()
+    br = _BitReader(bytes(bw.buf).replace(b"\xff\x00", b"\xff"))
+    pred = 0
+    for zz in blocks:
+        out = np.zeros(64, dtype=np.int64)
+        size = _read_symbol(br, dec_dc)
+        pred += _extend(br.read_bits(size), size)
+        out[0] = pred
+        k = 1
+        while k < 64:
+            rs = _read_symbol(br, dec_ac)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break
+            k += r
+            out[k] = _extend(br.read_bits(s), s)
+            k += 1
+        assert np.array_equal(out, zz)
+
+
+def test_pipeline_on_encoded_jpeg(spark):
+    """decode_image dispatches JPEG bytes through the real codec — the
+    multimodal feature/resize pipeline runs end-to-end on actual JPEG."""
+    from engine import jpeg
+
+    rows = []
+    for i in range(8):
+        h, w = 16 + i % 5, 16 + (3 * i) % 7
+        img = _smooth_rgb(h, w, seed=i)
+        rows.append(
+            (i, jpeg.encode_jpeg(img, quality=90), "image/jpeg",
+             {"width": w, "height": h, "channels": 3, "sample_rate": None})
+        )
+    pdf = pd.DataFrame(rows, columns=["media_id", "media", "media_type", "meta"])
+    sdf = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_image_features(sdf, decoder=multimodal.decode_image).collect()
+    assert len(feats) == 8
+    assert all(len(r.features) == 4 * 4 * 3 for r in feats)
+    resized = multimodal.resize_images(sdf, 4, 4, decoder=multimodal.decode_image).collect()
+    assert len(resized) == 8
