@@ -374,3 +374,61 @@ def match_image_pairs(
         .groupBy("pair_id")
         .applyInPandas(_match, MATCH_SCHEMA)
     )
+
+
+FIT_SCHEMA = StructType([
+    StructField("pair_id", LongType()),
+    StructField("n_gcps", IntegerType()),
+    StructField("gt0", DoubleType()),
+    StructField("gt1", DoubleType()),
+    StructField("gt2", DoubleType()),
+    StructField("gt3", DoubleType()),
+    StructField("gt4", DoubleType()),
+    StructField("gt5", DoubleType()),
+    StructField("rms", DoubleType()),
+])
+
+
+def fit_pair_transforms(gcps: DataFrame, min_gcps: int = 3) -> DataFrame:
+    """Least-squares affine per image pair from matched GCPs — the
+    gcps2wld.py / GDALGCPsToGeoTransform analog
+    (swig/python/scripts/gcps2wld.py; gcore/gdal_misc.cpp
+    GDALGCPsToGeoTransform): fit ``(x, y) = GT(pixel, line)`` with the
+    GDAL geotransform layout ``x = gt0 + px*gt1 + ln*gt2``,
+    ``y = gt3 + px*gt4 + ln*gt5``, over MATCH_SCHEMA rows (the output of
+    :func:`match_image_pairs`).  Emits per-pair coefficients + RMS
+    residual; pairs with fewer than ``min_gcps`` points are dropped (an
+    affine needs 3 non-collinear points).  Composes into the registration
+    pipeline: correlate scene pairs -> fit -> warp_custom."""
+    from .transformer import GCPPolynomialTransformer
+
+    sc = gcps.sparkSession.sparkContext
+    nparts = max(sc.defaultParallelism, 1)
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < min_gcps:
+            return pd.DataFrame({f.name: pd.Series(dtype="float64") for f in FIT_SCHEMA})
+        g = [(px, ln, x, y) for px, ln, x, y in zip(
+            pdf.gcp_pixel, pdf.gcp_line, pdf.gcp_x, pdf.gcp_y)]
+        try:
+            tr = GCPPolynomialTransformer(g, order=1)
+        except Exception:
+            return pd.DataFrame({f.name: pd.Series(dtype="float64") for f in FIT_SCHEMA})
+        fx, fy = tr.forward(pdf.gcp_pixel.to_numpy(), pdf.gcp_line.to_numpy())
+        rms = float(np.sqrt(np.mean((fx - pdf.gcp_x.to_numpy()) ** 2
+                                    + (fy - pdf.gcp_y.to_numpy()) ** 2)))
+        # _poly_design order-1 basis is [1, line, pixel]: coefficient 2 is
+        # the pixel term (gt1/gt4), coefficient 1 the line term (gt2/gt5)
+        cx, cy = tr.fwd_x, tr.fwd_y
+        return pd.DataFrame([{
+            "pair_id": int(pdf.pair_id.iloc[0]), "n_gcps": len(pdf),
+            "gt0": cx[0], "gt1": cx[2], "gt2": cx[1],
+            "gt3": cy[0], "gt4": cy[2], "gt5": cy[1],
+            "rms": rms,
+        }])
+
+    return (
+        gcps.repartition(nparts, "pair_id")
+        .groupBy("pair_id")
+        .applyInPandas(_fit, FIT_SCHEMA)
+    )

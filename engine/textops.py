@@ -411,3 +411,79 @@ def bottom_k_fingerprint(text_col: Column, k: int = 4, shingle: int = 5) -> Colu
         F.transform(sh, lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, _HEX_CHARS), 16, 10).cast("long"))
     )
     return F.concat_ws(",", F.transform(F.slice(hashes, 1, k), lambda x: x.cast("string")))
+
+
+def dedup_lines_df(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs: int = 1,
+    normalize: bool = True,
+) -> DataFrame:
+    """Corpus-level duplicated-line removal (the C4/CCNet paragraph-dedup
+    family): a line whose normalized form (trim + lowercase when
+    ``normalize``) occurs in more than ``max_docs`` DISTINCT documents is
+    removed from EVERY document; surviving lines reassemble in original
+    order.  Blank lines are structural and never removed.  Returns
+    (id_col, text_dedup, lines_kept, lines_removed).
+
+    Scale design — all JVM-side, two shuffles total:
+    posexplode lines -> groupBy(line-hash) countDistinct(doc) builds the
+    duplicate-key set with map-side partial aggregation, a left_anti join
+    (AQE picks broadcast when the duplicate set is small — the common
+    case) filters occurrences, and one groupBy(doc) reassembles via
+    sort_array(collect_list(struct(pos, line))).  No Python, no driver
+    materialization of the duplicate set."""
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    norm = F.trim(F.col("_line"))
+    if normalize:
+        norm = F.lower(norm)
+    keyed = lines.withColumn("_blank", norm == "").withColumn("_key", md5_int(norm))
+    dup_keys = (
+        keyed.where(~F.col("_blank"))
+        .groupBy("_key")
+        .agg(F.countDistinct("_id").alias("_docs"))
+        .where(F.col("_docs") > max_docs)
+        .select("_key")
+    )
+    survivors = keyed.where(F.col("_blank")).unionByName(
+        keyed.where(~F.col("_blank")).join(dup_keys, on="_key", how="left_anti")
+    )
+    total = lines.groupBy("_id").agg(F.count("*").alias("_total"))
+    agg = (
+        survivors.groupBy("_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+            ).alias("text_dedup"),
+            F.count("*").alias("lines_kept"),
+        )
+        .join(total, on="_id", how="right")
+    )
+    # NULL-text docs never explode; restore them with NULL output (the
+    # engine-wide NULL-text convention, cf. simhash64_df)
+    base = docs.select(F.col(id_col).alias("_id"), F.col(text_col).isNull().alias("_isnull"))
+    return (
+        base.join(agg, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.when(F.col("_isnull"), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("text_dedup"), F.lit("")))
+            .alias("text_dedup"),
+            F.when(F.col("_isnull"), F.lit(None).cast("long"))
+            .otherwise(F.coalesce(F.col("lines_kept"), F.lit(0)).cast("long"))
+            .alias("lines_kept"),
+            F.when(F.col("_isnull"), F.lit(None).cast("long"))
+            .otherwise(
+                (F.coalesce(F.col("_total"), F.lit(0)) - F.coalesce(F.col("lines_kept"), F.lit(0))).cast("long")
+            )
+            .alias("lines_removed"),
+        )
+    )

@@ -63,3 +63,70 @@ def test_simhash64_and_near_pairs(spark):
     pairs = {(r.a, r.b): r.hamming for r in textops.simhash_near_pairs(docs, max_hamming=3).collect()}
     assert (1, 4) in pairs and pairs[(1, 4)] == 0
     assert (1, 3) not in pairs
+
+
+def test_dedup_lines_corpus(spark):
+    """Corpus line dedup vs a DuckDB oracle on the same frame: lines whose
+    normalized form appears in > 1 distinct docs vanish from every doc;
+    blank lines survive; NULL text stays NULL; order preserved."""
+    import duckdb
+    import pandas as pd
+    from engine.textops import dedup_lines_df
+
+    rows = [
+        (1, "Keep me\nSHARED boilerplate\n\nunique tail"),
+        (2, "shared boilerplate \nanother line"),      # same after trim+lower
+        (3, "solo document\nno dupes here"),
+        (4, ""),                                        # single blank line
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        dedup_lines_df(docs)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    oracle = duckdb.connect().execute("""
+        WITH docs(doc_id, text) AS (VALUES
+            (1, 'Keep me' || chr(10) || 'SHARED boilerplate' || chr(10) || chr(10) || 'unique tail'),
+            (2, 'shared boilerplate ' || chr(10) || 'another line'),
+            (3, 'solo document' || chr(10) || 'no dupes here'),
+            (4, ''), (5, NULL)),
+        lines AS (
+            SELECT doc_id, u.line, u.pos
+            FROM docs, LATERAL (
+                SELECT unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1) AS pos) u
+            WHERE text IS NOT NULL),
+        dup AS (
+            SELECT lower(trim(line)) AS k FROM lines
+            WHERE trim(line) <> ''
+            GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+        kept AS (
+            SELECT * FROM lines
+            WHERE trim(line) = '' OR lower(trim(line)) NOT IN (SELECT k FROM dup))
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') END AS text_dedup,
+               CASE WHEN d.text IS NULL THEN NULL ELSE count(k.line) END AS lines_kept
+        FROM docs d LEFT JOIN kept k USING (doc_id)
+        GROUP BY d.doc_id, d.text ORDER BY d.doc_id
+    """).df()
+    assert got.text_dedup.tolist()[:4] == oracle.text_dedup.tolist()[:4]
+    assert got.text_dedup.isna().tolist() == [False, False, False, False, True]
+    assert got.lines_kept.tolist()[:4] == [3, 1, 2, 1]
+    assert got.lines_removed.tolist()[:4] == [1, 1, 0, 0]
+    # the shared line is gone from BOTH docs, non-dup content intact
+    assert got.text_dedup[0] == "Keep me\n\nunique tail"
+    assert got.text_dedup[1] == "another line"
+
+
+def test_dedup_lines_identity_when_no_dupes(spark):
+    from engine.textops import dedup_lines_df
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha {i}\nbeta {i}") for i in range(20)], "doc_id long, text string"
+    )
+    got = dedup_lines_df(docs).orderBy("doc_id").toPandas()
+    assert (got.lines_removed == 0).all()
+    assert got.text_dedup.tolist() == [f"alpha {i}\nbeta {i}" for i in range(20)]

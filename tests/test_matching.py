@@ -235,3 +235,55 @@ def test_match_image_pairs_spark(spark):
     exp = pd.DataFrame(local, columns=["gcp_pixel", "gcp_line", "gcp_x", "gcp_y", "dist"])
     exp = exp.sort_values(["gcp_line", "gcp_pixel"]).reset_index(drop=True)
     assert np.allclose(one[exp.columns].to_numpy(), exp.to_numpy())
+
+
+def test_fit_pair_transforms(spark):
+    """Registration pipeline: matched GCPs -> per-pair least-squares affine
+    (gcps2wld analog).  A pure-shift pair must fit gt=(dx,1,0,dy,0,1) with
+    zero residual; a scaled+shifted synthetic GCP set recovers its exact
+    affine."""
+    rows = []
+    # pair 1: pure shift (+4, +6) — 5 GCPs
+    for px, ln in [(10, 10), (30, 12), (18, 40), (44, 44), (25, 25)]:
+        rows.append((1, float(px), float(ln), float(px + 4), float(ln + 6), 0.0))
+    # pair 2: x' = 100 + 2 px - 0.5 ln ; y' = 50 + 0.25 px + 3 ln
+    for px, ln in [(0, 0), (10, 0), (0, 10), (7, 13), (21, 5)]:
+        rows.append((2, float(px), float(ln),
+                     100 + 2 * px - 0.5 * ln, 50 + 0.25 * px + 3 * ln, 0.0))
+    # pair 3: too few points — dropped
+    rows.append((3, 1.0, 1.0, 2.0, 2.0, 0.0))
+    gcps = spark.createDataFrame(
+        rows, "pair_id long, gcp_pixel double, gcp_line double, gcp_x double, gcp_y double, dist double"
+    )
+    got = M.fit_pair_transforms(gcps).orderBy("pair_id").toPandas()
+    assert got.pair_id.tolist() == [1, 2]
+    p1 = got.iloc[0]
+    assert np.allclose([p1.gt0, p1.gt1, p1.gt2, p1.gt3, p1.gt4, p1.gt5],
+                       [4, 1, 0, 6, 0, 1], atol=1e-9)
+    assert p1.rms < 1e-9 and p1.n_gcps == 5
+    p2 = got.iloc[1]
+    assert np.allclose([p2.gt0, p2.gt1, p2.gt2, p2.gt3, p2.gt4, p2.gt5],
+                       [100, 2, -0.5, 50, 0.25, 3], atol=1e-8)
+    assert p2.rms < 1e-8
+
+
+def test_match_then_fit_end_to_end(spark):
+    """correlate -> fit: the fitted affine of a shifted image pair is the
+    translation itself."""
+    dy, dx = 6, 4
+    # 8-bit-style integer-valued image (the reference only allows eightbit
+    # input, gdalmatching.cpp:214): box sums are then exact in float64, so
+    # true matches have distance exactly 0 and survive the reference's
+    # default 0.015 normalized-distance prune.
+    base = np.round(_bumpy_image(120, 120, seed=23, nblobs=40) * 100)
+    img1 = np.ascontiguousarray(base[dy:dy + 100, dx:dx + 100])
+    img2 = np.ascontiguousarray(base[0:100, 0:100])
+    df = spark.createDataFrame(
+        [(1, 100, 100, img1.astype("<f8").tobytes(), 100, 100, img2.astype("<f8").tobytes())],
+        M.PAIR_SCHEMA,
+    )
+    fit = M.fit_pair_transforms(M.match_image_pairs(df, 1, 1, 2e-4, 0.015)).toPandas()
+    assert len(fit) == 1
+    f = fit.iloc[0]
+    assert np.allclose([f.gt0, f.gt1, f.gt2, f.gt3, f.gt4, f.gt5],
+                       [dx, 1, 0, dy, 0, 1], atol=1e-8)
