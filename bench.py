@@ -153,6 +153,48 @@ def main():
     _run("dateline_split", lambda: _force(q["dateline_split"](spark, sf_dir)), timings)
     _run("simhash64_near", lambda: _force(q["simhash"](spark, sf_dir)), timings)
 
+    # later round-3 additions: corpus line dedup, image-pair correlator
+    from engine import matching as _matching
+    from engine import textops as _textops
+
+    docs = entrymod._read(spark, sf_dir, "documents")
+    _run("line_dedup", lambda: _force(_textops.dedup_lines_df(docs)), timings)
+
+    import numpy as np
+
+    def _pair_rows(n_pairs=32, hw=128, nblobs=48):
+        rows = []
+        for pid in range(n_pairs):
+            rng = np.random.default_rng(1000 + pid)
+            img = np.zeros((hw + 16, hw + 16))
+            yy, xx = np.mgrid[0:hw + 16, 0:hw + 16]
+            for _ in range(nblobs):
+                cy = rng.integers(20, hw - 4)
+                cx = rng.integers(20, hw - 4)
+                s = rng.uniform(1.5, 4.0)
+                a = rng.uniform(0.5, 1.0) * rng.choice([-1, 1])
+                img += a * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s))
+            img = np.round(img * 100)
+            dy, dx = int(rng.integers(2, 9)), int(rng.integers(2, 9))
+            i1 = np.ascontiguousarray(img[dy:dy + hw, dx:dx + hw])
+            i2 = np.ascontiguousarray(img[0:hw, 0:hw])
+            rows.append((pid, hw, hw, i1.astype("<f8").tobytes(),
+                         hw, hw, i2.astype("<f8").tobytes()))
+        return rows
+
+    pair_df = spark.createDataFrame(_pair_rows(), _matching.PAIR_SCHEMA).persist()
+    pair_df.count()
+    _run(
+        "image_matching",
+        lambda: _force(
+            _matching.fit_pair_transforms(
+                _matching.match_image_pairs(pair_df, 1, 2, 2e-4, 0.015)
+            )
+        ),
+        timings,
+    )
+    pair_df.unpersist()
+
     total = round(sum(timings.values()), 3)
     pages_per_sec = round(n_pages / flagship_wall, 1) if flagship_wall > 0 else None
     print(

@@ -64,37 +64,62 @@ def integral_image(img: np.ndarray) -> np.ndarray:
     return np.cumsum(np.cumsum(np.asarray(img, dtype=np.float64), axis=0), axis=1)
 
 
+def _padded(S: np.ndarray) -> np.ndarray:
+    """Zero-pad the inclusive prefix matrix with a leading row+column so
+    every corner read of the clamped box sum is a single mask-free gather:
+    ``P[r+1, c+1] == S[r, c]`` and all "corner out of range -> 0" cases of
+    the reference land on the zero border."""
+    H, W = S.shape
+    P = np.zeros((H + 1, W + 1), dtype=np.float64)
+    P[1:, 1:] = S
+    return P
+
+
+def _rect_sum_p(P: np.ndarray, row, col, width: int, height: int) -> np.ndarray:
+    """Box sum over a padded prefix matrix, semantics of
+    alg/gdal_octave.cpp:89-122 (see :func:`rect_sum`)."""
+    H = P.shape[0] - 1
+    W = P.shape[1] - 1
+    row = np.asarray(row, dtype=np.int64)
+    col = np.asarray(col, dtype=np.int64)
+    h = height - 1
+    w = width - 1
+    # lt index in P-space: row if row <= H (corner row-1), else the zero
+    # border; negative corners clip onto the zero border too
+    lt_r = np.clip(np.where(row <= H, row, 0), 0, H)
+    lt_c = np.clip(np.where(col <= W, col, 0), 0, W)
+    rb_r = np.clip(np.where(row + h < H, row + h, H - 1) + 1, 0, H)
+    rb_c = np.clip(np.where(col + w < W, col + w, W - 1) + 1, 0, W)
+    res = P[lt_r, lt_c] + P[rb_r, rb_c] - P[lt_r, rb_c] - P[rb_r, lt_c]
+    return np.maximum(res, 0.0)
+
+
 def rect_sum(S: np.ndarray, row, col, width: int, height: int) -> np.ndarray:
     """Box sum with the reference's clamping (alg/gdal_octave.cpp:89-122):
     bottom-right corner clamps to the image edge, out-of-range corners read
     as 0, and negative results floor at 0.  ``row``/``col`` may be arrays;
     ``width``/``height`` are scalars (rectangle side lengths)."""
-    H, W = S.shape
-    row = np.asarray(row, dtype=np.int64)
-    col = np.asarray(col, dtype=np.int64)
-    w = width - 1
-    h = height - 1
-    lt_row = np.where(row <= H, row - 1, -1)
-    lt_col = np.where(col <= W, col - 1, -1)
-    rb_row = np.where(row + h < H, row + h, H - 1)
-    rb_col = np.where(col + w < W, col + w, W - 1)
+    return _rect_sum_p(_padded(S), row, col, width, height)
 
-    def val(r, c):
-        ok = (r >= 0) & (r < H) & (c >= 0) & (c < W)
-        return np.where(ok, S[np.clip(r, 0, H - 1), np.clip(c, 0, W - 1)], 0.0)
 
-    res = val(lt_row, lt_col) + val(rb_row, rb_col) - val(lt_row, rb_col) - val(rb_row, lt_col)
-    return np.maximum(res, 0.0)
+def _haar_x_p(P: np.ndarray, row, col, size: int) -> np.ndarray:
+    return (_rect_sum_p(P, row, col + size // 2, size // 2, size)
+            - _rect_sum_p(P, row, col, size // 2, size))
+
+
+def _haar_y_p(P: np.ndarray, row, col, size: int) -> np.ndarray:
+    return (_rect_sum_p(P, row + size // 2, col, size, size // 2)
+            - _rect_sum_p(P, row, col, size, size // 2))
 
 
 def haar_x(S: np.ndarray, row, col, size: int) -> np.ndarray:
     """Signed horizontal Haar response (alg/gdal_octave.cpp:124-128)."""
-    return rect_sum(S, row, col + size // 2, size // 2, size) - rect_sum(S, row, col, size // 2, size)
+    return _haar_x_p(_padded(S), row, col, size)
 
 
 def haar_y(S: np.ndarray, row, col, size: int) -> np.ndarray:
     """Signed vertical Haar response (alg/gdal_octave.cpp:130-134)."""
-    return rect_sum(S, row + size // 2, col, size, size // 2) - rect_sum(S, row, col, size, size // 2)
+    return _haar_y_p(_padded(S), row, col, size)
 
 
 def rgb_to_luminosity(r: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -109,7 +134,9 @@ class _Layer:
 
     __slots__ = ("octave", "interval", "filter_size", "radius", "scale", "det", "signs")
 
-    def __init__(self, S: np.ndarray, octave: int, interval: int):
+    def __init__(self, S: np.ndarray, octave: int, interval: int, P: np.ndarray | None = None):
+        if P is None:
+            P = _padded(S)
         H, W = S.shape
         self.octave = octave
         self.interval = interval
@@ -126,56 +153,51 @@ class _Layer:
         if r.size and c.size:
             R = r[:, None]
             C = c[None, :]
-            dxx = (rect_sum(S, R - lobe + 1, C - radius, fs, long_part)
-                   - 3 * rect_sum(S, R - lobe + 1, C - (lobe - 1) // 2, lobe, long_part)) / norm
-            dyy = (rect_sum(S, R - radius, C - lobe - 1, long_part, fs)
-                   - 3 * rect_sum(S, R - lobe + 1, C - lobe + 1, long_part, lobe)) / norm
-            dxy = (rect_sum(S, R - lobe, C - lobe, lobe, lobe)
-                   + rect_sum(S, R + 1, C + 1, lobe, lobe)
-                   - rect_sum(S, R - lobe, C + 1, lobe, lobe)
-                   - rect_sum(S, R + 1, C - lobe, lobe, lobe)) / norm
+            dxx = (_rect_sum_p(P, R - lobe + 1, C - radius, fs, long_part)
+                   - 3 * _rect_sum_p(P, R - lobe + 1, C - (lobe - 1) // 2, lobe, long_part)) / norm
+            dyy = (_rect_sum_p(P, R - radius, C - lobe - 1, long_part, fs)
+                   - 3 * _rect_sum_p(P, R - lobe + 1, C - lobe + 1, long_part, lobe)) / norm
+            dxy = (_rect_sum_p(P, R - lobe, C - lobe, lobe, lobe)
+                   + _rect_sum_p(P, R + 1, C + 1, lobe, lobe)
+                   - _rect_sum_p(P, R - lobe, C + 1, lobe, lobe)
+                   - _rect_sum_p(P, R + 1, C - lobe, lobe, lobe)) / norm
             det[radius:radius + r.size, radius:radius + c.size] = dxx * dyy - 0.9 * 0.9 * dxy * dxy
             signs[radius:radius + r.size, radius:radius + c.size] = np.where(dxx + dyy >= 0, 1, -1)
         self.det = det
         self.signs = signs
 
 
-def _descriptors(S: np.ndarray, xs: np.ndarray, ys: np.ndarray, scale: int) -> np.ndarray:
+def _descriptors(P: np.ndarray, xs: np.ndarray, ys: np.ndarray, scale: int) -> np.ndarray:
     """64-dim SURF descriptors for all keypoints of one layer at once
-    (alg/gdal_simplesurf.cpp:276-338)."""
+    (alg/gdal_simplesurf.cpp:276-338).  ``P`` is the padded prefix matrix
+    from :func:`_padded`."""
     n = xs.size
-    desc = np.empty((n, DESC_SIZE), dtype=np.float64)
     haar_size = 2 * scale
     desc_side = 20 * scale
     quad_step = desc_side // 4
     sub_step = quad_step // 5
     lt_row = ys - desc_side // 2
     lt_col = xs - desc_side // 2
-    k = 0
-    for qr in range(4):
-        for qc in range(4):
-            r0 = lt_row + qr * quad_step
-            c0 = lt_col + qc * quad_step
-            dx = np.zeros(n)
-            dy = np.zeros(n)
-            adx = np.zeros(n)
-            ady = np.zeros(n)
-            for sr in range(0, quad_step, sub_step):
-                for sc in range(0, quad_step, sub_step):
-                    cur_r = r0 + sr + sub_step // 2 - haar_size // 2
-                    cur_c = c0 + sc + sub_step // 2 - haar_size // 2
-                    cdx = haar_x(S, cur_r, cur_c, haar_size)
-                    cdy = haar_y(S, cur_r, cur_c, haar_size)
-                    dx += cdx
-                    dy += cdy
-                    adx += np.abs(cdx)
-                    ady += np.abs(cdy)
-            desc[:, k] = dx
-            desc[:, k + 1] = dy
-            desc[:, k + 2] = adx
-            desc[:, k + 3] = ady
-            k += 4
-    return desc
+    # all 16 quadrants x 25 sub-quadrants as one (n, 400) offset grid:
+    # 8 big gathers total instead of 1600 small ones.  Cell order matches
+    # the reference loops: quadrant-major (qr, qc), then (sr, sc).
+    sub = np.arange(5) * sub_step
+    cell_r = (np.repeat(np.arange(4) * quad_step, 4)[:, None]
+              + np.repeat(sub, 5)[None, :]).reshape(16, 25)
+    cell_c = (np.tile(np.arange(4) * quad_step, 4)[:, None]
+              + np.tile(sub, 5)[None, :]).reshape(16, 25)
+    off_r = (cell_r + sub_step // 2 - haar_size // 2).ravel()
+    off_c = (cell_c + sub_step // 2 - haar_size // 2).ravel()
+    cur_r = lt_row[:, None] + off_r[None, :]
+    cur_c = lt_col[:, None] + off_c[None, :]
+    cdx = _haar_x_p(P, cur_r, cur_c, haar_size).reshape(n, 16, 25)
+    cdy = _haar_y_p(P, cur_r, cur_c, haar_size).reshape(n, 16, 25)
+    desc = np.empty((n, 16, 4), dtype=np.float64)
+    desc[:, :, 0] = cdx.sum(axis=2)
+    desc[:, :, 1] = cdy.sum(axis=2)
+    desc[:, :, 2] = np.abs(cdx).sum(axis=2)
+    desc[:, :, 3] = np.abs(cdy).sum(axis=2)
+    return desc.reshape(n, DESC_SIZE)
 
 
 def extract_feature_points(
@@ -196,9 +218,10 @@ def extract_feature_points(
         raise ValueError("threshold must be >= 0")
     H, W = img.shape
     S = integral_image(img)
+    P = _padded(S)
     xs, ys, scales, radii, signs, descs = [], [], [], [], [], []
     for octave in range(octave_start, octave_end + 1):
-        layers = [_Layer(S, octave, i) for i in (1, 2, 3, 4)]
+        layers = [_Layer(S, octave, i, P=P) for i in (1, 2, 3, 4)]
         for k in range(2):
             bot, mid, top = layers[k], layers[k + 1], layers[k + 2]
             tr = top.radius
@@ -225,7 +248,7 @@ def extract_feature_points(
             scales.append(np.full(x.size, mid.scale, dtype=np.int64))
             radii.append(np.full(x.size, mid.radius, dtype=np.int64))
             signs.append(mid.signs[y, x].astype(np.int64))
-            descs.append(_descriptors(S, x, y, mid.scale))
+            descs.append(_descriptors(P, x, y, mid.scale))
     if not xs:
         z = np.zeros(0, dtype=np.int64)
         return {"x": z, "y": z, "scale": z, "radius": z, "sign": z,
