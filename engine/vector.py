@@ -191,3 +191,140 @@ def split_list_fields(df: DataFrame, list_cols: list, max_elems: int = 4) -> Dat
             out = out.withColumn(f"{c}{i + 1}", F.get(F.col(c), i))  # NULL when absent (ANSI-safe)
         out = out.drop(c)
     return out
+
+
+def _frange_count(start: float, stop: float, step: float) -> int:
+    """Element count of mkgraticule's float_range
+    (swig/python/scripts/mkgraticule.py:42-61): (stop-start)/step, bumped
+    by one when fractional — values are i*step+start."""
+    steps = (stop - start) / step
+    if steps != int(steps):
+        steps = steps + 1.0
+    return max(int(steps), 0)
+
+
+def graticule(
+    spark,
+    xmin: float = -180.0,
+    ymin: float = -90.0,
+    xmax: float = 180.0,
+    ymax: float = 90.0,
+    step: float = 5.0,
+    substep: float = 5.0,
+    connected: bool = False,
+    transform_fn=None,
+) -> DataFrame:
+    """mkgraticule analog (swig/python/scripts/mkgraticule.py:158-235):
+    generate a graticule as a DataFrame, fully declaratively
+    (``spark.range`` x ``sequence``/``explode`` — no driver loops, so a
+    planet-wide 0.001-degree graticule is still a distributed plan).
+
+    Unconnected (default, reference's reprojection-resilient form): one
+    row per segment, ``(kind, x0, y0, x1, y1)`` — latitude rows sweep
+    ``float_range(ymin, ymax+step/2, step)`` with segments at
+    ``float_range(xmin, xmax-substep/2, substep)``, longitude rows the
+    transpose, exactly the reference's loop bounds.  Connected: one row
+    per complete parallel/meridian with a ``points`` array of
+    ``struct<x,y>`` vertices at ``float_range(..., max+substep/2, substep)``.
+
+    ``transform_fn`` (np arrays x, y -> X, Y) reprojects vertices like the
+    reference's optional ``-t_srs`` CoordinateTransformation; rows with
+    non-finite transformed coordinates are dropped (the analog of the
+    reference skipping features whose Transform() errors).  Substeps larger
+    than the step clamp to it, as in the reference."""
+    if substep > step:
+        substep = step
+
+    if not connected:
+        n_lat = _frange_count(ymin, ymax + step / 2, step)
+        n_lat_seg = _frange_count(xmin, xmax - substep / 2, substep)
+        n_lon = _frange_count(xmin, xmax + step / 2, step)
+        n_lon_seg = _frange_count(ymin, ymax - substep / 2, substep)
+        lat = (
+            spark.range(n_lat)
+            .select((F.col("id") * step + ymin).alias("y0"))
+            .select("y0", F.explode(F.sequence(F.lit(0), F.lit(n_lat_seg - 1))).alias("j"))
+            .select(
+                F.lit("lat").alias("kind"),
+                (F.col("j") * substep + xmin).alias("x0"),
+                F.col("y0"),
+                (F.col("j") * substep + xmin + substep).alias("x1"),
+                F.col("y0").alias("y1"),
+            )
+        )
+        lon = (
+            spark.range(n_lon)
+            .select((F.col("id") * step + xmin).alias("x0"))
+            .select("x0", F.explode(F.sequence(F.lit(0), F.lit(n_lon_seg - 1))).alias("j"))
+            .select(
+                F.lit("lon").alias("kind"),
+                F.col("x0"),
+                (F.col("j") * substep + ymin).alias("y0"),
+                F.col("x0").alias("x1"),
+                (F.col("j") * substep + ymin + substep).alias("y1"),
+            )
+        )
+        out = lat.unionByName(lon).select("kind", "x0", "y0", "x1", "y1")
+        if transform_fn is not None:
+            def _tr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    X0, Y0 = transform_fn(pdf.x0.to_numpy(), pdf.y0.to_numpy())
+                    X1, Y1 = transform_fn(pdf.x1.to_numpy(), pdf.y1.to_numpy())
+                    res = pd.DataFrame(
+                        {"kind": pdf.kind, "x0": X0, "y0": Y0, "x1": X1, "y1": Y1}
+                    )
+                    fin = np.isfinite(res[["x0", "y0", "x1", "y1"]].to_numpy()).all(axis=1)
+                    yield res[fin]
+
+            out = out.mapInPandas(_tr, out.schema)
+        return out
+
+    n_lat = _frange_count(ymin, ymax + step / 2, step)
+    n_lat_v = _frange_count(xmin, xmax + substep / 2, substep)
+    n_lon = _frange_count(xmin, xmax + step / 2, step)
+    n_lon_v = _frange_count(ymin, ymax + substep / 2, substep)
+    lat = (
+        spark.range(n_lat)
+        .select(
+            F.lit("lat").alias("kind"),
+            (F.col("id") * step + ymin).alias("c"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_lat_v - 1)),
+                lambda j: F.struct(
+                    (j * substep + xmin).alias("x"), (F.col("id") * step + ymin).alias("y")
+                ),
+            ).alias("points"),
+        )
+    )
+    lon = (
+        spark.range(n_lon)
+        .select(
+            F.lit("lon").alias("kind"),
+            (F.col("id") * step + xmin).alias("c"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_lon_v - 1)),
+                lambda j: F.struct(
+                    (F.col("id") * step + xmin).alias("x"), (j * substep + ymin).alias("y")
+                ),
+            ).alias("points"),
+        )
+    )
+    out = lat.unionByName(lon).select("kind", "c", "points")
+    if transform_fn is not None:
+        def _trc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                keep, pts_out = [], []
+                for pts in pdf.points:
+                    xs = np.array([p["x"] for p in pts])
+                    ys = np.array([p["y"] for p in pts])
+                    X, Y = transform_fn(xs, ys)
+                    good = bool(np.isfinite(X).all() and np.isfinite(Y).all())
+                    keep.append(good)
+                    pts_out.append(
+                        [{"x": float(x), "y": float(y)} for x, y in zip(X, Y)] if good else None
+                    )
+                res = pd.DataFrame({"kind": pdf.kind, "c": pdf.c, "points": pts_out})
+                yield res[np.array(keep, dtype=bool)]
+
+        out = out.mapInPandas(_trc, out.schema)
+    return out

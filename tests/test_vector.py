@@ -168,3 +168,70 @@ def test_asof_join_directions_and_ties(spark):
     fwd = {r.lid: r.v for r in joins.asof_join(left, right, direction="forward").collect()}
     # forward: smallest right t >= left t
     assert fwd == {10: 105, 11: None, 12: 100, 20: 207, 30: None}
+
+
+# ------------------------------------------------------------- graticule
+
+def _float_range(*args):
+    """Transcription of mkgraticule.py:42-61 float_range semantics."""
+    start, step = 0.0, 1.0
+    if len(args) == 1:
+        (stop,) = args
+    elif len(args) == 2:
+        start, stop = args
+    else:
+        start, stop, step = args
+    steps = (stop - start) / step
+    if steps != int(steps):
+        steps = steps + 1.0
+    return [i * step + start for i in range(int(steps))]
+
+
+def test_graticule_unconnected_matches_reference_loops(spark):
+    from engine.vector import graticule
+
+    xmin, ymin, xmax, ymax, step, substep = -30.0, -10.0, 30.0, 20.0, 10.0, 5.0
+    got = graticule(spark, xmin, ymin, xmax, ymax, step, substep).toPandas()
+    exp = set()
+    for lat in _float_range(ymin, ymax + step / 2, step):
+        for lon in _float_range(xmin, xmax - substep / 2, substep):
+            exp.add(("lat", lon, lat, lon + substep, lat))
+    for lon in _float_range(xmin, xmax + step / 2, step):
+        for lat in _float_range(ymin, ymax - substep / 2, substep):
+            exp.add(("lon", lon, lat, lon, lat + substep))
+    gotset = set(map(tuple, got[["kind", "x0", "y0", "x1", "y1"]].itertuples(index=False)))
+    assert gotset == exp
+    assert len(got) == len(exp)
+
+
+def test_graticule_connected_and_substep_clamp(spark):
+    from engine.vector import graticule
+
+    got = graticule(spark, -20, -10, 20, 10, step=10.0, substep=20.0, connected=True).toPandas()
+    # substep clamps to step (reference: substepsize = stepsize)
+    lats = _float_range(-10, 10 + 5.0, 10.0)
+    lons = _float_range(-20, 20 + 5.0, 10.0)
+    lat_rows = got[got.kind == "lat"].sort_values("c")
+    assert lat_rows.c.tolist() == lats
+    for _, row in lat_rows.iterrows():
+        assert [p["x"] for p in row.points] == _float_range(-20, 20 + 5.0, 10.0)
+        assert all(p["y"] == row.c for p in row.points)
+    lon_rows = got[got.kind == "lon"].sort_values("c")
+    assert lon_rows.c.tolist() == lons
+
+
+def test_graticule_transform_drops_nonfinite(spark):
+    from engine.srs import LCCTransformer
+    from engine.vector import graticule
+
+    tr = LCCTransformer(33.0, 45.0, 23.0, -96.0)  # CONUS Lambert
+    plain = graticule(spark, -120, 20, -70, 50, 10.0, 10.0).toPandas()
+    proj = graticule(spark, -120, 20, -70, 50, 10.0, 10.0,
+                     transform_fn=tr.forward).toPandas()
+    assert len(proj) == len(plain)  # all finite in this window
+    # spot-check one vertex against the transformer directly
+    row = proj.iloc[0]
+    praw = plain.iloc[0]
+    x, y = tr.forward(np.array([praw.x0]), np.array([praw.y0]))
+    assert row.x0 == pytest.approx(x[0], abs=1e-9)
+    assert row.y0 == pytest.approx(y[0], abs=1e-9)
