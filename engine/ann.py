@@ -105,6 +105,86 @@ def ivf_topk(
     )
 
 
+def random_hyperplanes(dim: int, nbits: int, seed: int = 7) -> np.ndarray:
+    """Deterministic (nbits, dim) Gaussian hyperplane matrix for sign-LSH."""
+    return np.random.RandomState(seed).standard_normal((nbits, dim))
+
+
+def cosine_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    nbits: int = 16,
+    n_bands: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the mission brief's
+    embedding-space dedup mode): all candidate pairs sharing at least one
+    sign-LSH band, refined by EXACT cosine ``>= threshold``.
+
+    Random-hyperplane LSH (Charikar, STOC 2002): bit b = sign(v · h_b)
+    for ``nbits`` fixed Gaussian hyperplanes; bits split into ``n_bands``
+    bands; two vectors are candidates iff some band matches exactly.
+    Collision probability per bit is 1 − θ/π, so near-parallel vectors
+    (the near-dup regime) collide in some band with probability
+    ``1 − (1 − p^(nbits/n_bands))^n_bands`` — the standard S-curve; the
+    refine step makes PRECISION exact while recall stays probabilistic
+    (documented, tunable via nbits/n_bands).
+
+    Plan shape (the scale story vs the O(n²) all-pairs): every arithmetic
+    step — nbits dot products against literal hyperplane arrays, band-key
+    assembly, the band equi-join, the cosine refine — is JVM-side
+    whole-stage codegen; the only shuffles are the band-key exchange and
+    the pair dedupe, both O(n·n_bands) rows, never O(n²).  Mirrors the
+    MinHash/SimHash text paths (engine/textops.py) for the vector column.
+
+    Output: (id_a, id_b, cos) with id_a < id_b, one row per pair.
+    """
+    dim = int(emb.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0].d)
+    planes = random_hyperplanes(dim, nbits, seed)
+    rows_per_band = nbits // n_bands
+    if rows_per_band * n_bands != nbits:
+        raise ValueError("nbits must be divisible by n_bands")
+
+    bits = [
+        (_dot(F.col(vec_col), F.array(*[F.lit(float(w)) for w in planes[b]])) >= 0)
+        .cast("int")
+        for b in range(nbits)
+    ]
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws("", *[c.cast("string") for c in bits[bi * rows_per_band:(bi + 1) * rows_per_band]]).alias("key"),
+        )
+        for bi in range(n_bands)
+    ]
+    keyed = emb.select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, vec_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = keyed.select(
+        F.col("band"), F.col("key"),
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+    )
+    b = keyed.select(
+        F.col("band"), F.col("key"),
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+    )
+    pairs = (
+        a.join(b, on=["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (
+        F.sqrt(_norm2(F.col("_va"))) * F.sqrt(_norm2(F.col("_vb")))
+    )
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cos"))
+        .where(F.col("cos") >= F.lit(float(threshold)))
+    )
+
+
 def _kmeans_parallel_seeds(
     src: DataFrame,
     k: int,

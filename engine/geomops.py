@@ -26,6 +26,7 @@ cloud.  That is what makes the op viable at 10¹²-point scale.
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -519,3 +520,44 @@ def organize_polygons_wkb(ring_wkbs: list) -> bytes:
     for b in ring_wkbs:
         rings.extend(geom.polygon_rings(bytes(b)))
     return geom.wkb_multipolygon(organize_polygons(rings))
+
+
+# ---------------------------------------------------------------------------
+# approximateArcAngles (OGRGeometryFactory::approximateArcAngles,
+# ogr/ogrgeometryfactory.cpp:2523): stroke an (elliptical) arc into a
+# LineString — the factory op DXF/DWG-style drivers run on arc records.
+# ---------------------------------------------------------------------------
+
+
+def approximate_arc_angles(
+    cx: float,
+    cy: float,
+    primary_radius: float,
+    secondary_radius: float,
+    rotation_deg: float = 0.0,
+    start_angle_deg: float = 0.0,
+    end_angle_deg: float = 360.0,
+    max_step_deg: float = 4.0,
+) -> np.ndarray:
+    """Vertex array (n, 2) of the stroked arc, reproducing the reference's
+    exact vertex rule: angles are NEGATED (clockwise-of-X convention),
+    vertex count = max(2, ceil(|end-start| / step) + 1), uniform slices
+    inclusive of both endpoints, ellipse point rotated CLOCKWISE by
+    ``rotation_deg`` about the center.  Default step 4° is the reference's
+    OGR_ARC_STEPSIZE default."""
+    if max_step_deg <= 0:
+        max_step_deg = 4.0
+    start, end = -float(start_angle_deg), -float(end_angle_deg)
+    n = max(2, int(math.ceil(abs(end - start) / max_step_deg)) + 1)
+    ang = np.radians(start + (end - start) / (n - 1) * np.arange(n))
+    ex = np.cos(ang) * float(primary_radius)
+    ey = np.sin(ang) * float(secondary_radius)
+    rot = math.radians(float(rotation_deg))
+    x = cx + ex * math.cos(rot) + ey * math.sin(rot)
+    y = cy - ex * math.sin(rot) + ey * math.cos(rot)
+    return np.column_stack([x, y])
+
+
+def approximate_arc_angles_wkb(*args, **kwargs) -> bytes:
+    """WKB LineString form of :func:`approximate_arc_angles`."""
+    return geom.wkb_linestring(approximate_arc_angles(*args, **kwargs))

@@ -402,3 +402,61 @@ class GeolocArrayTransformer:
             px = px - dx
             py = py - dy
         return px, py
+
+
+# ---------------------------------------------------------------------------
+# gdaltransform analog: DataFrame-level point transform
+# ---------------------------------------------------------------------------
+
+
+def transform_points_df(df, fn, x_col="x", y_col="y",
+                        out_x="x_out", out_y="y_out", inverse=False):
+    """The ``gdaltransform`` CLI analog (apps/gdaltransform.cpp): push a
+    point table through any fitted transformer chain.
+
+    ``fn`` is either a vectorized callable ``(x, y) -> (x', y')`` (a
+    closure from this module, :mod:`engine.srs`, or
+    :func:`approx_transform` partials) or an object with
+    ``forward``/``inverse`` methods (LCC/Albers/GCP/TPS/RPC/geoloc
+    transformers); ``inverse=True`` selects the inverse direction, the
+    CLI's ``-i`` flag.  The fitted transformer is a small pure closure
+    captured in the UDF (the reference clones transformers per thread,
+    alg/gdalwarpkernel.cpp:255-260 — per-Arrow-batch application is the
+    executor-side equivalent), so the op is a shuffle-free mapInPandas:
+    scales as a pure map at any row count.  Input rows with non-finite
+    coordinates propagate NaN, matching the reference's failed-transform
+    marker semantics.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    if hasattr(fn, "forward"):
+        call = fn.inverse if inverse else fn.forward
+    elif inverse:
+        raise ValueError("inverse=True needs an object with an .inverse method")
+    else:
+        call = fn
+
+    # out columns replace same-named input columns rather than duplicating
+    in_fields = [f for f in df.schema.fields if f.name not in (out_x, out_y)]
+    schema = StructType(
+        in_fields + [StructField(out_x, DoubleType()), StructField(out_y, DoubleType())]
+    )
+    names = [f.name for f in in_fields]
+
+    def _apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            xs = pdf[x_col].to_numpy(dtype=np.float64)
+            ys = pdf[y_col].to_numpy(dtype=np.float64)
+            if len(xs):
+                ox, oy = call(xs, ys)
+            else:
+                ox, oy = xs, ys
+            out = pdf[names].copy()
+            out[out_x] = np.asarray(ox, dtype=np.float64)
+            out[out_y] = np.asarray(oy, dtype=np.float64)
+            yield out
+
+    return df.mapInPandas(_apply, schema)

@@ -307,3 +307,55 @@ def test_organize_polygons_wkb_roundtrip():
     kind, body = geommod.wkb_loads(out)
     assert kind == "MultiPolygon"
     assert len(body) == 1 and len(body[0][1]) == 2  # one polygon, ext + hole
+
+
+# -- approximateArcAngles (round 3) ------------------------------------------
+
+
+def _arc_oracle(cx, cy, pr, sr, rot, a0, a1, step):
+    """Direct scalar transcription of the reference loop
+    (ogr/ogrgeometryfactory.cpp:2523) as the test oracle."""
+    import math as m
+
+    rotr = rot * m.pi / 180.0
+    a0, a1 = -a0, -a1
+    n = max(2, int(m.ceil(abs(a1 - a0) / step)) + 1)
+    sl = (a1 - a0) / (n - 1)
+    pts = []
+    for i in range(n):
+        a = (a0 + i * sl) * m.pi / 180.0
+        ex = m.cos(a) * pr
+        ey = m.sin(a) * sr
+        pts.append((cx + ex * m.cos(rotr) + ey * m.sin(rotr),
+                    cy - ex * m.sin(rotr) + ey * m.cos(rotr)))
+    return np.asarray(pts)
+
+
+@pytest.mark.parametrize(
+    "cx,cy,pr,sr,rot,a0,a1,step",
+    [
+        (0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 360.0, 4.0),       # full circle, defaults
+        (10.0, -5.0, 3.0, 1.5, 30.0, 45.0, 270.0, 4.0),    # rotated ellipse arc
+        (2.0, 2.0, 1.0, 1.0, 0.0, 300.0, 60.0, 7.0),       # decreasing sweep
+        (0.0, 0.0, 5.0, 5.0, 0.0, 10.0, 11.0, 4.0),        # tiny arc -> 2 vertices
+        (1.0, 1.0, 2.0, 0.5, -15.0, -90.0, 90.0, 1.0),     # negative rotation, fine step
+    ],
+)
+def test_approximate_arc_angles_matches_reference_rule(cx, cy, pr, sr, rot, a0, a1, step):
+    got = geomops.approximate_arc_angles(cx, cy, pr, sr, rot, a0, a1, step)
+    exp = _arc_oracle(cx, cy, pr, sr, rot, a0, a1, step)
+    assert got.shape == exp.shape
+    np.testing.assert_allclose(got, exp, rtol=0, atol=1e-12)
+
+
+def test_approximate_arc_angles_full_circle_closes():
+    pts = geomops.approximate_arc_angles(0.0, 0.0, 2.0, 2.0)
+    np.testing.assert_allclose(pts[0], pts[-1], atol=1e-12)
+    assert pts.shape[0] == 91  # 360/4 + 1
+    r = np.hypot(pts[:, 0], pts[:, 1])
+    np.testing.assert_allclose(r, 2.0, atol=1e-12)
+
+
+def test_approximate_arc_angles_wkb_roundtrip():
+    b = geomops.approximate_arc_angles_wkb(1.0, 2.0, 3.0, 1.0, 0.0, 0.0, 90.0, 4.0)
+    assert geom.wkb_geometry_name(b) == "LINESTRING"

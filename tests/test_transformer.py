@@ -255,3 +255,57 @@ def test_warp_custom_geoloc_matches_polynomial_on_affine(spark):
     a = warp.warp_custom(spark, src, 5, [(0, 0)], p.forward).collect()[0]
     b = warp.warp_custom(spark, src, 5, [(0, 0)], geo.forward).collect()[0]
     assert np.array_equal(raster.bytes_to_tile(a.data), raster.bytes_to_tile(b.data))
+
+
+# -- transform_points_df (gdaltransform analog) ------------------------------
+
+
+def test_transform_points_df_gcp_chain(spark):
+    """Point table through a fitted GCP polynomial == direct numpy apply;
+    inverse direction roundtrips."""
+    rng = np.random.RandomState(5)
+    # affine ground truth: x' = 2x - y + 3 ; y' = x + 0.5y - 1
+    px, py = rng.uniform(0, 100, 12), rng.uniform(0, 100, 12)
+    gx, gy = 2 * px - py + 3, px + 0.5 * py - 1
+    t = transformer.GCPPolynomialTransformer(zip(px, py, gx, gy), order=1)
+
+    pts = pd.DataFrame({"pid": range(50),
+                        "x": rng.uniform(0, 100, 50), "y": rng.uniform(0, 100, 50)})
+    df = spark.createDataFrame(pts)
+    out = (
+        transformer.transform_points_df(df, t, x_col="x", y_col="y")
+        .orderBy("pid").toPandas()
+    )
+    ex, ey = t.forward(pts["x"].to_numpy(), pts["y"].to_numpy())
+    np.testing.assert_allclose(out["x_out"], ex, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(out["y_out"], ey, rtol=0, atol=1e-9)
+
+    back = (
+        transformer.transform_points_df(
+            spark.createDataFrame(out[["pid", "x_out", "y_out"]]),
+            t, x_col="x_out", y_col="y_out", inverse=True)
+        .orderBy("pid").toPandas()
+    )
+    np.testing.assert_allclose(back["x_out"], pts["x"], atol=1e-6)
+    np.testing.assert_allclose(back["y_out"], pts["y"], atol=1e-6)
+
+
+def test_transform_points_df_plain_callable_and_nan(spark):
+    """A bare (x,y)->(x',y') closure works; non-finite inputs propagate NaN;
+    inverse=True on a bare closure raises."""
+    from engine import srs
+
+    pdf = pd.DataFrame({"pid": [0, 1, 2], "x": [0.0, 3.0, np.nan], "y": [0.0, 45.0, 10.0]})
+    df = spark.createDataFrame(pdf)
+    out = (
+        transformer.transform_points_df(
+            df, lambda lon, lat: srs.tmerc_forward(lon, lat, lon0=3.0))
+        .orderBy("pid").toPandas()
+    )
+    ex, ey = srs.tmerc_forward(pdf["x"].to_numpy(), pdf["y"].to_numpy(), lon0=3.0)
+    np.testing.assert_allclose(out["x_out"], ex, equal_nan=True)
+    np.testing.assert_allclose(out["y_out"], ey, equal_nan=True)
+    assert np.isnan(out["x_out"].iloc[2])
+
+    with pytest.raises(ValueError):
+        transformer.transform_points_df(df, lambda x, y: (x, y), inverse=True)
