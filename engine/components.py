@@ -544,12 +544,33 @@ def sieve_filter(
         "la int, lb int"
     )
 
+    def _part(tx, ty, kind, n, label=None, value=None, pixel_count=None, la=None, lb=None):
+        def _nullable(arr, dtype):
+            if arr is None:
+                return pd.array([None] * n, dtype=dtype)
+            return pd.array(np.asarray(arr), dtype=dtype)
+
+        return pd.DataFrame(
+            {
+                "tx": np.full(n, tx, dtype=np.int64),
+                "ty": np.full(n, ty, dtype=np.int64),
+                "kind": np.full(n, kind, dtype=np.int32),
+                "label": _nullable(label, "Int32"),
+                "value": _nullable(value, "Int64"),
+                "pixel_count": _nullable(pixel_count, "Int64"),
+                "la": _nullable(la, "Int32"),
+                "lb": _nullable(lb, "Int32"),
+            }
+        )
+
     def _stats_adj(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # ONE tile scan + labeling for BOTH per-label stats (kind=0) and
-        # within-tile label adjacency (kind=1) — labeling each tile twice
-        # in separate passes doubled the O(pixels) work
+        # ONE tile scan + labeling for per-label stats (kind=0), within-tile
+        # label adjacency (kind=1) AND the 4 boundary strips (kind=2,
+        # la=side 0..3 top/bottom/left/right, lb=pos) — the former separate
+        # strips pass re-decoded and re-labeled every tile; all row
+        # construction is whole-array (no per-pixel Python tuples)
         for pdf in batches:
-            rows = []
+            parts = []
             for r in pdf.itertuples():
                 g = bytes_to_tile(r.data)
                 lab = label_tile(g, background)
@@ -559,33 +580,48 @@ def sieve_filter(
                 nz = np.nonzero(flat_l)[0]
                 ls = flat_l[nz]
                 vals = g.ravel()[nz]
-                order = np.argsort(ls, kind="stable")
-                uls, starts = np.unique(ls[order], return_index=True)
-                bounds = np.append(starts, ls.shape[0])
-                for gi in range(uls.shape[0]):
-                    sel = order[starts[gi] : bounds[gi + 1]]
-                    rows.append(
-                        (int(r.tx), int(r.ty), 0, int(uls[gi]), int(vals[sel[0]]),
-                         int(sel.size), None, None)
-                    )
+                # first-occurrence value + count per label (nz is row-major
+                # scan order, so return_index picks the first-scanned pixel)
+                uls, first, counts = np.unique(ls, return_index=True, return_counts=True)
+                parts.append(
+                    _part(r.tx, r.ty, 0, uls.shape[0],
+                          label=uls, value=vals[first], pixel_count=counts)
+                )
+                ps = []
                 for a, b in ((lab[:, :-1], lab[:, 1:]), (lab[:-1, :], lab[1:, :])):
                     m = (a != b) & (a != 0) & (b != 0)
                     if m.any():
-                        pairs = np.unique(
-                            np.stack([np.minimum(a[m], b[m]), np.maximum(a[m], b[m])], axis=1), axis=0
+                        ps.append(np.stack([np.minimum(a[m], b[m]), np.maximum(a[m], b[m])], axis=1))
+                if ps:
+                    pairs = np.unique(np.concatenate(ps, axis=0), axis=0)
+                    parts.append(
+                        _part(r.tx, r.ty, 1, pairs.shape[0], la=pairs[:, 0], lb=pairs[:, 1])
+                    )
+                for si, (vals_e, labs_e) in enumerate(
+                    ((g[0, :], lab[0, :]), (g[-1, :], lab[-1, :]),
+                     (g[:, 0], lab[:, 0]), (g[:, -1], lab[:, -1]))
+                ):
+                    nze = np.nonzero(labs_e)[0]
+                    if nze.size:
+                        parts.append(
+                            _part(r.tx, r.ty, 2, nze.size, label=labs_e[nze],
+                                  value=vals_e[nze], la=np.full(nze.size, si), lb=nze)
                         )
-                        rows.extend(
-                            (int(r.tx), int(r.ty), 1, None, None, None, int(x), int(y))
-                            for x, y in pairs
-                        )
-            yield pd.DataFrame(
-                rows,
-                columns=["tx", "ty", "kind", "label", "value", "pixel_count", "la", "lb"],
-            )
+            yield pd.concat(parts, ignore_index=True) if parts else _part(0, 0, 0, 0)
 
-    strips = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA).localCheckpoint(eager=True)
-    mapping = seam_component_map(src, background, strips=strips).localCheckpoint(eager=True)
     stats_adj = src.mapInPandas(_stats_adj, stats_adj_schema).localCheckpoint(eager=True)
+    # boundary strips = a projection of the checkpointed stats frame — no
+    # second decode+label scan, and _seam_pixel_pairs' 4-way self-join
+    # re-reads the checkpoint, not the scan
+    strips = stats_adj.where(F.col("kind") == 2).select(
+        "tx", "ty",
+        F.element_at(
+            F.array(F.lit("top"), F.lit("bottom"), F.lit("left"), F.lit("right")),
+            F.col("la") + 1,
+        ).alias("side"),
+        F.col("lb").alias("pos"), "value", "label",
+    )
+    mapping = seam_component_map(src, background, strips=strips).localCheckpoint(eager=True)
     labels = attach_component_id(
         stats_adj.where(F.col("kind") == 0).select(
             "tx", "ty", "label", "value", "pixel_count"
