@@ -479,18 +479,70 @@ def _sql_hstore() -> str:
 # -- webtext ops over documents / embeddings --------------------------------
 
 
-def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document deduplication, both forms the corpus pipeline needs, at
+    per-document grain in one driver row:
+
+    - kind='exact': hash-groupBy (md5 of text); group_id = minimum doc_id
+      of the identical-text group (the survivor), n_members = group size.
+    - kind='fuzzy': the full near-dup REMOVAL pipeline — MinHash+LSH
+      candidate pairs → distributed connected components
+      (components.min_label_propagate) → cluster_id = minimum doc_id of
+      the near-dup cluster.  Oracle: same pair CTEs + a recursive-CTE
+      min-label propagation in DuckDB.
+    """
     docs = _read(spark, sf_dir, "documents")
-    return (
-        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
-        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("keep_doc_id"))
+    h = F.md5(F.col("text").cast("binary"))
+    groups = docs.groupBy(h.alias("_h")).agg(
+        F.min("doc_id").alias("group_id"), F.count(F.lit(1)).alias("n_members")
     )
+    exact = (
+        docs.select("doc_id", h.alias("_h"))
+        .join(F.broadcast(groups), on="_h")
+        .select(
+            F.lit("exact").alias("kind"),
+            "doc_id",
+            "group_id",
+            F.col("n_members").cast("long").alias("n_members"),
+            (F.col("doc_id") == F.col("group_id")).cast("int").alias("is_canonical"),
+        )
+    )
+    fuzzy = textops.dedup_clusters_df(docs, n_hashes=16, n_bands=4, shingle_words=3).select(
+        F.lit("fuzzy").alias("kind"),
+        "doc_id",
+        F.col("cluster_id").alias("group_id"),
+        "n_members",
+        "is_canonical",
+    )
+    return exact.unionByName(fuzzy)
 
 
-def _sql_dedup_exact() -> str:
-    return """
-        SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS keep_doc_id
-        FROM documents GROUP BY 1
+def _sql_dedup_docs() -> str:
+    return f"""
+        WITH RECURSIVE {_minhash_pairs_ctes()},
+        edges AS (
+            SELECT a AS ka, b AS kb FROM pairs
+            UNION
+            SELECT b AS ka, a AS kb FROM pairs
+        ),
+        cc AS (
+            SELECT doc_id AS k, doc_id AS lab FROM documents
+            UNION
+            SELECT e.kb AS k, cc.lab FROM cc JOIN edges e ON e.ka = cc.k
+        ),
+        comp AS (SELECT k AS doc_id, MIN(lab) AS cluster_id FROM cc GROUP BY k),
+        csize AS (SELECT cluster_id, COUNT(*) AS n_members FROM comp GROUP BY cluster_id),
+        eg AS (
+            SELECT md5(text) AS h, MIN(doc_id) AS group_id, COUNT(*) AS n_members
+            FROM documents GROUP BY 1
+        )
+        SELECT 'exact' AS kind, d.doc_id, eg.group_id, eg.n_members,
+               CASE WHEN d.doc_id = eg.group_id THEN 1 ELSE 0 END AS is_canonical
+        FROM documents d JOIN eg ON md5(d.text) = eg.h
+        UNION ALL
+        SELECT 'fuzzy' AS kind, comp.doc_id, comp.cluster_id AS group_id, csize.n_members,
+               CASE WHEN comp.doc_id = comp.cluster_id THEN 1 ELSE 0 END AS is_canonical
+        FROM comp JOIN csize USING (cluster_id)
     """
 
 
@@ -1232,7 +1284,10 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.minhash_lsh_pairs(docs, n_hashes=16, n_bands=4, shingle_words=3)
 
 
-def _sql_minhash_lsh() -> str:
+def _minhash_pairs_ctes() -> str:
+    """The MinHash+LSH candidate-pair pipeline as a DuckDB CTE list
+    (sh → hashed → sigs0 → sigs → banded → pairs), shared by the
+    minhash_lsh and dedup_docs oracles."""
     a, b = textops._hash_params(16)
     h32 = _H32_SQL.format(x="s")
     P = textops.MERSENNE_P
@@ -1247,9 +1302,7 @@ def _sql_minhash_lsh() -> str:
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {bi} AS band, k{bi} AS key, sig FROM sigs" for bi in range(4)
     )
-    agree = " + ".join(f"CASE WHEN l.sig[{i + 1}] = r.sig[{i + 1}] THEN 1 ELSE 0 END" for i in range(16))
-    return f"""
-        WITH sh AS (
+    return f"""sh AS (
             SELECT doc_id,
                    list_distinct([array_to_string(ts[i+1:i+3], ' ')
                                   for i in range(0, greatest(len(ts) - 3, 0) + 1)]) AS shingles
@@ -1267,9 +1320,15 @@ def _sql_minhash_lsh() -> str:
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sig AS sl, r.sig AS sr
             FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
             WHERE l.doc_id < r.doc_id
-        )
+        )"""
+
+
+def _sql_minhash_lsh() -> str:
+    agree = " + ".join(f"CASE WHEN sl[{i + 1}] = sr[{i + 1}] THEN 1 ELSE 0 END" for i in range(16))
+    return f"""
+        WITH {_minhash_pairs_ctes()}
         SELECT a, b,
-               CAST(({agree.replace('l.sig', 'sl').replace('r.sig', 'sr')}) AS DOUBLE) / 16.0 AS est_jaccard
+               CAST(({agree}) AS DOUBLE) / 16.0 AS est_jaccard
         FROM pairs
     """
 
@@ -2860,7 +2919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substr_concat": _q_substr_concat,
         "union_all_layers": _q_union_all_layers,
         "hstore": _q_hstore,
-        "dedup_exact": _q_dedup_exact,
+        "dedup_docs": _q_dedup_docs,
         "doc_text_metrics": _q_doc_text_metrics,
         "embedding_topk": _q_embedding_topk,
         "simhash": _q_simhash,
@@ -2915,7 +2974,7 @@ def oracle_sql() -> dict[str, str]:
         "substr_concat": _sql_substr_concat(),
         "union_all_layers": _sql_union_all_layers(),
         "hstore": _sql_hstore(),
-        "dedup_exact": _sql_dedup_exact(),
+        "dedup_docs": _sql_dedup_docs(),
         "doc_text_metrics": _sql_doc_text_metrics(),
         "embedding_topk": _sql_embedding_topk(),
         "simhash": _sql_simhash(),

@@ -98,7 +98,7 @@ def main():
     ), timings)
     _run("summary_lineitem", lambda: _force(q["summary_lineitem"](spark, sf_dir)), timings)
     _run("first_match_join", lambda: _force(q["first_match_join"](spark, sf_dir)), timings)
-    _run("dedup_exact", lambda: _force(q["dedup_exact"](spark, sf_dir)), timings)
+    _run("dedup_docs", lambda: _force(q["dedup_docs"](spark, sf_dir)), timings)
     _run("doc_quality", lambda: _force(entrymod._q_doc_quality(spark, sf_dir)), timings)
     _run("embedding_topk", lambda: _force(q["embedding_topk"](spark, sf_dir)), timings)
     _run("minhash_lsh", lambda: _force(q["minhash_lsh"](spark, sf_dir)), timings)

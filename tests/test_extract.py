@@ -130,3 +130,33 @@ def test_dedup_lines_identity_when_no_dupes(spark):
     got = dedup_lines_df(docs).orderBy("doc_id").toPandas()
     assert (got.lines_removed == 0).all()
     assert got.text_dedup.tolist() == [f"alpha {i}\nbeta {i}" for i in range(20)]
+
+
+def test_dedup_clusters_transitive_and_singletons(spark):
+    """dedup_clusters_df: near-dup pairs chain transitively into one
+    cluster (A~B, B~C => {A,B,C} even if A,C never share a band), exact
+    duplicates cluster, untouched docs stay singletons, and the canonical
+    member is the minimum doc_id."""
+    from engine.textops import dedup_clusters_df
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [
+        (10, base),                       # chain head
+        (11, base + "tail one"),          # ~10
+        (12, base + "tail one extra"),    # ~11 (and ~10)
+        (20, "completely different text about spark shuffles and joins"),
+        (21, "completely different text about spark shuffles and joins"),  # exact dup of 20
+        (30, "an isolated singleton document with its own vocabulary entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in dedup_clusters_df(docs, n_hashes=16, n_bands=8, shingle_words=3).collect()
+    }
+    assert got[10]["cluster_id"] == got[11]["cluster_id"] == got[12]["cluster_id"] == 10
+    assert got[10]["n_members"] == 3 and got[10]["is_canonical"] == 1
+    assert got[11]["is_canonical"] == 0 and got[12]["is_canonical"] == 0
+    assert got[20]["cluster_id"] == got[21]["cluster_id"] == 20
+    assert got[20]["n_members"] == 2
+    assert got[30]["cluster_id"] == 30 and got[30]["n_members"] == 1
+    assert got[30]["is_canonical"] == 1
