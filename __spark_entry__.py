@@ -2842,6 +2842,22 @@ def _q_doc_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    # The fixture text is single-line punctuation-free word soup — the C4
+    # rules would be vacuous (every page drops).  Derive a line-structured
+    # variant deterministically IN the query (every ' merge ' becomes a
+    # sentence break; doc_id-keyed suffixes exercise the javascript /
+    # lorem-ipsum / brace branches); the oracle applies the identical
+    # derivation, so all rule branches are value-checked, not just typed.
+    c4src = F.replace(F.col("text"), F.lit(" merge "), F.lit(".\n"))
+    c4src = F.when(F.col("doc_id") % 13 == 0, F.concat(c4src, F.lit("\nplease enable javascript support now."))).otherwise(c4src)
+    c4src = F.when(F.col("doc_id") % 17 == 0, F.concat(c4src, F.lit("\nlorem ipsum dolor sit amet today."))).otherwise(c4src)
+    c4src = F.when(F.col("doc_id") % 19 == 0, F.concat(c4src, F.lit("\ncurly brace { appears here"))).otherwise(c4src)
+    c4_kept = textops.c4_kept_lines(c4src)
+    c4_keep = (
+        (F.size(c4_kept) >= 3)
+        & ~F.lower(c4src).contains("lorem ipsum")
+        & ~c4src.contains("{")
+    )
     return docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
@@ -2851,6 +2867,9 @@ def _q_doc_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         _micro(n_stop.cast("double") / F.size(toks).cast("double")).alias("stopword_ppm"),
         textops.lang_id(F.col("text")).alias("lang_pred"),
         textops.bottom_k_fingerprint(F.col("text"), k=4, shingle=5).alias("fingerprint"),
+        F.size(c4_kept).cast("long").alias("c4_lines_kept"),
+        c4_keep.cast("int").alias("c4_keep"),
+        F.md5(F.concat_ws("\n", c4_kept).cast("binary")).alias("c4_kept_hash"),
     )
 
 
@@ -2871,16 +2890,36 @@ def _sql_doc_text_metrics() -> str:
         x=f"CAST(len(list_filter(toks, x -> x IN ({stops}))) AS DOUBLE)"
         f" / CAST(len(toks) AS DOUBLE)"
     )
+    c4_line = (
+        "l -> regexp_matches(trim(l), '[.!?\"]$') "
+        "AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5 "
+        "AND NOT contains(lower(l), 'javascript')"
+    )
     return f"""
         WITH t AS (
             SELECT doc_id, text, string_split(text, ' ') AS toks,
                    {', '.join(lang_counts)},
                    list_sort(list_distinct([substring(text, i, 5)
-                              for i in range(1, greatest(length(text) - 4, 1) + 1)])) AS s5
-            FROM documents
+                              for i in range(1, greatest(length(text) - 4, 1) + 1)])) AS s5,
+                   list_filter(string_split(c4src, chr(10)), {c4_line}) AS c4k, c4src
+            FROM (
+                SELECT *,
+                       CASE WHEN doc_id % 19 = 0 THEN c4b || chr(10) || 'curly brace {{ appears here' ELSE c4b END AS c4src
+                FROM (
+                    SELECT *,
+                           CASE WHEN doc_id % 17 = 0 THEN c4a || chr(10) || 'lorem ipsum dolor sit amet today.' ELSE c4a END AS c4b
+                    FROM (
+                        SELECT *,
+                               CASE WHEN doc_id % 13 = 0 THEN c40 || chr(10) || 'please enable javascript support now.' ELSE c40 END AS c4a
+                        FROM (SELECT *, replace(text, ' merge ', '.' || chr(10)) AS c40 FROM documents)
+                    )
+                )
+            )
         ), b AS (
             SELECT *, {best} AS best,
-                   list_sort(list_transform(s5, s -> {h})) AS hv
+                   list_sort(list_transform(s5, s -> {h})) AS hv,
+                   CASE WHEN len(c4k) >= 3 AND NOT contains(lower(c4src), 'lorem ipsum')
+                             AND NOT contains(c4src, '{{') THEN 1 ELSE 0 END AS c4_keep
             FROM t
         )
         SELECT doc_id,
@@ -2890,7 +2929,10 @@ def _sql_doc_text_metrics() -> str:
                CAST(len(list_filter(toks, x -> x IN ({stops}))) AS BIGINT) AS n_stopwords,
                {ratio_ppm} AS stopword_ppm,
                CASE {whens} ELSE 'und' END AS lang_pred,
-               array_to_string(list_transform(hv[1:4], x -> CAST(x AS VARCHAR)), ',') AS fingerprint
+               array_to_string(list_transform(hv[1:4], x -> CAST(x AS VARCHAR)), ',') AS fingerprint,
+               CAST(len(c4k) AS BIGINT) AS c4_lines_kept,
+               c4_keep,
+               md5(coalesce(array_to_string(c4k, chr(10)), '')) AS c4_kept_hash
         FROM b
     """
 

@@ -534,3 +534,42 @@ def dedup_clusters_df(
         F.col("n_members").cast("long").alias("n_members"),
         (F.col("k") == F.col("cluster_id")).cast("int").alias("is_canonical"),
     )
+
+
+def c4_kept_lines(text_col: Column) -> Column:
+    """C4 line-level quality filter (Raffel et al. 2020, JMLR 21(140) §2.2;
+    public heuristics — no reference-repo analog, webtext payload surface):
+    keep a line iff it ends in terminal punctuation (. ! ? \"), has >= 5
+    whitespace words, and does not contain the word 'javascript'.
+    Returns the array of kept lines; all JVM-side."""
+    lines = F.split(text_col, "\n")
+    return F.filter(
+        lines,
+        lambda l: F.trim(l).rlike('[.!?"]$')
+        & (F.size(F.filter(F.split(l, " "), lambda w: w != F.lit(""))) >= 5)
+        & ~F.lower(l).contains("javascript"),
+    )
+
+
+def c4_filter_df(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4 document filter: page kept iff >= 3 kept lines, no 'lorem ipsum'
+    (case-insensitive), and no '{' anywhere.  Returns per-doc
+    (id_col, c4_lines_total, c4_lines_kept, c4_keep:int, c4_text) where
+    c4_text is the kept lines rejoined — the text that would enter the
+    training corpus.  One scan, no shuffle."""
+    t = F.col(text_col)
+    kept = c4_kept_lines(t)
+    keep_doc = (
+        (F.size(kept) >= 3)
+        & ~F.lower(t).contains("lorem ipsum")
+        & ~t.contains("{")
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(F.split(t, "\n")).cast("long").alias("c4_lines_total"),
+        F.size(kept).cast("long").alias("c4_lines_kept"),
+        keep_doc.cast("int").alias("c4_keep"),
+        F.when(keep_doc, F.concat_ws("\n", kept)).otherwise(F.lit(None)).alias("c4_text"),
+    )

@@ -160,3 +160,30 @@ def test_dedup_clusters_transitive_and_singletons(spark):
     assert got[20]["n_members"] == 2
     assert got[30]["cluster_id"] == 30 and got[30]["n_members"] == 1
     assert got[30]["is_canonical"] == 1
+
+
+def test_c4_filter_rules(spark):
+    """Each published C4 heuristic (Raffel et al. 2020 §2.2) enforced:
+    terminal punctuation, >=5 words, 'javascript' line drop, >=3 kept
+    lines per page, 'lorem ipsum' and '{' page drops."""
+    from engine.textops import c4_filter_df
+
+    good = "this line has five words here.\nanother good sentence with many words!\nis this a kept question line?"
+    rows = [
+        (1, good),                                           # kept: 3 qualifying lines
+        (2, good.replace("?", "")),                          # 3rd line loses punctuation -> 2 kept -> drop
+        (3, "too short line.\n" + good),                     # short line dropped, page still kept
+        (4, good + "\nenable javascript to view this page."),# js line dropped, page kept
+        (5, good + "\nlorem ipsum dolor sit amet."),         # page drop
+        (6, good + "\nfunction f() { return 1; }"),          # page drop ('{')
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_filter_df(docs).collect()}
+    assert got[1]["c4_keep"] == 1 and got[1]["c4_lines_kept"] == 3
+    assert got[1]["c4_text"] == good
+    assert got[2]["c4_keep"] == 0 and got[2]["c4_lines_kept"] == 2
+    assert got[3]["c4_keep"] == 1 and got[3]["c4_lines_kept"] == 3
+    assert got[3]["c4_text"] == good                          # short line removed
+    assert got[4]["c4_keep"] == 1 and got[4]["c4_lines_kept"] == 3
+    assert got[5]["c4_keep"] == 0 and got[5]["c4_text"] is None
+    assert got[6]["c4_keep"] == 0
