@@ -435,3 +435,51 @@ def polygonize(tile_df: DataFrame, background: int = 0) -> DataFrame:
     pieces = slivers.groupBy("tx", "ty").applyInPandas(lambda k, p: _pieces(p), _PIECE_SCHEMA)
     keyed = attach_component_id(pieces, mapping).select("component_id", "value", "kind", "pts")
     return keyed.repartition(nparts, F.col("component_id")).mapInPandas(_assemble_part, _POLY_SCHEMA)
+
+
+def fpolygonize(tile_df: DataFrame, background: float = 0.0) -> DataFrame:
+    """GDALFPolygonize analog (alg/fpolygonize.cpp, the float-templated
+    twin of polygonize.cpp via gdalrasterfpolygonenumerator.cpp): connected
+    components of EXACTLY-equal float32 pixel values.
+
+    Spark-first re-expression: exact float equality is bit-pattern equality
+    once −0.0 is normalized to +0.0, so the float32 tiles are normalized in
+    a pure per-tile map and their bytes flow through the UNCHANGED integer
+    polygonize pipeline (bytes_to_tile's int32 read is the bit
+    reinterpretation); polygon values are reinterpreted back to float at
+    the end.  NaN pixels are masked to background first — the reference's
+    `==` never connects a NaN pixel to anything (including itself), so the
+    only difference is that degenerate one-pixel NaN polygons are dropped.
+
+    Input tiles carry little-endian float32 payloads; output matches
+    polygonize() with `value` as double.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from .raster import TILE_SCHEMA
+
+    bg32 = np.float32(background) + np.float32(0.0)
+    bg_bits = int(np.asarray([bg32], dtype="<f4").view("<i4")[0])
+
+    def _norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                g = np.frombuffer(r.data, dtype="<f4").copy()
+                g = g + np.float32(0.0)  # -0.0 -> +0.0 (IEEE RN addition)
+                g[np.isnan(g)] = bg32
+                rows.append(
+                    (int(getattr(r, "zoom", 0)), int(r.tx), int(r.ty),
+                     np.ascontiguousarray(g, dtype="<f4").tobytes())
+                )
+            yield pd.DataFrame(rows, columns=["zoom", "tx", "ty", "data"])
+
+    cols = ["zoom", "tx", "ty", "data"] if "zoom" in tile_df.columns else ["tx", "ty", "data"]
+    norm = tile_df.select(*cols).mapInPandas(_norm, TILE_SCHEMA)
+    polys = polygonize(norm, background=bg_bits)
+
+    @pandas_udf("double")
+    def _bits_to_float(v: pd.Series) -> pd.Series:
+        bits = v.to_numpy(dtype=np.int64).astype("<i4")
+        return pd.Series(bits.view("<f4").astype(np.float64))
+
+    return polys.withColumn("value", _bits_to_float(F.col("value")))

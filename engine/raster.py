@@ -877,3 +877,27 @@ def compare_tiles(golden: DataFrame, new: DataFrame) -> DataFrame:
             )
 
     return joined.mapInPandas(_cmp, out_schema)
+
+
+def raster_info(tile_df: DataFrame) -> DataFrame:
+    """gdalinfo analog (apps/gdalinfo.c): per zoom level, the summary the
+    reference prints — raster size (from the tile-cover bounding box),
+    tile/block counts, value statistics, and the xor of per-tile
+    GDALChecksumImage checksums (the driver-manifest integrity field).
+    One scan for cover+checksums plus the existing stats pass."""
+    cover = tile_df.groupBy("zoom").agg(
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.min("tx").alias("tx0"), F.max("tx").alias("tx1"),
+        F.min("ty").alias("ty0"), F.max("ty").alias("ty1"),
+    ).select(
+        "zoom", "n_tiles",
+        ((F.col("tx1") - F.col("tx0") + 1) * TILE_SIZE).cast("long").alias("x_size"),
+        ((F.col("ty1") - F.col("ty0") + 1) * TILE_SIZE).cast("long").alias("y_size"),
+        "tx0", "ty0",
+    )
+    cks = tile_checksums(tile_df).groupBy("zoom").agg(
+        F.aggregate(F.collect_list("checksum"), F.lit(0).cast("long"),
+                    lambda acc, c: acc.bitwiseXOR(c.cast("long"))).alias("checksum_xor")
+    )
+    stats = raster_statistics(tile_df)
+    return cover.join(cks, on="zoom").join(stats, on="zoom")

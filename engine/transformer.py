@@ -460,3 +460,79 @@ def transform_points_df(df, fn, x_col="x", y_col="y",
             yield out
 
     return df.mapInPandas(_apply, schema)
+
+
+def transform_geoloc_bands(df, fn, inverse: bool = False):
+    """GDALTransformGeolocations analog (alg/gdaltransformgeolocs.cpp:63-150):
+    run a spatial transformer over the VALUES of X/Y(/Z) geolocation bands
+    and write the transformed values back — the reference reads each row of
+    the X/Y(/Z) bands as float64, calls the transformer once per row, and
+    writes results back unconditionally (per-point success flags are not
+    consulted for the write, :125-137).
+
+    Tile-table form: ``df`` has (zoom, tx, ty, xdata, ydata[, zdata]) with
+    little-endian float64 payloads; the transform is a pure per-tile map
+    (mapInPandas, no shuffle — each tile is the distributed analog of the
+    reference's row loop).  ``fn`` is any engine transformer (object with
+    forward/inverse) or a callable (x, y) -> (x, y); Z, when present, is
+    passed to 3-ary callables and otherwise carried through unchanged
+    (closed-form engine transformers are 2-D; the reference zeroes a
+    missing Z buffer, :121-123).
+    """
+    import inspect
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, IntegerType, LongType, StructField, StructType
+
+    has_z = "zdata" in df.columns
+    if hasattr(fn, "forward"):
+        call = fn.inverse if inverse else fn.forward
+    else:
+        call = fn
+    try:
+        three_ary = len(inspect.signature(call).parameters) >= 3
+    except (TypeError, ValueError):
+        three_ary = False
+
+    fields = [
+        StructField("zoom", IntegerType()),
+        StructField("tx", LongType()),
+        StructField("ty", LongType()),
+        StructField("xdata", BinaryType()),
+        StructField("ydata", BinaryType()),
+    ]
+    if has_z:
+        fields.append(StructField("zdata", BinaryType()))
+    schema = StructType(fields)
+    cols = [f.name for f in fields]
+
+    def _tr(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                x = np.frombuffer(r.xdata, dtype="<f8").astype(np.float64)
+                y = np.frombuffer(r.ydata, dtype="<f8").astype(np.float64)
+                z = (
+                    np.frombuffer(r.zdata, dtype="<f8").astype(np.float64)
+                    if has_z
+                    else np.zeros_like(x)
+                )
+                if three_ary:
+                    res = call(x, y, z)
+                    nx, ny = res[0], res[1]
+                    nz = res[2] if len(res) > 2 else z
+                else:
+                    nx, ny = call(x, y)
+                    nz = z
+                row = [
+                    int(r.zoom),
+                    int(r.tx),
+                    int(r.ty),
+                    np.asarray(nx, dtype="<f8").tobytes(),
+                    np.asarray(ny, dtype="<f8").tobytes(),
+                ]
+                if has_z:
+                    row.append(np.asarray(nz, dtype="<f8").tobytes())
+                out.append(tuple(row))
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select(*cols).mapInPandas(_tr, schema)

@@ -328,3 +328,24 @@ def graticule(
 
         out = out.mapInPandas(_trc, out.schema)
     return out
+
+
+def layer_info(df: DataFrame, lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """ogrinfo -so analog (apps/ogrinfo.cpp ReportOnLayer): the per-layer
+    summary block as a one-row DataFrame — feature count, extent, and the
+    field inventory (name:type pairs, declaration order) the reference
+    prints.  Pure aggregate + driver-side schema introspection (the schema
+    is metadata, not data — no extra scan)."""
+    fields = ", ".join(f"{f.name}: {f.dataType.simpleString()}" for f in df.schema.fields)
+    ext = layer_extent(df, lon_col, lat_col) if lon_col in df.columns else df.agg(
+        F.count(F.lit(1)).alias("feature_count"),
+        F.lit(None).cast("double").alias("minx"),
+        F.lit(None).cast("double").alias("miny"),
+        F.lit(None).cast("double").alias("maxx"),
+        F.lit(None).cast("double").alias("maxy"),
+    )
+    return ext.select(
+        F.lit(len(df.schema.fields)).cast("int").alias("n_fields"),
+        F.lit(fields).alias("fields"),
+        "feature_count", "minx", "miny", "maxx", "maxy",
+    )

@@ -130,3 +130,40 @@ def test_polygonize_area_equals_pixel_count(spark):
         assert polygonize.ring_signed_area(rings[0][:-1]) > 0
         for h in rings[1:]:
             assert polygonize.ring_signed_area(h[:-1]) < 0
+
+
+def test_fpolygonize_float_equality_and_parity(spark):
+    """fpolygonize: exact float32 equality (3.25 vs 3.250001 split), -0.0
+    merges with +0.0, NaN masked to background, and the polygon set over a
+    float-encoded integer grid matches integer polygonize exactly."""
+    g = np.zeros((T, T), dtype=np.float32)
+    g[2:6, 2:6] = np.float32(3.25)
+    g[2:6, 8:12] = np.float32(3.250001)   # adjacent column gap keeps them apart anyway
+    g[6, 2] = np.float32(-0.0)            # background (+0.0) — must NOT be a polygon
+    g[10, 10] = np.nan                    # masked to background
+    g[12:14, 12:14] = np.float32(-7.5)
+    pdf = pd.DataFrame({"zoom": [3], "tx": [1], "ty": [1],
+                        "data": [np.ascontiguousarray(g, "<f4").tobytes()]})
+    out = polygonize.fpolygonize(spark.createDataFrame(pdf)).collect()
+    vals = sorted(round(r["value"], 6) for r in out)
+    assert len(out) == 3
+    assert vals == [-7.5, 3.25, round(float(np.float32(3.250001)), 6)]
+    areas = {round(r["value"], 6): r["area"] for r in out}
+    assert areas[3.25] == 16 and areas[-7.5] == 4
+
+    # parity with integer polygonize on an integer-valued float grid
+    gi = np.zeros((T, T), dtype=np.int64)
+    gi[1:5, 1:9] = 4
+    gi[8:11, 3:6] = 9
+    fpdf = pd.DataFrame({"zoom": [3], "tx": [0], "ty": [2],
+                         "data": [np.ascontiguousarray(gi, "<f4").tobytes()]})
+    ipdf = _tile_table(spark, {(0, 2): gi})
+    fout = sorted(
+        (round(r["value"], 6), r["area"], r["n_rings"])
+        for r in polygonize.fpolygonize(spark.createDataFrame(fpdf)).collect()
+    )
+    iout = sorted(
+        (float(r["value"]), r["area"], r["n_rings"])
+        for r in polygonize.polygonize(ipdf).collect()
+    )
+    assert fout == iout

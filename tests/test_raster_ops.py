@@ -565,3 +565,32 @@ def test_pct2rgb_roundtrip(spark, tile_table):
         assert np.array_equal(raster.bytes_to_tile(o.data_r), pal[idx, 0])
         assert np.array_equal(raster.bytes_to_tile(o.data_g), pal[idx, 1])
         assert np.array_equal(raster.bytes_to_tile(o.data_b), pal[idx, 2])
+
+
+def test_info_analogs(spark):
+    """ogrinfo/gdalinfo summary analogs: field inventory + extent for
+    layers; size/tile-count/stats/checksum-xor per zoom for rasters."""
+    import numpy as np
+    from engine.raster import TILE_SIZE, gdal_checksum, raster_info, tile_to_bytes
+    from engine.vector import layer_info
+
+    pts = spark.createDataFrame(
+        [(i, float(i), float(2 * i), f"u{i}") for i in range(10)],
+        "fid long, lon double, lat double, url string",
+    )
+    li = layer_info(pts).collect()[0]
+    assert li["feature_count"] == 10 and li["n_fields"] == 4
+    assert li["minx"] == 0.0 and li["maxx"] == 9.0 and li["maxy"] == 18.0
+    assert "lon: double" in li["fields"] and "url: string" in li["fields"]
+
+    g0 = np.arange(TILE_SIZE * TILE_SIZE, dtype=np.int64).reshape(TILE_SIZE, TILE_SIZE) % 7
+    g1 = (g0 * 3) % 11
+    tiles = spark.createDataFrame(
+        [(3, 1, 2, tile_to_bytes(g0)), (3, 2, 2, tile_to_bytes(g1))],
+        "zoom int, tx long, ty long, data binary",
+    )
+    ri = raster_info(tiles).collect()[0]
+    assert ri["n_tiles"] == 2 and ri["x_size"] == 2 * TILE_SIZE and ri["y_size"] == TILE_SIZE
+    assert ri["checksum_xor"] == (gdal_checksum(g0.astype(np.int32)) ^ gdal_checksum(g1.astype(np.int32)))
+    assert ri["min_val"] == 0 and ri["max_val"] == 9
+    assert ri["n_pixels"] == 2 * TILE_SIZE * TILE_SIZE

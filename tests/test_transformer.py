@@ -309,3 +309,40 @@ def test_transform_points_df_plain_callable_and_nan(spark):
 
     with pytest.raises(ValueError):
         transformer.transform_points_df(df, lambda x, y: (x, y), inverse=True)
+
+
+def test_transform_geoloc_bands_matches_scalar(spark):
+    """GDALTransformGeolocations analog: band VALUES are transformed and
+    written back; Z carried through for 2-D transformers; no shuffle
+    (single-stage plan)."""
+    import numpy as np
+    from engine.srs import LCCTransformer
+    from engine.transformer import transform_geoloc_bands
+
+    lcc = LCCTransformer(lat1=33.0, lat2=45.0, lat0=23.0, lon0=-96.0)
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(6):
+        lon = rng.uniform(-120, -70, 64)
+        lat = rng.uniform(25, 50, 64)
+        zz = rng.uniform(0, 100, 64)
+        rows.append((0, i, 0, lon.tobytes(), lat.tobytes(), zz.tobytes()))
+    df = spark.createDataFrame(
+        rows, "zoom int, tx long, ty long, xdata binary, ydata binary, zdata binary"
+    )
+    got = {r["tx"]: r for r in transform_geoloc_bands(df, lcc).collect()}
+    assert len(got) == 6
+    for zoom, tx, ty, xb, yb, zb in rows:
+        ex, ey = lcc.forward(np.frombuffer(xb), np.frombuffer(yb))
+        np.testing.assert_allclose(np.frombuffer(got[tx]["xdata"]), ex, rtol=0, atol=1e-9)
+        np.testing.assert_allclose(np.frombuffer(got[tx]["ydata"]), ey, rtol=0, atol=1e-9)
+        assert got[tx]["zdata"] == zb  # Z unchanged for 2-D transformer
+    # inverse round-trips
+    back = transform_geoloc_bands(
+        spark.createDataFrame(list(got.values()), df.schema), lcc, inverse=True
+    ).collect()
+    for r in back:
+        orig = [x for x in rows if x[1] == r["tx"]][0]
+        np.testing.assert_allclose(
+            np.frombuffer(r["xdata"]), np.frombuffer(orig[3]), rtol=0, atol=1e-8
+        )
