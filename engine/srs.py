@@ -342,6 +342,43 @@ class EquirectangularTransformer:
         )
 
 
+class MercatorTransformer:
+    """Mercator, ellipsoidal form (Snyder eqs. 7-7..7-10) with optional
+    standard parallel ``lat_ts`` (k0 = m(lat_ts)) — the EPSG:3395 World
+    Mercator case at lat_ts=0.  Inverse latitude by Snyder's eq. 7-9
+    fixed-point iteration on the conformal-latitude relation (converges
+    quadratically for |e| < 1)."""
+
+    def __init__(self, lon0: float = 0.0, lat_ts: float = 0.0,
+                 false_easting: float = 0.0, false_northing: float = 0.0,
+                 ellipsoid="WGS84"):
+        self.a, self.e2, self.e = _ellipsoid(ellipsoid)
+        self._lam0 = np.radians(lon0)
+        self.k0 = float(_snyder_m(np.radians(lat_ts), self.e2)) if lat_ts else 1.0
+        self.fe, self.fn = false_easting, false_northing
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        t = _snyder_t(phi, self.e)
+        x = self.a * self.k0 * (lam - self._lam0)
+        y = -self.a * self.k0 * np.log(t)  # eq. 7-7: a·k0·ln t(φ)⁻¹
+        return x + self.fe, y + self.fn
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.fe
+        y = np.asarray(y, dtype=np.float64) - self.fn
+        t = np.exp(-y / (self.a * self.k0))
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)  # spherical seed (eq. 7-13)
+        for _ in range(8):
+            s = self.e * np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - s) / (1.0 + s)) ** (self.e / 2.0)
+            )  # eq. 7-9
+        lam = self._lam0 + x / (self.a * self.k0)
+        return np.degrees(lam), np.degrees(phi)
+
+
 class PolarStereographicTransformer:
     """Polar stereographic, standard-parallel variant (Snyder eqs.
     21-7..21-11 / 15-9, ellipsoidal) — the polar-region projection family

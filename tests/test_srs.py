@@ -360,3 +360,43 @@ def test_equirectangular_roundtrip_and_scale():
     # x-scale at the standard parallel: a*cos(30°) per radian
     x1, _ = t.forward(np.array([11.0]), np.array([30.0]))
     assert abs(x1[0] - 6378137.0 * np.cos(np.radians(30.0)) * np.radians(1.0)) < 1e-6
+
+
+def test_mercator_snyder_example_and_properties():
+    """Snyder PP1395 Mercator ellipsoidal example (p. 266-267: Clarke 1866,
+    lat 35N lon -75, lon0 -180 -> x=11,688,673.7  y=4,139,145.6) plus
+    round-trip, exact equator scale, and spherical-limit equivalence."""
+    import numpy as np
+    from engine.srs import MercatorTransformer
+
+    e2 = 0.00676866
+    f = 1 - np.sqrt(1 - e2)
+    m = MercatorTransformer(lon0=-180.0, ellipsoid=(6378206.4, 1 / f))
+    x, y = m.forward(-75.0, 35.0)
+    assert abs(float(x) - 11688673.7) < 0.1
+    assert abs(float(y) - 4139145.6) < 0.1
+
+    # round-trip < 1e-9 deg over the usable domain (WGS84 / EPSG:3395)
+    w = MercatorTransformer()
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-179, 179, 500)
+    lat = rng.uniform(-85, 85, 500)
+    lon2, lat2 = w.inverse(*w.forward(lon, lat))
+    np.testing.assert_allclose(lon2, lon, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, rtol=0, atol=1e-9)
+
+    # equator: x is exact arc length a*dlam, y == 0
+    xe, ye = w.forward(90.0, 0.0)
+    assert abs(float(xe) - 6378137.0 * np.pi / 2) < 1e-6 and abs(float(ye)) < 1e-6
+
+    # e -> 0 degenerates to the spherical (web-mercator) formula
+    sph = MercatorTransformer(ellipsoid=(6378137.0, 1e15))
+    xs, ys = sph.forward(lon, lat)
+    ys_ref = 6378137.0 * np.log(np.tan(np.pi / 4 + np.radians(lat) / 2))
+    np.testing.assert_allclose(ys, ys_ref, rtol=1e-12, atol=1e-6)
+
+    # standard-parallel variant: k0 scales x uniformly
+    ts = MercatorTransformer(lat_ts=30.0)
+    xt, _ = ts.forward(90.0, 0.0)
+    k0 = np.cos(np.radians(30)) / np.sqrt(1 - 0.00669437999014 * np.sin(np.radians(30)) ** 2)
+    assert abs(float(xt) / float(xe) - k0) < 1e-9
