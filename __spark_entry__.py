@@ -2870,6 +2870,7 @@ def _q_doc_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(c4_kept).cast("long").alias("c4_lines_kept"),
         c4_keep.cast("int").alias("c4_keep"),
         F.md5(F.concat_ws("\n", c4_kept).cast("binary")).alias("c4_kept_hash"),
+        textops.bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
     )
 
 
@@ -2895,6 +2896,7 @@ def _sql_doc_text_metrics() -> str:
         "AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5 "
         "AND NOT contains(lower(l), 'javascript')"
     )
+    bpe_pat = textops.BPE_PRETOKEN_RE.replace("'", "''")
     return f"""
         WITH t AS (
             SELECT doc_id, text, string_split(text, ' ') AS toks,
@@ -2932,7 +2934,9 @@ def _sql_doc_text_metrics() -> str:
                array_to_string(list_transform(hv[1:4], x -> CAST(x AS VARCHAR)), ',') AS fingerprint,
                CAST(len(c4k) AS BIGINT) AS c4_lines_kept,
                c4_keep,
-               md5(coalesce(array_to_string(c4k, chr(10)), '')) AS c4_kept_hash
+               md5(coalesce(array_to_string(c4k, chr(10)), '')) AS c4_kept_hash,
+               CAST(len(list_filter(regexp_extract_all(text, '({bpe_pat})'),
+                                    t -> regexp_matches(t, '\S'))) AS BIGINT) AS n_bpe_tokens
         FROM b
     """
 

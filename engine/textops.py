@@ -573,3 +573,20 @@ def c4_filter_df(
         keep_doc.cast("int").alias("c4_keep"),
         F.when(keep_doc, F.concat_ws("\n", kept)).otherwise(F.lit(None)).alias("c4_text"),
     )
+
+
+# GPT-2-style pretokenizer, lookahead-free form so the same pattern runs
+# identically under Java regex (Spark) and RE2 (DuckDB oracle): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs, then
+# residual whitespace.  (The published GPT-2 pattern's trailing-space
+# lookahead only affects token BOUNDARIES inside whitespace runs, not
+# counts of non-space tokens.)
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_count(text_col: Column) -> Column:
+    """BPE-ish token count: number of non-whitespace pretokens under the
+    GPT-2-style regex — the standard LLM-pipeline length statistic, fully
+    JVM-side (regexp_extract_all + filter)."""
+    toks = F.regexp_extract_all(text_col, F.lit("(" + BPE_PRETOKEN_RE + ")"))
+    return F.size(F.filter(toks, lambda t: t.rlike(r"\S")))

@@ -187,3 +187,21 @@ def test_c4_filter_rules(spark):
     assert got[4]["c4_keep"] == 1 and got[4]["c4_lines_kept"] == 3
     assert got[5]["c4_keep"] == 0 and got[5]["c4_text"] is None
     assert got[6]["c4_keep"] == 0
+
+
+def test_bpe_token_count_examples(spark):
+    """GPT-2-style pretokenizer count: contractions split, digit runs and
+    punctuation runs are single tokens, whitespace never counts."""
+    from engine.textops import bpe_token_count
+    from pyspark.sql import functions as F
+
+    cases = {
+        "It's 2026, isn't it?!": 8,   # It|'s| 2026|,| isn|'t| it|?!
+        "hello   world": 2,
+        "a1b2 c3": 6,                 # a|1|b|2| c|3
+        "": 0,
+        "tab\tsep\nline": 3,
+    }
+    df = spark.createDataFrame([(s,) for s in cases], "text string")
+    got = {r["text"]: r["n"] for r in df.select("text", bpe_token_count(F.col("text")).alias("n")).collect()}
+    assert got == cases
