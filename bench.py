@@ -195,6 +195,23 @@ def main():
     )
     pair_df.unpersist()
 
+    # product-quantization ANN: joint subspace Lloyd training (3 iters —
+    # the per-iteration cost is what scales; convergence depth doesn't
+    # change the plan), 8-byte codes, ADC scan + exact re-rank
+    from engine import ann as _ann
+
+    emb = entrymod._read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+
+    def _pq():
+        cb = _ann.pq_train(emb, m=8, ksub=16, max_iters=3)
+        codes = _ann.pq_encode(emb, cb)
+        qv = emb.where("vec_id = 42").collect()[0]["embedding"]
+        return _force(_ann.pq_topk(codes, cb, qv, k=10, rerank=emb, shortlist=100))
+
+    _run("pq_ann", _pq, timings)
+
     total = round(sum(timings.values()), 3)
     pages_per_sec = round(n_pages / flagship_wall, 1) if flagship_wall > 0 else None
     print(

@@ -330,3 +330,184 @@ def kmeans_fit(
         if moved < 1e-9:
             break
     return _cdf()
+
+
+def _subvectors(emb: DataFrame, m: int, vec_col: str, id_col: str) -> DataFrame:
+    """(id, sub, svec): the vector split into m contiguous subspaces —
+    F.slice keeps it one JVM projection, no explode shuffle."""
+    dim_expr = F.size(F.col(vec_col))
+    rows = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (dim_expr / m).cast("int").alias("_dsub"),
+    )
+    parts = F.array(*[
+        F.struct(
+            F.lit(j).alias("sub"),
+            F.slice(F.col(vec_col), F.col("_dsub") * j + 1, F.col("_dsub")).alias("svec"),
+        )
+        for j in range(m)
+    ])
+    return rows.select(id_col, F.explode(parts).alias("_p")).select(
+        id_col, F.col("_p.sub").alias("sub"),
+        F.transform(F.col("_p.svec"), lambda x: x.cast("double")).alias("svec"),
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    max_iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization codebook (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011 — public method): the vector
+    space splits into ``m`` contiguous subspaces and each learns its own
+    ``ksub``-centroid codebook.  All m subspace k-means run JOINTLY in one
+    Lloyd loop: a single broadcast-join assignment over the exploded
+    (id, sub, svec) table and one O(m·ksub·dsub) mean shuffle per
+    iteration — m-fold fewer Spark jobs than m separate kmeans_fit runs.
+
+    Deterministic: seeds are the ksub subvectors with the smallest
+    md5(id) per subspace (ties impossible — md5 of distinct ids).
+    Returns (sub, code, cvec) — m·ksub rows of model parameters.
+    """
+    spark = emb.sparkSession
+    sub = _subvectors(emb, m, vec_col, id_col).localCheckpoint(eager=True)
+
+    w = Window.partitionBy("sub").orderBy(F.md5(F.col(id_col).cast("string")))
+    seeds = (
+        sub.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= ksub)
+        .select("sub", (F.col("_r") - 1).alias("code"), F.col("svec").alias("cvec"))
+        .collect()
+    )
+    cents = {(r["sub"], r["code"]): [float(x) for x in r["cvec"]] for r in seeds}
+
+    def _cdf():
+        return spark.createDataFrame(
+            [(s, c, v) for (s, c), v in sorted(cents.items())],
+            schema="sub int, code int, cvec array<double>",
+        )
+
+    dist2 = F.aggregate(
+        F.zip_with("svec", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    for _ in range(max_iters):
+        assigned = (
+            sub.join(F.broadcast(_cdf()), on="sub")
+            .select(id_col, "sub", "svec", "code", dist2.alias("_d"))
+            .groupBy(id_col, "sub")
+            .agg(F.min_by("code", F.struct("_d", "code")).alias("code"))
+        )
+        means = (
+            sub.join(assigned, on=[id_col, "sub"])
+            .select("sub", "code", F.posexplode("svec").alias("pos", "val"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg("val").alias("mv"))
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pm"))
+            .select("sub", "code", F.transform("pm", lambda s: s["mv"]).alias("mean"))
+            .collect()
+        )
+        moved = 0.0
+        for r in means:
+            v = [float(x) for x in r["mean"]]
+            old = cents[(r["sub"], r["code"])]
+            moved = max(moved, max(abs(a - b) for a, b in zip(v, old)))
+            cents[(r["sub"], r["code"])] = v
+        if moved < 1e-9:
+            break
+    return _cdf()
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector as its m nearest-subspace-centroid codes →
+    (id, codes array<int>) — the 64x-smaller representation that is
+    scanned instead of the raw vectors.  One broadcast join + one
+    grouped collect per vector; deterministic argmin (ties → smaller
+    code, matching pq_train)."""
+    m = codebook.agg(F.max("sub")).collect()[0][0] + 1
+    sub = _subvectors(emb, m, vec_col, id_col)
+    dist2 = F.aggregate(
+        F.zip_with("svec", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return (
+        sub.join(F.broadcast(codebook), on="sub")
+        .select(id_col, "sub", F.col("code"), dist2.alias("_d"))
+        .groupBy(id_col, "sub")
+        .agg(F.min_by("code", F.struct("_d", "code")).alias("code"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("sc"))
+        .select(id_col, F.transform("sc", lambda s: s["code"]).alias("codes"))
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    query: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    rerank: DataFrame | None = None,
+    shortlist: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k: the query stays exact;
+    each database vector's distance is the sum of m table lookups
+    d(query_sub, centroid[code]).  The m×ksub lookup table is computed
+    driver-side (model-sized) and inlined as a literal array, so the scan
+    is pure whole-stage-codegen arithmetic over the codes column — no
+    vectors read, no Python.  Returns (id, adc_dist) ascending top-k.
+
+    With ``rerank`` (the raw vector table), the standard two-stage search
+    runs instead: ADC selects a ``shortlist`` (default 10·k) and only
+    those ids read their exact vectors for the final ordering — the scan
+    still touches codes only; exact distances are paid on the shortlist
+    alone.  Returns (id, dist) with exact squared-L2 distances."""
+    if rerank is not None:
+        L = shortlist or 10 * k
+        cand = pq_topk(codes, codebook, query, k=L, id_col=id_col)
+        qcol = F.lit([float(v) for v in query]).cast("array<double>")
+        exact = F.aggregate(
+            F.zip_with(F.col(vec_col), qcol, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        return (
+            rerank.join(F.broadcast(cand.select(id_col)), on=id_col)
+            .select(id_col, exact.alias("dist"))
+            .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+            .limit(k)
+        )
+    cb = codebook.collect()
+    m = max(r["sub"] for r in cb) + 1
+    ksub = max(r["code"] for r in cb) + 1
+    q = np.asarray(query, dtype=np.float64)
+    dsub = q.size // m
+    lut = np.zeros((m, ksub), dtype=np.float64)
+    for r in cb:
+        d = q[r["sub"] * dsub:(r["sub"] + 1) * dsub] - np.asarray(r["cvec"], dtype=np.float64)
+        lut[r["sub"], r["code"]] = float(np.dot(d, d))
+    lut_col = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in lut])
+    dist = F.aggregate(
+        F.zip_with(
+            F.lit(list(range(m))).cast("array<int>"),
+            F.col("codes"),
+            lambda s, c: F.element_at(F.element_at(lut_col, s + 1), c + 1),
+        ),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return (
+        codes.select(id_col, dist.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

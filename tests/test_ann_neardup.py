@@ -14,6 +14,7 @@ import pandas as pd
 import pytest
 
 from engine import ann
+from pyspark.sql import functions as F
 
 DIM = 16
 THRESH = 0.95
@@ -122,3 +123,64 @@ def test_cosine_near_dup_on_testdata_embeddings(spark):
     for r in res:
         ref = float(vecs[int(r.id_a)] @ vecs[int(r.id_b)])
         assert abs(ref - float(r.cos)) < 1e-9
+
+
+def test_pq_exactness_on_centroid_data(spark):
+    """Vectors that ARE subspace-centroid concatenations reconstruct with
+    zero quantization error: ADC distance == exact squared L2."""
+    import numpy as np
+    from engine.ann import pq_encode, pq_topk, pq_train
+
+    rng = np.random.default_rng(11)
+    m, dsub, ksub = 4, 4, 4
+    bases = rng.normal(size=(m, ksub, dsub)) * 5
+    rows = []
+    for i in range(80):
+        picks = rng.integers(0, ksub, m)
+        rows.append((i, np.concatenate([bases[j, picks[j]] for j in range(m)]).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # hand-built codebook = the generators (tests encode+ADC exactly,
+    # independent of whether Lloyd's recovers them from md5 seeds)
+    cb = spark.createDataFrame(
+        [(j, c, bases[j, c].tolist()) for j in range(m) for c in range(ksub)],
+        "sub int, code int, cvec array<double>",
+    )
+    codes = pq_encode(emb, cb)
+    q = rows[7][1]
+    got = pq_topk(codes, cb, q, k=5).collect()
+    assert got[0]["vec_id"] == 7 and abs(got[0]["adc_dist"]) < 1e-18
+    exact = sorted(
+        (float(np.sum((np.array(v) - np.array(q)) ** 2)), i) for i, v in rows
+    )[:5]
+    np.testing.assert_allclose(
+        sorted(r["adc_dist"] for r in got), [d for d, _ in exact], rtol=0, atol=1e-9
+    )
+
+
+def test_pq_recall_on_real_fixture(spark):
+    """PQ + exact re-rank recall@10 vs brute force on the sf0.001
+    embeddings: the ADC scan touches only the 8-byte codes, the exact
+    distances only the 100-vector shortlist; and train/encode are
+    deterministic across invocations."""
+    import numpy as np
+    from engine.ann import pq_encode, pq_topk, pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    cb = pq_train(emb, m=8, ksub=16, max_iters=8)
+    codes = pq_encode(emb, cb)
+    pdf = emb.toPandas()
+    X = np.array(pdf["embedding"].tolist())
+    ids = pdf["vec_id"].to_numpy()
+    rec = []
+    for qi in (3, 50, 200):
+        q = X[ids == qi][0]
+        true = set(ids[np.argsort(((X - q) ** 2).sum(axis=1))[:10]].tolist())
+        got = {r["vec_id"] for r in pq_topk(
+            codes, cb, q.tolist(), k=10, rerank=emb, shortlist=100).collect()}
+        rec.append(len(true & got) / 10)
+    assert sum(rec) / len(rec) >= 0.7, rec
+    # determinism
+    cb2 = pq_train(emb, m=8, ksub=16, max_iters=8)
+    assert sorted(map(tuple, cb.collect())) == sorted(map(tuple, cb2.collect()))
