@@ -377,9 +377,33 @@ def pq_train(
     spark = emb.sparkSession
     sub = _subvectors(emb, m, vec_col, id_col).localCheckpoint(eager=True)
 
-    w = Window.partitionBy("sub").orderBy(F.md5(F.col(id_col).cast("string")))
+    # Seeds = the ksub subvectors with the smallest md5(id) per subspace.
+    # A global window partitioned by `sub` alone would funnel ALL rows into
+    # m partitions (a skew wall at scale), so first reduce each INPUT
+    # partition to its local ksub-smallest per subspace (narrow map-side
+    # top-k — the candidate set is ≤ m·ksub·n_partitions rows), then
+    # window over that tiny set.
+    hashed = sub.select("sub", F.md5(F.col(id_col).cast("string")).alias("_h"), "svec")
+
+    def _local_seeds(batches):
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            cur = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            acc = (
+                cur.sort_values(["sub", "_h"], kind="mergesort")
+                .groupby("sub", as_index=False, sort=False)
+                .head(ksub)
+            )
+        yield acc if acc is not None else pd.DataFrame(
+            {"sub": pd.Series([], dtype="int32"), "_h": [], "svec": []}
+        )
+
+    local = hashed.mapInPandas(_local_seeds, "sub int, _h string, svec array<double>")
+    w = Window.partitionBy("sub").orderBy("_h")
     seeds = (
-        sub.withColumn("_r", F.row_number().over(w))
+        local.withColumn("_r", F.row_number().over(w))
         .where(F.col("_r") <= ksub)
         .select("sub", (F.col("_r") - 1).alias("code"), F.col("svec").alias("cvec"))
         .collect()
