@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from engine import joins, sqlcompat, textops, tiles  # noqa: E402
+from engine import hexgrid, joins, sqlcompat, textops, tiles  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -129,7 +129,15 @@ def _q_tile_assign_geodetic_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         pts.withColumn("_t", _enc(F.col("lon"), F.col("lat")))
-        .select("event_id", F.col("_t.gtx").alias("gtx"), F.col("_t.gty").alias("gty"))
+        .select(
+            "event_id",
+            F.col("_t.gtx").alias("gtx"),
+            F.col("_t.gty").alias("gty"),
+            # hexagonal multi-resolution cells (engine/hexgrid.py): pure
+            # Catalyst expressions — JVM-side, bit-identical to the SQL oracle
+            hexgrid.hex_cell_col(F.col("lon"), F.col("lat"), 4).alias("hex4"),
+            hexgrid.hex_cell_col(F.col("lon"), F.col("lat"), 8).alias("hex8"),
+        )
     )
 
 
@@ -142,7 +150,9 @@ def _sql_tile_assign_geodetic_z6() -> str:
         )
         SELECT event_id,
                CAST(ceil(((180.0 + lon) / {res}) / 256.0) - 1 AS BIGINT) AS gtx,
-               CAST(ceil(((90.0 + lat) / {res}) / 256.0) - 1 AS BIGINT) AS gty
+               CAST(ceil(((90.0 + lat) / {res}) / 256.0) - 1 AS BIGINT) AS gty,
+               {hexgrid.hex_cell_sql("lon", "lat", 4)} AS hex4,
+               {hexgrid.hex_cell_sql("lon", "lat", 8)} AS hex8
         FROM pts
     """
 
