@@ -1,0 +1,430 @@
+"""Corpus-curation operators: Gopher quality/repetition rules, benchmark
+decontamination, deterministic stratified sampling, per-domain caps.
+
+These extend the webtext payload surface (exact/near dedup, C4 filter,
+line dedup live in engine/textops.py) with the remaining operators a
+large-scale training-data pipeline needs.  GDAL has no text analog; the
+rule definitions are public:
+
+* Gopher rules — Rae et al. 2021 (arXiv:2112.11446, Appendix A1.1/A1.2):
+  document word-count/word-length/symbol/bullet/ellipsis/alpha/stop-word
+  gates plus the repetition family (duplicate line/paragraph fractions,
+  duplicated-character fractions, top n-gram and duplicated n-gram
+  character fractions for n = 2..4 and 5..10).
+* Decontamination — the n-gram-overlap eval-set filter used by GPT-3
+  (Brown et al. 2020, App. C) and Llama: any document sharing an
+  n-token n-gram (n=13 canonical) with the benchmark set is flagged.
+
+Engine discipline (same as textops): everything JVM-side — split /
+transform / slice / explode / groupBy — no Python in the hot path; every
+hash is md5-derived so DuckDB reproduces results bit-for-bit.
+
+Scale notes (100 TB): the repetition scan explodes ~9 structs per word
+(n-grams for n=2..10) plus lines/paragraphs; both aggregations are keyed
+by (doc_id, ...) so they map-side combine and never concentrate a doc on
+more than one reducer beyond its own key group.  Decontamination
+broadcasts only the eval-set n-gram hashes (eval sets are tiny: ~1e5-1e7
+grams).  Stratified sampling is a pure filter — no shuffle at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from engine.textops import md5_int, md5_int_sql
+
+# Gopher Appendix A1 thresholds (Rae et al. 2021), public constants.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _words(text_col: Column) -> Column:
+    """Lowercased whitespace words, empties removed (the n-gram basis)."""
+    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda w: w != F.lit(""))
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Space-joined word n-grams as an array (overlapping, order kept)."""
+    cnt = F.size(words) - (n - 1)
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark — guard short docs.
+    return F.when(cnt >= 1, F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def gopher_repetition_df(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher repetition metrics (Rae et al. 2021 App. A1.2), one exploded
+    scan + two map-combined aggregations.  Per document:
+
+      dup_line_frac        duplicate lines / total lines
+      dup_para_frac        duplicate paragraphs / total paragraphs
+      dup_line_char_frac   chars in excess line copies / len(text)
+      dup_para_char_frac   chars in excess paragraph copies / len(text)
+      top{2,3,4}gram_char_frac   chars covered by the most frequent n-gram
+      dup{5..10}gram_char_frac   chars in excess copies of repeated n-grams
+
+    Exact definitions (documented variant — Gopher's prose is ambiguous on
+    overlap accounting; this engine counts every excess occurrence once,
+    chars of a word n-gram = sum of its word lengths + (n-1) separators,
+    denominator = length(text)):
+
+      top-n   = max over grams g of count(g) * chars(g) / len(text)
+      dup-n   = sum over grams g with count(g) > 1 of
+                (count(g) - 1) * chars(g) / len(text)
+
+    "duplicate" for lines/paragraphs = occurrences beyond the first of a
+    trimmed non-empty line (paragraphs split on blank lines).
+    """
+    did, t = F.col(id_col), F.col(text_col)
+    words = _words(t)
+    lines = F.filter(F.transform(F.split(t, "\n"), F.trim), lambda l: l != F.lit(""))
+    paras = F.filter(
+        F.transform(F.split(t, r"\n\s*\n"), F.trim), lambda p: p != F.lit("")
+    )
+
+    def _tagged(kind: str, arr: Column) -> Column:
+        return F.transform(
+            arr,
+            lambda x: F.struct(
+                F.lit(kind).alias("kind"), x.alias("key"), F.length(x).alias("chars")
+            ),
+        )
+
+    parts = [_tagged("line", lines), _tagged("para", paras)]
+    for n in (*GOPHER_TOP_NGRAM_MAX, *GOPHER_DUP_NGRAM_MAX):
+        parts.append(_tagged(f"g{n}", _word_ngrams(words, n)))
+
+    ex = docs.select(
+        did.alias("_id"),
+        F.length(t).alias("_chars"),
+        F.size(lines).alias("_n_lines"),
+        F.size(paras).alias("_n_paras"),
+        F.explode_outer(F.concat(*parts)).alias("it"),
+    )
+    counts = ex.groupBy("_id", F.col("it.kind").alias("kind"), F.col("it.key")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.first("it.chars").alias("chars"),
+        F.first("_chars").alias("_chars"),
+        F.first("_n_lines").alias("_n_lines"),
+        F.first("_n_paras").alias("_n_paras"),
+    )
+
+    def _frac(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+    excess = F.greatest(F.col("cnt") - 1, F.lit(0))
+    aggs = [
+        _frac(
+            F.sum(F.when(F.col("kind") == "line", excess).otherwise(0)),
+            F.first("_n_lines"),
+        ).alias("dup_line_frac"),
+        _frac(
+            F.sum(F.when(F.col("kind") == "para", excess).otherwise(0)),
+            F.first("_n_paras"),
+        ).alias("dup_para_frac"),
+        _frac(
+            F.sum(F.when(F.col("kind") == "line", excess * F.col("chars")).otherwise(0)),
+            F.first("_chars"),
+        ).alias("dup_line_char_frac"),
+        _frac(
+            F.sum(F.when(F.col("kind") == "para", excess * F.col("chars")).otherwise(0)),
+            F.first("_chars"),
+        ).alias("dup_para_char_frac"),
+    ]
+    for n in GOPHER_TOP_NGRAM_MAX:
+        aggs.append(
+            _frac(
+                F.max(
+                    F.when(F.col("kind") == f"g{n}", F.col("cnt") * F.col("chars"))
+                ),
+                F.first("_chars"),
+            ).alias(f"top{n}gram_char_frac")
+        )
+    for n in GOPHER_DUP_NGRAM_MAX:
+        aggs.append(
+            _frac(
+                F.sum(
+                    F.when(F.col("kind") == f"g{n}", excess * F.col("chars")).otherwise(0)
+                ),
+                F.first("_chars"),
+            ).alias(f"dup{n}gram_char_frac")
+        )
+    return counts.groupBy("_id").agg(*aggs).withColumnRenamed("_id", id_col)
+
+
+def gopher_quality_df(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher document-quality metrics + keep decision (App. A1.1 + A1.2).
+
+    Single-scan columns: word_count, mean_word_len, symbol_word_ratio
+    ('#' + ellipsis occurrences per word), bullet_line_frac (lines starting
+    with a bullet), ellipsis_line_frac (lines ending with an ellipsis),
+    alpha_word_frac (words containing a letter), stopword_hits (how many of
+    Gopher's 8 required words appear).  Joined with gopher_repetition_df
+    on id (shuffle keyed by id).  gopher_keep applies every published
+    threshold; per-rule booleans are exposed so pipelines can relax rules.
+    """
+    did, t = F.col(id_col), F.col(text_col)
+    words = _words(t)
+    lines = F.filter(F.transform(F.split(t, "\n"), F.trim), lambda l: l != F.lit(""))
+    wc = F.size(words)
+    scan = docs.select(
+        did,
+        wc.cast("long").alias("word_count"),
+        F.when(
+            wc > 0,
+            F.aggregate(words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+            / wc,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_word_len"),
+        F.when(
+            wc > 0,
+            (
+                F.regexp_count(t, F.lit("#"))
+                + F.regexp_count(t, F.lit(r"\.\.\."))
+                + F.regexp_count(t, F.lit("…"))
+            ).cast("double")
+            / wc,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("symbol_word_ratio"),
+        F.when(
+            F.size(lines) > 0,
+            F.size(F.filter(lines, lambda l: l.rlike(r"^[•‣▶\*\-]")))
+            / F.size(lines),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("bullet_line_frac"),
+        F.when(
+            F.size(lines) > 0,
+            F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$")))
+            / F.size(lines),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ellipsis_line_frac"),
+        F.when(
+            wc > 0,
+            F.size(F.filter(words, lambda w: w.rlike("[a-z]"))) / wc,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("alpha_word_frac"),
+        F.aggregate(
+            F.array(*[F.array_contains(words, s).cast("int") for s in GOPHER_STOPWORDS]),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        .cast("long")
+        .alias("stopword_hits"),
+    )
+    rep = gopher_repetition_df(docs, id_col, text_col)
+    out = scan.join(rep, on=id_col, how="left")
+    keep = (
+        F.col("word_count").between(50, 100_000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("stopword_hits") >= 2)
+        & (F.col("dup_line_frac") <= 0.30)
+        & (F.col("dup_para_frac") <= 0.30)
+        & (F.col("dup_line_char_frac") <= 0.20)
+        & (F.col("dup_para_char_frac") <= 0.20)
+    )
+    for n, thr in GOPHER_TOP_NGRAM_MAX.items():
+        keep = keep & (F.col(f"top{n}gram_char_frac") <= thr)
+    for n, thr in GOPHER_DUP_NGRAM_MAX.items():
+        keep = keep & (F.col(f"dup{n}gram_char_frac") <= thr)
+    return out.withColumn("gopher_keep", keep.cast("int"))
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+_NORM_RE = r"[^a-z0-9]+"
+
+
+def _norm_tokens(text_col: Column) -> Column:
+    """Decontamination normalization (GPT-3 App. C style): lowercase, strip
+    everything but [a-z0-9] to spaces, whitespace-split."""
+    return F.filter(
+        F.split(F.regexp_replace(F.lower(text_col), _NORM_RE, " "), " "),
+        lambda w: w != F.lit(""),
+    )
+
+
+def ngram_hashes(text_col: Column, n: int = 13) -> Column:
+    """md5-derived 60-bit hashes of all normalized word n-grams (distinct)."""
+    grams = _word_ngrams(_norm_tokens(text_col), n)
+    return F.array_distinct(F.transform(grams, lambda g: md5_int(g)))
+
+
+def decontaminate_df(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Flag training documents sharing any normalized n-token n-gram with
+    the evaluation set (GPT-3/Llama decontamination, n=13 canonical).
+
+    Plan: eval set → distinct n-gram hashes (small; broadcast); documents →
+    exploded distinct n-gram hashes → broadcast left-semi-style join →
+    per-doc hit count.  Docs shorter than n tokens have 0 grams and are
+    kept.  Returns (id, ngrams_total, ngrams_hit, contaminated:int).
+    """
+    eval_grams = (
+        eval_df.select(F.explode(ngram_hashes(F.col(eval_text_col), n)).alias("h"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(ngram_hashes(F.col(text_col), n)).alias("h"),
+    )
+    hits = doc_grams.join(
+        F.broadcast(eval_grams.withColumn("_hit", F.lit(1))), on="h", how="left"
+    )
+    out = hits.groupBy("_id").agg(
+        F.count("h").alias("ngrams_total"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("ngrams_hit"),
+    )
+    return (
+        out.withColumn("contaminated", (F.col("ngrams_hit") > 0).cast("int"))
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def decontaminate_sql(
+    docs_table: str,
+    eval_table: str,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+) -> str:
+    """DuckDB oracle for decontaminate_df (same normalization + md5 hash)."""
+
+    def toks(col: str) -> str:
+        return (
+            f"list_filter(string_split(regexp_replace(lower({col}), "
+            f"'{_NORM_RE}', ' ', 'g'), ' '), w -> w <> '')"
+        )
+
+    def grams(col: str) -> str:
+        return (
+            f"list_distinct(list_transform("
+            f"range(1, greatest(len({toks(col)}) - {n - 1}, 0) + 1), "
+            f"i -> {md5_int_sql(f'array_to_string({toks(col)}[i:i+{n - 1}], chr(32))')}))"
+        )
+
+    return f"""
+WITH eval_grams AS (
+  SELECT DISTINCT unnest({grams(eval_text_col)}) AS h FROM {eval_table}
+), doc_grams AS (
+  SELECT {id_col}, unnest({grams(text_col)}) AS h FROM {docs_table}
+), joined AS (
+  SELECT d.{id_col}, d.h, (e.h IS NOT NULL)::INT AS hit
+  FROM doc_grams d LEFT JOIN eval_grams e USING (h)
+)
+SELECT t.{id_col},
+       COALESCE(j.ngrams_total, 0) AS ngrams_total,
+       COALESCE(j.ngrams_hit, 0) AS ngrams_hit,
+       (COALESCE(j.ngrams_hit, 0) > 0)::INT AS contaminated
+FROM {docs_table} t
+LEFT JOIN (
+  SELECT {id_col}, COUNT(*) AS ngrams_total, SUM(hit) AS ngrams_hit
+  FROM joined GROUP BY {id_col}
+) j USING ({id_col})
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling / dataset mixing
+# --------------------------------------------------------------------------
+
+_HASH_SPACE = float(1 << 60)  # md5_int range
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Exact-deterministic stratified sampling (dataset mixing): keep a row
+    iff md5(seed || strata || key) < fraction(strata) * 2^60.
+
+    Pure filter — no shuffle, no RNG state, identical at any parallelism
+    and re-run (the property plain df.sample does not give across
+    repartitions).  Rows whose stratum is absent from `fractions` keep
+    with `default_fraction`.  DuckDB reproduces the predicate exactly
+    (sample_stratified_sql).
+    """
+    frac = F.lit(default_fraction)
+    for k, v in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
+    h = md5_int(
+        F.concat_ws("\x1f", F.lit(str(seed)), F.col(strata_col), F.col(key_col))
+    )
+    return df.where(h < (frac * _HASH_SPACE).cast("long"))
+
+
+def sample_stratified_sql(
+    table: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> str:
+    """DuckDB WHERE-clause twin of sample_stratified (same md5 predicate)."""
+    cases = " ".join(
+        f"WHEN {strata_col} = '{k}' THEN {float(v)!r}" for k, v in sorted(fractions.items())
+    )
+    h = md5_int_sql(
+        f"concat('{seed}', chr(31), {strata_col}, chr(31), {key_col})"
+    )
+    return (
+        # floor() because Spark's double→long cast truncates while DuckDB's rounds
+        f"SELECT * FROM {table} WHERE {h} < "
+        f"CAST(floor((CASE {cases} ELSE {float(default_fraction)!r} END) * {_HASH_SPACE!r}) AS BIGINT)"
+    )
+
+
+def domain_cap_df(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-domain document cap (domain balancing): keep at most `cap` rows
+    per domain, chosen deterministically by md5(seed || key) rank.
+
+    Exact form: row_number over (partitionBy domain, orderBy hash, key) —
+    one shuffle.  Skew note: a single hot domain serializes into one task's
+    sort; at 100 TB pre-filter hot domains first with an approximate
+    hash-threshold pass (count per domain → keep hash < cap/count * 2^60 *
+    slack) and run the exact window on the survivors.  The exact window is
+    what this helper does; the pre-filter composes from sample_stratified.
+    """
+    from pyspark.sql import Window
+
+    h = md5_int(F.concat_ws("\x1f", F.lit(str(seed)), F.col(key_col)))
+    w = Window.partitionBy(domain_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

@@ -1,0 +1,264 @@
+"""Corpus-curation operators (engine/corpus.py): Gopher quality/repetition
+rules, benchmark decontamination, deterministic stratified sampling,
+per-domain caps — hand-computed fixtures + DuckDB oracles on the real
+documents table."""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from engine import corpus  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+DOCS_PQ = os.path.join(SF_DIR, "documents.parquet")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+# ---------------------------------------------------------------- repetition
+
+
+def test_repetition_hand_computed(spark):
+    rows = [
+        (1, "a b a b a b"),          # top2: 'a b' x3, chars 3 -> 9/11
+        (2, "x\nx\ny"),              # dup_line 1/3, dup_line_chars 1/5
+        (3, "p\n\np\n\nq"),          # dup_para 1/3, dup_para_chars 1/7
+        (4, ""),                     # empty: all zeros
+        (5, "one two"),              # shorter than every n-gram window >2
+    ]
+    got = (
+        corpus.gopher_repetition_df(_docs(spark, rows))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[1, "top2gram_char_frac"] == pytest.approx(9 / 11)
+    # 'b a' occurs twice -> dup2 not reported (only n>=5 dup kinds exist)
+    assert got.loc[1, "dup5gram_char_frac"] == 0.0
+    assert got.loc[2, "dup_line_frac"] == pytest.approx(1 / 3)
+    assert got.loc[2, "dup_line_char_frac"] == pytest.approx(1 / 5)
+    assert got.loc[3, "dup_para_frac"] == pytest.approx(1 / 3)
+    assert got.loc[3, "dup_para_char_frac"] == pytest.approx(1 / 7)
+    assert (got.loc[4] == 0).all()
+    assert got.loc[5, "top2gram_char_frac"] == pytest.approx(7 / 7)
+    for n in range(5, 11):
+        assert (got[f"dup{n}gram_char_frac"] >= 0).all()
+
+
+def test_repetition_dup_ngram(spark):
+    # 'a b c d e' repeated 3x: the cycle yields 'a b c d e' x3 (excess 2)
+    # plus 4 rotations ('b c d e a', ...) x2 each (excess 1): 2*9 + 4*9 = 54
+    text = " ".join(["a b c d e"] * 3)  # 29 chars
+    got = corpus.gopher_repetition_df(_docs(spark, [(1, text)])).toPandas().iloc[0]
+    assert got["dup5gram_char_frac"] == pytest.approx((2 * 9 + 4 * 9) / 29)
+    # every 2-gram of the cycle appears; top2 = 'a b'/'b c'.. count 3, 'e a' count 2
+    assert got["top2gram_char_frac"] == pytest.approx(3 * 3 / 29)
+
+
+def test_repetition_dup_ngram_non_cyclic(spark):
+    # one exact repeat separated by unique words -> only that gram duplicates
+    text = "a b c d e uu vv ww xx yy a b c d e"  # 34 chars
+    got = corpus.gopher_repetition_df(_docs(spark, [(1, text)])).toPandas().iloc[0]
+    assert got["dup5gram_char_frac"] == pytest.approx(9 / 34)
+    for n in range(6, 11):
+        assert got[f"dup{n}gram_char_frac"] == 0.0
+
+
+def test_repetition_oracle_duckdb(spark):
+    """Line + 2-gram metrics vs an independent DuckDB formulation on the
+    real sf0.001 documents table."""
+    docs = spark.read.parquet(DOCS_PQ)
+    got = (
+        corpus.gopher_repetition_df(docs)
+        .select("doc_id", "dup_line_frac", "dup_line_char_frac", "top2gram_char_frac")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS_PQ}')")
+    exp = con.execute(
+        """
+WITH l AS (
+  SELECT doc_id, length(text) AS tchars,
+         unnest(list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+                            s -> s <> '')) AS line
+  FROM documents
+), lc AS (
+  SELECT doc_id, line, count(*) AS cnt, any_value(tchars) AS tchars
+  FROM l GROUP BY doc_id, line
+), lines_agg AS (
+  SELECT doc_id,
+         sum(cnt - 1)::DOUBLE / sum(cnt) AS dup_line_frac,
+         sum((cnt - 1) * length(line))::DOUBLE / any_value(tchars) AS dup_line_char_frac
+  FROM lc GROUP BY doc_id
+), w AS (
+  SELECT doc_id, length(text) AS tchars,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id, tchars,
+         unnest(list_transform(range(1, greatest(len(words) - 1, 0) + 1),
+                               i -> array_to_string(words[i:i+1], chr(32)))) AS gram
+  FROM w
+), gc AS (
+  SELECT doc_id, gram, count(*) AS cnt, any_value(tchars) AS tchars
+  FROM g GROUP BY doc_id, gram
+), g_agg AS (
+  SELECT doc_id, max(cnt * length(gram))::DOUBLE / any_value(tchars) AS top2gram_char_frac
+  FROM gc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(la.dup_line_frac, 0) AS dup_line_frac,
+       COALESCE(la.dup_line_char_frac, 0) AS dup_line_char_frac,
+       COALESCE(ga.top2gram_char_frac, 0) AS top2gram_char_frac
+FROM documents d
+LEFT JOIN lines_agg la USING (doc_id)
+LEFT JOIN g_agg ga USING (doc_id)
+ORDER BY doc_id
+"""
+    ).df().set_index("doc_id")
+    assert len(got) == len(exp)
+    for c in got.columns:
+        assert got[c].to_numpy() == pytest.approx(exp[c].to_numpy(), abs=1e-12), c
+
+
+# ------------------------------------------------------------------- quality
+
+
+def test_gopher_quality_keep(spark):
+    good = " ".join(
+        ["the quick brown fox jumps with vigor over that lazy dog and friends have fun"]
+        + [f"word{i:02d} token{i:02d} lemma{i:02d}" for i in range(20)]
+    )
+    bad_repeat = " ".join(["spam spam spam"] * 40)
+    short = "too short"
+    rows = [(1, good), (2, bad_repeat), (3, short)]
+    got = corpus.gopher_quality_df(_docs(spark, rows)).toPandas().set_index("doc_id")
+    assert got.loc[1, "gopher_keep"] == 1
+    assert got.loc[2, "gopher_keep"] == 0  # repetition gates fire
+    assert got.loc[2, "dup5gram_char_frac"] > 0.15
+    assert got.loc[3, "gopher_keep"] == 0  # word count < 50
+    assert got.loc[1, "stopword_hits"] >= 2
+    assert got.loc[1, "alpha_word_frac"] >= 0.8
+
+
+def test_gopher_quality_symbol_and_lines(spark):
+    text = "\n".join(
+        ["- bullet one thing", "- bullet two thing", "normal line here..."]
+    )
+    got = corpus.gopher_quality_df(_docs(spark, [(1, text)])).toPandas().iloc[0]
+    assert got["bullet_line_frac"] == pytest.approx(2 / 3)
+    assert got["ellipsis_line_frac"] == pytest.approx(1 / 3)
+
+
+# ----------------------------------------------------------- decontamination
+
+
+def test_decontaminate_unit(spark):
+    doc2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "completely unrelated text with no overlap whatsoever here today"),
+        (2, doc2),
+        (3, "x"),  # shorter than n tokens: 0 grams, kept
+    ]
+    eval_rows = pd.DataFrame({"text": ["GAMMA delta, epsilon Zeta eta!"]})
+    got = (
+        corpus.decontaminate_df(
+            _docs(spark, rows), spark.createDataFrame(eval_rows), n=5
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[1, "contaminated"] == 0
+    assert got.loc[2, "contaminated"] == 1 and got.loc[2, "ngrams_hit"] == 1
+    assert got.loc[3, "contaminated"] == 0 and got.loc[3, "ngrams_total"] == 0
+
+
+def test_decontaminate_oracle_duckdb(spark):
+    docs = spark.read.parquet(DOCS_PQ)
+    # eval set = snippets of 3 real documents (so some docs MUST flag)
+    evals = docs.orderBy("doc_id").limit(3).select("text")
+    got = (
+        corpus.decontaminate_df(docs, evals, n=8)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS_PQ}')")
+    con.execute(
+        "CREATE VIEW evals AS SELECT text FROM documents ORDER BY doc_id LIMIT 3"
+    )
+    exp = (
+        con.execute(corpus.decontaminate_sql("documents", "evals", n=8))
+        .df()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got["contaminated"].sum() >= 3  # the 3 source docs at minimum
+    assert (got["ngrams_total"].to_numpy() == exp["ngrams_total"].to_numpy()).all()
+    assert (got["ngrams_hit"].to_numpy() == exp["ngrams_hit"].to_numpy()).all()
+    assert (got["contaminated"].to_numpy() == exp["contaminated"].to_numpy()).all()
+
+
+# ---------------------------------------------------------------- sampling
+
+
+def test_sample_stratified_matches_duckdb(spark):
+    docs = spark.read.parquet(DOCS_PQ)
+    fr = {"en": 0.5, "de": 0.25}
+    got = (
+        corpus.sample_stratified(docs, "lang", fr, key_col="doc_id", seed=7)
+        .select("doc_id")
+        .toPandas()["doc_id"]
+        .sort_values()
+        .tolist()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS_PQ}')")
+    sql = corpus.sample_stratified_sql("documents", "lang", fr, key_col="doc_id", seed=7)
+    exp = sorted(con.execute(f"SELECT doc_id FROM ({sql})").df()["doc_id"].tolist())
+    assert got == exp
+    assert 0 < len(got) < docs.count()
+
+
+def test_sample_stratified_deterministic_and_proportional(spark):
+    docs = spark.read.parquet(DOCS_PQ)
+    fr = {"en": 0.5}
+    a = corpus.sample_stratified(docs, "lang", fr, "doc_id", seed=1)
+    b = corpus.sample_stratified(docs.repartition(16), "lang", fr, "doc_id", seed=1)
+    ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
+    ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
+    assert ids_a == ids_b  # parallelism-invariant
+    n_en = docs.where("lang = 'en'").count()
+    if n_en >= 40:
+        assert abs(len(ids_a) / n_en - 0.5) < 0.25
+    # non-listed strata dropped with default_fraction=0
+    langs = {r.lang for r in a.select("lang").distinct().collect()}
+    assert langs <= {"en"}
+
+
+def test_domain_cap(spark):
+    docs = spark.read.parquet(DOCS_PQ)
+    capped = corpus.domain_cap_df(docs, "source", cap=10, key_col="doc_id")
+    per = capped.groupBy("source").count().toPandas()
+    assert (per["count"] <= 10).all()
+    # deterministic under repartition
+    again = corpus.domain_cap_df(docs.repartition(16), "source", cap=10, key_col="doc_id")
+    a = sorted(r.doc_id for r in capped.select("doc_id").collect())
+    b = sorted(r.doc_id for r in again.select("doc_id").collect())
+    assert a == b
+    # domains under the cap are untouched
+    orig = docs.groupBy("source").count().toPandas().set_index("source")["count"]
+    got = per.set_index("source")["count"]
+    for dom, n in orig.items():
+        assert got.get(dom, 0) == min(n, 10)
