@@ -84,38 +84,15 @@ def _quadkey_sql(tx_expr: str, ty_expr: str, zoom: int) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _q_tile_assign_merc_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = _points(spark, sf_dir)
-    out = joins.with_tile(pts, zoom=8)
-    gx, gy = F.col("tx"), (F.lit(2**8 - 1) - F.col("ty"))
-    return out.select(
-        "event_id",
-        F.col("tx").alias("tx"),
-        F.col("ty").alias("ty"),
-        gy.cast("long").alias("google_ty"),
-        F.col("quadkey").alias("quadkey"),
-    )
-
-
-def _sql_tile_assign_merc_z8() -> str:
-    tx, ty, _, _ = _merc_tile_sql(8)
-    qk = _quadkey_sql("tx", "ty", 8)
-    return f"""
-        WITH pts AS (
-            SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
-        ), t AS (
-            SELECT event_id, {tx} AS tx, {ty} AS ty FROM pts
-        )
-        SELECT event_id, tx, ty, CAST((255 - ty) AS BIGINT) AS google_ty,
-               {qk} AS quadkey
-        FROM t
-    """
-
-
-def _q_tile_assign_geodetic_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three cell indexes per event in ONE scan: mercator z8 TMS tile +
+    google y + quadkey (gdal2tiles.py:213-318), GlobalGeodetic z6 tile
+    (tmscompatible), and hexagonal multi-resolution cells.  One wide row per
+    event checks the full assignment surface that was previously two rows."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     pts = _points(spark, sf_dir)
+    out = joins.with_tile(pts, zoom=8)
     schema = StructType([StructField("gtx", LongType()), StructField("gty", LongType())])
 
     @F.pandas_udf(schema)
@@ -127,33 +104,40 @@ def _q_tile_assign_geodetic_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return pd.DataFrame({"gtx": tx, "gty": ty})
 
-    return (
-        pts.withColumn("_t", _enc(F.col("lon"), F.col("lat")))
-        .select(
-            "event_id",
-            F.col("_t.gtx").alias("gtx"),
-            F.col("_t.gty").alias("gty"),
-            # hexagonal multi-resolution cells (engine/hexgrid.py): pure
-            # Catalyst expressions — JVM-side, bit-identical to the SQL oracle
-            hexgrid.hex_cell_col(F.col("lon"), F.col("lat"), 4).alias("hex4"),
-            hexgrid.hex_cell_col(F.col("lon"), F.col("lat"), 8).alias("hex8"),
-        )
+    gy = F.lit(2**8 - 1) - F.col("ty")
+    return out.withColumn("_t", _enc(F.col("lon"), F.col("lat"))).select(
+        "event_id",
+        F.col("tx").alias("tx"),
+        F.col("ty").alias("ty"),
+        gy.cast("long").alias("google_ty"),
+        F.col("quadkey").alias("quadkey"),
+        F.col("_t.gtx").alias("gtx"),
+        F.col("_t.gty").alias("gty"),
+        # hexagonal multi-resolution cells (engine/hexgrid.py): pure
+        # Catalyst expressions — JVM-side, bit-identical to the SQL oracle
+        hexgrid.hex_cell_col(F.col("lon"), F.col("lat"), 4).alias("hex4"),
+        hexgrid.hex_cell_col(F.col("lon"), F.col("lat"), 8).alias("hex8"),
     )
 
 
-def _sql_tile_assign_geodetic_z6() -> str:
+def _sql_tile_assign() -> str:
+    tx, ty, _, _ = _merc_tile_sql(8)
+    qk = _quadkey_sql("tx", "ty", 8)
     # GlobalGeodetic (tmscompatible): res = (180/256)/2^6; px=(180+lon)/res
     res = repr(tiles.geodetic_resolution(6))
     return f"""
         WITH pts AS (
             SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
+        ), t AS (
+            SELECT event_id, lon, lat, {tx} AS tx, {ty} AS ty FROM pts
         )
-        SELECT event_id,
+        SELECT event_id, tx, ty, CAST((255 - ty) AS BIGINT) AS google_ty,
+               {qk} AS quadkey,
                CAST(ceil(((180.0 + lon) / {res}) / 256.0) - 1 AS BIGINT) AS gtx,
                CAST(ceil(((90.0 + lat) / {res}) / 256.0) - 1 AS BIGINT) AS gty,
                {hexgrid.hex_cell_sql("lon", "lat", 4)} AS hex4,
                {hexgrid.hex_cell_sql("lon", "lat", 8)} AS hex8
-        FROM pts
+        FROM t
     """
 
 
@@ -2946,8 +2930,263 @@ def _sql_doc_text_metrics() -> str:
                c4_keep,
                md5(coalesce(array_to_string(c4k, chr(10)), '')) AS c4_kept_hash,
                CAST(len(list_filter(regexp_extract_all(text, '({bpe_pat})'),
-                                    t -> regexp_matches(t, '\S'))) AS BIGINT) AS n_bpe_tokens
+                                    t -> regexp_matches(t, '\\S'))) AS BIGINT) AS n_bpe_tokens
         FROM b
+    """
+
+
+_GOPHER_FRACTIONS = {"en": 0.5, "de": 0.25}
+
+
+def _corpus_gsrc_col() -> F.Column:
+    """Deterministic line/paragraph structure for the Gopher rules: the
+    fixture text is single-line word soup, so ' merge ' becomes a line break
+    and doc_id-keyed tails force duplicate lines (…%7) / paragraphs (…%11) so
+    every repetition branch is value-checked, not vacuously zero."""
+    g = F.replace(F.col("text"), F.lit(" merge "), F.lit("\n"))
+    g = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(g, F.lit("\nspark graft tail line\nspark graft tail line")),
+    ).otherwise(g)
+    g = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(g, F.lit("\n\ntail paragraph block\n\ntail paragraph block")),
+    ).otherwise(g)
+    # …%3 docs gain the required stopwords so the keep decision fires both
+    # ways (the fixture vocabulary alone fails the stop-word gate everywhere)
+    g = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(g, F.lit("\nthe data of batch and stream that have with be good")),
+    ).otherwise(g)
+    return g
+
+
+def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation suite in one per-doc row (engine/corpus.py): all
+    Gopher quality + repetition metrics (Rae et al. 2021 App. A1) with the
+    keep decision, GPT-3-style benchmark decontamination (eval set = the
+    first 3 docs, n=8), and the deterministic stratified-sampling flag —
+    doubles quantized to ppm integers so the value hash never sees a float."""
+    from engine import corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    gdocs = docs.select("doc_id", _corpus_gsrc_col().alias("text"))
+    q = corpus.gopher_quality_df(gdocs)
+    evals = docs.orderBy("doc_id").limit(3).select("text")
+    dec = corpus.decontaminate_df(docs, evals, n=8)
+    flag = corpus.sample_flag("lang", _GOPHER_FRACTIONS, "doc_id", seed=7)
+    ppm = [
+        ("mean_word_len", "mean_word_len_ppm"),
+        ("symbol_word_ratio", "symbol_ppm"),
+        ("bullet_line_frac", "bullet_ppm"),
+        ("ellipsis_line_frac", "ellipsis_ppm"),
+        ("alpha_word_frac", "alpha_ppm"),
+        ("dup_line_frac", "dup_line_ppm"),
+        ("dup_para_frac", "dup_para_ppm"),
+        ("dup_line_char_frac", "dup_line_char_ppm"),
+        ("dup_para_char_frac", "dup_para_char_ppm"),
+        *[(f"top{n}gram_char_frac", f"top{n}_ppm") for n in (2, 3, 4)],
+        *[(f"dup{n}gram_char_frac", f"dup{n}_ppm") for n in range(5, 11)],
+    ]
+    qsel = q.select(
+        "doc_id",
+        "word_count",
+        "stopword_hits",
+        *[_micro(F.col(src)).alias(dst) for src, dst in ppm],
+        "gopher_keep",
+    )
+    samp = docs.select("doc_id", flag.cast("int").alias("sample_kept"))
+    return qsel.join(dec, on="doc_id").join(samp, on="doc_id")
+
+
+def _sql_corpus_curation() -> str:
+    from engine import corpus
+
+    m = _MICRO_SQL
+    words = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    lines = (
+        "list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),"
+        " s -> s <> '')"
+    )
+    paras = (
+        "list_filter(list_transform(string_split_regex(text, '\\n\\s*\\n'),"
+        " s -> trim(s)), s -> s <> '')"
+    )
+
+    def pack(kind: str, arr: str) -> str:
+        return (
+            f"list_transform({arr}, x -> struct_pack(kind := '{kind}',"
+            f" key := x, chars := length(x)))"
+        )
+
+    grams = {
+        n: (
+            f"list_transform(range(1, greatest(len(words) - {n - 1}, 0) + 1),"
+            f" i -> array_to_string(words[i:i+{n - 1}], chr(32)))"
+        )
+        for n in range(2, 11)
+    }
+    items = " || ".join(
+        [pack("line", "lines"), pack("para", "paras")]
+        + [pack(f"g{n}", grams[n]) for n in range(2, 11)]
+    )
+    top_cols = ", ".join(
+        f"coalesce(max(CASE WHEN kind = 'g{n}' THEN cnt * chars END), 0) AS top{n}"
+        for n in (2, 3, 4)
+    )
+    dup_cols = ", ".join(
+        f"sum(CASE WHEN kind = 'g{n}' THEN (cnt - 1) * chars ELSE 0 END) AS dup{n}"
+        for n in range(5, 11)
+    )
+    frac_fams = ", ".join(
+        [
+            "CASE WHEN n_lines > 0 THEN dupl::DOUBLE / n_lines ELSE 0 END AS dup_line_frac",
+            "CASE WHEN n_paras > 0 THEN dupp::DOUBLE / n_paras ELSE 0 END AS dup_para_frac",
+            "CASE WHEN tchars > 0 THEN duplc::DOUBLE / tchars ELSE 0 END AS dup_line_char_frac",
+            "CASE WHEN tchars > 0 THEN duppc::DOUBLE / tchars ELSE 0 END AS dup_para_char_frac",
+        ]
+        + [
+            f"CASE WHEN tchars > 0 THEN top{n}::DOUBLE / tchars ELSE 0 END AS top{n}f"
+            for n in (2, 3, 4)
+        ]
+        + [
+            f"CASE WHEN tchars > 0 THEN dup{n}::DOUBLE / tchars ELSE 0 END AS dup{n}f"
+            for n in range(5, 11)
+        ]
+    )
+    sw_hits = " + ".join(
+        f"list_contains(words, '{s}')::INT" for s in corpus.GOPHER_STOPWORDS
+    )
+    keep = " AND ".join(
+        [
+            "wc BETWEEN 50 AND 100000",
+            "mwl BETWEEN 3.0 AND 10.0",
+            "sym <= 0.1",
+            "bullet <= 0.9",
+            "ell <= 0.3",
+            "alpha >= 0.8",
+            "sw >= 2",
+            "dup_line_frac <= 0.30",
+            "dup_para_frac <= 0.30",
+            "dup_line_char_frac <= 0.20",
+            "dup_para_char_frac <= 0.20",
+        ]
+        + [f"top{n}f <= {thr}" for n, thr in corpus.GOPHER_TOP_NGRAM_MAX.items()]
+        + [f"dup{n}f <= {thr}" for n, thr in corpus.GOPHER_DUP_NGRAM_MAX.items()]
+    )
+    g8 = corpus.ngram_hashes_sql("text", 8)
+    flag = corpus.sample_flag_sql("lang", _GOPHER_FRACTIONS, "doc_id", seed=7)
+    ppm_out = ", ".join(
+        [
+            m.format(x="q.mwl") + " AS mean_word_len_ppm",
+            m.format(x="q.sym") + " AS symbol_ppm",
+            m.format(x="q.bullet") + " AS bullet_ppm",
+            m.format(x="q.ell") + " AS ellipsis_ppm",
+            m.format(x="q.alpha") + " AS alpha_ppm",
+            m.format(x="r.dup_line_frac") + " AS dup_line_ppm",
+            m.format(x="r.dup_para_frac") + " AS dup_para_ppm",
+            m.format(x="r.dup_line_char_frac") + " AS dup_line_char_ppm",
+            m.format(x="r.dup_para_char_frac") + " AS dup_para_char_ppm",
+        ]
+        + [m.format(x=f"r.top{n}f") + f" AS top{n}_ppm" for n in (2, 3, 4)]
+        + [m.format(x=f"r.dup{n}f") + f" AS dup{n}_ppm" for n in range(5, 11)]
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN g2 || chr(10) ||
+                             'the data of batch and stream that have with be good'
+                        ELSE g2 END AS text
+            FROM (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 11 = 0
+                        THEN g1 || chr(10) || chr(10) || 'tail paragraph block'
+                               || chr(10) || chr(10) || 'tail paragraph block'
+                        ELSE g1 END AS g2
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN g0 || chr(10) || 'spark graft tail line'
+                                    || chr(10) || 'spark graft tail line'
+                            ELSE g0 END AS g1
+                FROM (SELECT doc_id,
+                             replace(text, ' merge ', chr(10)) AS g0
+                      FROM documents)
+            )
+            )
+        ), src AS (
+            SELECT doc_id, text, length(text) AS tchars,
+                   {words} AS words, {lines} AS lines, {paras} AS paras
+            FROM base
+        ), q AS (
+            SELECT doc_id,
+                   len(words) AS wc,
+                   CASE WHEN len(words) > 0 THEN
+                       list_sum(list_transform(words, w -> length(w)))::DOUBLE
+                           / len(words) ELSE 0 END AS mwl,
+                   CASE WHEN len(words) > 0 THEN
+                       (len(regexp_extract_all(text, '#'))
+                        + len(regexp_extract_all(text, '\\.\\.\\.'))
+                        + len(regexp_extract_all(text, '…')))::DOUBLE
+                           / len(words) ELSE 0 END AS sym,
+                   CASE WHEN len(lines) > 0 THEN
+                       len(list_filter(lines, l -> regexp_matches(l, '^[•‣▶\\*\\-]')))::DOUBLE
+                           / len(lines) ELSE 0 END AS bullet,
+                   CASE WHEN len(lines) > 0 THEN
+                       len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)$')))::DOUBLE
+                           / len(lines) ELSE 0 END AS ell,
+                   CASE WHEN len(words) > 0 THEN
+                       len(list_filter(words, w -> regexp_matches(w, '[a-z]')))::DOUBLE
+                           / len(words) ELSE 0 END AS alpha,
+                   CAST({sw_hits} AS BIGINT) AS sw
+            FROM src
+        ), it AS (
+            SELECT doc_id, tchars, len(lines) AS n_lines, len(paras) AS n_paras,
+                   unnest({items}) AS it
+            FROM src
+        ), counts AS (
+            SELECT doc_id, it.kind AS kind, it.key AS key, count(*) AS cnt,
+                   any_value(it.chars) AS chars, any_value(tchars) AS tchars,
+                   any_value(n_lines) AS n_lines, any_value(n_paras) AS n_paras
+            FROM it GROUP BY 1, 2, 3
+        ), repsum AS (
+            SELECT doc_id,
+                   any_value(tchars) AS tchars,
+                   any_value(n_lines) AS n_lines,
+                   any_value(n_paras) AS n_paras,
+                   sum(CASE WHEN kind = 'line' THEN cnt - 1 ELSE 0 END) AS dupl,
+                   sum(CASE WHEN kind = 'para' THEN cnt - 1 ELSE 0 END) AS dupp,
+                   sum(CASE WHEN kind = 'line' THEN (cnt - 1) * chars ELSE 0 END) AS duplc,
+                   sum(CASE WHEN kind = 'para' THEN (cnt - 1) * chars ELSE 0 END) AS duppc,
+                   {top_cols}, {dup_cols}
+            FROM counts GROUP BY doc_id
+        ), rep AS (
+            SELECT doc_id, {frac_fams} FROM repsum
+        ), eval_grams AS (
+            SELECT DISTINCT unnest({g8}) AS h
+            FROM (SELECT text FROM documents ORDER BY doc_id LIMIT 3)
+        ), doc_grams AS (
+            SELECT doc_id, unnest({g8}) AS h FROM documents
+        ), dec AS (
+            SELECT d.doc_id, count(*) AS ngrams_total,
+                   sum((e.h IS NOT NULL)::INT) AS ngrams_hit
+            FROM doc_grams d LEFT JOIN eval_grams e USING (h)
+            GROUP BY d.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(q.wc AS BIGINT) AS word_count,
+               q.sw AS stopword_hits,
+               {ppm_out},
+               CASE WHEN {keep} THEN 1 ELSE 0 END AS gopher_keep,
+               CAST(coalesce(dec.ngrams_total, 0) AS BIGINT) AS ngrams_total,
+               CAST(coalesce(dec.ngrams_hit, 0) AS BIGINT) AS ngrams_hit,
+               CASE WHEN coalesce(dec.ngrams_hit, 0) > 0 THEN 1 ELSE 0 END AS contaminated,
+               {flag}::INT AS sample_kept
+        FROM documents d
+        JOIN q USING (doc_id)
+        LEFT JOIN rep r USING (doc_id)
+        LEFT JOIN dec USING (doc_id)
     """
 
 
@@ -2961,8 +3200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     small same-family queries are consolidated so every operator family in
     SURVEY.md §2 keeps a driver-verified row."""
     return {
-        "tile_assign_merc_z8": _q_tile_assign_merc_z8,
-        "tile_assign_geodetic_z6": _q_tile_assign_geodetic_z6,
+        "tile_assign": _q_tile_assign,
+        "corpus_curation": _q_corpus_curation,
         "tile_density_z5": _q_tile_density_z5,
         "pyramid_rollup": _q_pyramid_rollup,
         "pip_tile_join": _q_pip_tile_join,
@@ -3016,8 +3255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "tile_assign_merc_z8": _sql_tile_assign_merc_z8(),
-        "tile_assign_geodetic_z6": _sql_tile_assign_geodetic_z6(),
+        "tile_assign": _sql_tile_assign(),
+        "corpus_curation": _sql_corpus_curation(),
         "tile_density_z5": _sql_tile_density_z5(),
         "pyramid_rollup": _sql_pyramid_rollup(),
         "pip_tile_join": _sql_pip_tile_join(),

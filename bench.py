@@ -78,7 +78,7 @@ def main():
     )
     flagship_wall = time.time() - t0
 
-    _run("tile_assign_merc_z8", lambda: _force(q["tile_assign_merc_z8"](spark, sf_dir)), timings)
+    _run("tile_assign", lambda: _force(q["tile_assign"](spark, sf_dir)), timings)
     _run("tile_density_z5", lambda: _force(q["tile_density_z5"](spark, sf_dir)), timings)
     _run("knn", lambda: _force(q["knn"](spark, sf_dir)), timings)
     _run("point_pixel_lookup", lambda: _force(q["point_pixel_lookup"](spark, sf_dir)), timings)

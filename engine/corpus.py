@@ -138,8 +138,12 @@ def gopher_repetition_df(
     for n in GOPHER_TOP_NGRAM_MAX:
         aggs.append(
             _frac(
-                F.max(
-                    F.when(F.col("kind") == f"g{n}", F.col("cnt") * F.col("chars"))
+                # coalesce: a doc shorter than n words has no n-grams -> 0.0
+                F.coalesce(
+                    F.max(
+                        F.when(F.col("kind") == f"g{n}", F.col("cnt") * F.col("chars"))
+                    ),
+                    F.lit(0),
                 ),
                 F.first("_chars"),
             ).alias(f"top{n}gram_char_frac")
@@ -303,6 +307,20 @@ def decontaminate_df(
     )
 
 
+def ngram_hashes_sql(col: str, n: int) -> str:
+    """DuckDB list expression twin of ngram_hashes (distinct 60-bit hashes
+    of normalized word n-grams)."""
+    toks = (
+        f"list_filter(string_split(regexp_replace(lower({col}), "
+        f"'{_NORM_RE}', ' ', 'g'), ' '), w -> w <> '')"
+    )
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> {md5_int_sql(f'array_to_string({toks}[i:i+{n - 1}], chr(32))')}))"
+    )
+
+
 def decontaminate_sql(
     docs_table: str,
     eval_table: str,
@@ -313,18 +331,8 @@ def decontaminate_sql(
 ) -> str:
     """DuckDB oracle for decontaminate_df (same normalization + md5 hash)."""
 
-    def toks(col: str) -> str:
-        return (
-            f"list_filter(string_split(regexp_replace(lower({col}), "
-            f"'{_NORM_RE}', ' ', 'g'), ' '), w -> w <> '')"
-        )
-
     def grams(col: str) -> str:
-        return (
-            f"list_distinct(list_transform("
-            f"range(1, greatest(len({toks(col)}) - {n - 1}, 0) + 1), "
-            f"i -> {md5_int_sql(f'array_to_string({toks(col)}[i:i+{n - 1}], chr(32))')}))"
-        )
+        return ngram_hashes_sql(col, n)
 
     return f"""
 WITH eval_grams AS (
@@ -354,6 +362,45 @@ LEFT JOIN (
 _HASH_SPACE = float(1 << 60)  # md5_int range
 
 
+def sample_flag(
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> Column:
+    """The stratified-sampling keep predicate as a boolean Column:
+    md5(seed || strata || key) < fraction(strata) * 2^60."""
+    frac = F.lit(default_fraction)
+    for k, v in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
+    h = md5_int(
+        F.concat_ws("\x1f", F.lit(str(seed)), F.col(strata_col), F.col(key_col))
+    )
+    return h < (frac * _HASH_SPACE).cast("long")
+
+
+def sample_flag_sql(
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> str:
+    """DuckDB boolean-expression twin of sample_flag (same md5 predicate)."""
+    cases = " ".join(
+        f"WHEN {strata_col} = '{k}' THEN {float(v)!r}" for k, v in sorted(fractions.items())
+    )
+    h = md5_int_sql(
+        f"concat('{seed}', chr(31), {strata_col}, chr(31), {key_col})"
+    )
+    # floor() because Spark's double->long cast truncates while DuckDB's rounds
+    return (
+        f"({h} < CAST(floor((CASE {cases} ELSE {float(default_fraction)!r} END)"
+        f" * {_HASH_SPACE!r}) AS BIGINT))"
+    )
+
+
 def sample_stratified(
     df: DataFrame,
     strata_col: str,
@@ -371,13 +418,9 @@ def sample_stratified(
     with `default_fraction`.  DuckDB reproduces the predicate exactly
     (sample_stratified_sql).
     """
-    frac = F.lit(default_fraction)
-    for k, v in sorted(fractions.items()):
-        frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
-    h = md5_int(
-        F.concat_ws("\x1f", F.lit(str(seed)), F.col(strata_col), F.col(key_col))
+    return df.where(
+        sample_flag(strata_col, fractions, key_col, seed, default_fraction)
     )
-    return df.where(h < (frac * _HASH_SPACE).cast("long"))
 
 
 def sample_stratified_sql(
@@ -389,17 +432,8 @@ def sample_stratified_sql(
     default_fraction: float = 0.0,
 ) -> str:
     """DuckDB WHERE-clause twin of sample_stratified (same md5 predicate)."""
-    cases = " ".join(
-        f"WHEN {strata_col} = '{k}' THEN {float(v)!r}" for k, v in sorted(fractions.items())
-    )
-    h = md5_int_sql(
-        f"concat('{seed}', chr(31), {strata_col}, chr(31), {key_col})"
-    )
-    return (
-        # floor() because Spark's double→long cast truncates while DuckDB's rounds
-        f"SELECT * FROM {table} WHERE {h} < "
-        f"CAST(floor((CASE {cases} ELSE {float(default_fraction)!r} END) * {_HASH_SPACE!r}) AS BIGINT)"
-    )
+    flag = sample_flag_sql(strata_col, fractions, key_col, seed, default_fraction)
+    return f"SELECT * FROM {table} WHERE {flag}"
 
 
 def domain_cap_df(
