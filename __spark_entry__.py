@@ -2996,7 +2996,14 @@ def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gopher_keep",
     )
     samp = docs.select("doc_id", flag.cast("int").alias("sample_kept"))
-    return qsel.join(dec, on="doc_id").join(samp, on="doc_id")
+    spans = corpus.dedup_spans_df(gdocs, k=10).select(
+        "doc_id",
+        F.col("n_removed").alias("span_removed"),
+        F.md5(F.col("clean_text").cast("binary")).alias("span_clean_md5"),
+    )
+    return (
+        qsel.join(dec, on="doc_id").join(samp, on="doc_id").join(spans, on="doc_id")
+    )
 
 
 def _sql_corpus_curation() -> str:
@@ -3173,6 +3180,8 @@ def _sql_corpus_curation() -> str:
                    sum((e.h IS NOT NULL)::INT) AS ngrams_hit
             FROM doc_grams d LEFT JOIN eval_grams e USING (h)
             GROUP BY d.doc_id
+        ), spans AS (
+            {corpus.dedup_spans_sql("base", k=10)}
         )
         SELECT d.doc_id,
                CAST(q.wc AS BIGINT) AS word_count,
@@ -3182,11 +3191,14 @@ def _sql_corpus_curation() -> str:
                CAST(coalesce(dec.ngrams_total, 0) AS BIGINT) AS ngrams_total,
                CAST(coalesce(dec.ngrams_hit, 0) AS BIGINT) AS ngrams_hit,
                CASE WHEN coalesce(dec.ngrams_hit, 0) > 0 THEN 1 ELSE 0 END AS contaminated,
-               {flag}::INT AS sample_kept
+               {flag}::INT AS sample_kept,
+               s.n_removed AS span_removed,
+               md5(s.clean_text) AS span_clean_md5
         FROM documents d
         JOIN q USING (doc_id)
         LEFT JOIN rep r USING (doc_id)
         LEFT JOIN dec USING (doc_id)
+        JOIN spans s USING (doc_id)
     """
 
 

@@ -436,6 +436,133 @@ def sample_stratified_sql(
     return f"SELECT * FROM {table} WHERE {flag}"
 
 
+def dedup_spans_df(
+    docs: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring removal (Lee et al. 2021,
+    arXiv:2107.06499, the 'ExactSubstr' dedup): every token position that
+    lies inside a token span of length >= k occurring >= min_count times in
+    the corpus (within- OR cross-document) is removed; survivors are
+    reassembled in order, single-space joined.
+
+    No suffix array needed for the covered set: a position is inside a
+    duplicated substring of length >= k  iff  it is covered by a duplicated
+    k-token window (every window of a duplicated substring is itself
+    duplicated, and a duplicated window IS a duplicated k-substring), so
+    counting k-windows gives the exact cover.
+
+    Plan (all JVM-side, md5-hash grams so DuckDB reproduces it):
+    posexplode k-gram hashes -> hash groupBy count (map-combined) ->
+    join duplicated hashes back -> explode covered positions (distinct)
+    -> anti-join token positions -> per-doc ordered reassembly.  Shuffles
+    key on gram hash and (doc, pos); a corpus-hot gram (boilerplate) fans
+    out one row per occurrence, same cardinality as its input.  Tokens are
+    whitespace-split, case-preserved; reassembly normalizes runs of
+    whitespace to single spaces (documented deviation: the reference
+    method edits raw bytes, this engine edits the token stream).
+    """
+    did = F.col(id_col)
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
+    base = docs.select(did.alias("_id"), words.alias("_w"))
+    cnt = F.size(F.col("_w")) - (k - 1)
+    grams = F.when(
+        cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: md5_int(F.concat_ws(" ", F.slice(F.col("_w"), i, k))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    ex = base.select("_id", F.posexplode(grams).alias("start", "h"))
+    dup = (
+        ex.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+        .select("h")
+    )
+    covered = (
+        ex.join(dup, on="h")
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = base.select("_id", F.posexplode(F.col("_w")).alias("pos", "tok"))
+    kept = toks.join(covered, on=["_id", "pos"], how="left_anti")
+    agg = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("_id", F.size("_w").cast("long").alias("n_tokens"))
+        .join(agg, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def dedup_spans_sql(
+    table: str,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> str:
+    """DuckDB oracle for dedup_spans_df (same tokenization + md5 grams)."""
+    h = md5_int_sql(f"array_to_string(words[i:i+{k - 1}], chr(32))")
+    return f"""
+WITH w AS (
+  SELECT {id_col} AS id,
+         list_filter(string_split_regex({text_col}, '\\s+'), x -> x <> '') AS words
+  FROM {table}
+), ex AS (
+  SELECT id, i - 1 AS start, {h} AS h
+  FROM (SELECT id, words,
+               unnest(range(1, greatest(len(words) - {k - 1}, 0) + 1)) AS i
+        FROM w)
+), dup AS (
+  SELECT h FROM ex GROUP BY h HAVING count(*) >= {min_count}
+), cov AS (
+  SELECT DISTINCT id, start + unnest(range(0, {k})) AS pos
+  FROM ex JOIN dup USING (h)
+), toks AS (
+  SELECT id, i - 1 AS pos, words[i] AS tok
+  FROM (SELECT id, words, unnest(range(1, len(words) + 1)) AS i FROM w)
+), kept AS (
+  SELECT t.id, t.pos, t.tok FROM toks t
+  ANTI JOIN cov c ON t.id = c.id AND t.pos = c.pos
+), agg AS (
+  SELECT id, count(*) AS n_kept, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY id
+)
+SELECT w.id AS {id_col},
+       CAST(len(w.words) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(w.words) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(a.clean_text, '') AS clean_text
+FROM w LEFT JOIN agg a ON w.id = a.id
+"""
+
+
 def domain_cap_df(
     df: DataFrame,
     domain_col: str,

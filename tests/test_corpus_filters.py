@@ -247,6 +247,73 @@ def test_sample_stratified_deterministic_and_proportional(spark):
     assert langs <= {"en"}
 
 
+def test_dedup_spans_cross_doc(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [
+        (1, f"unique one two {shared} tail1 tail2"),
+        (2, f"{shared} other words here"),
+        (3, "no duplication at all in this document body"),
+    ]
+    got = (
+        corpus.dedup_spans_df(_docs(spark, rows), k=10)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # the 12 shared tokens are removed from BOTH docs; unique parts survive
+    assert got.loc[1, "clean_text"] == "unique one two tail1 tail2"
+    assert got.loc[1, "n_removed"] == 12
+    assert got.loc[2, "clean_text"] == "other words here"
+    assert got.loc[2, "n_removed"] == 12
+    assert got.loc[3, "n_removed"] == 0
+    assert got.loc[3, "clean_text"] == rows[2][1]
+
+
+def test_dedup_spans_within_doc_and_full_cover(spark):
+    block = " ".join(f"w{i}" for i in range(10))
+    rows = [
+        (1, f"{block} {block}"),        # within-doc repeat: everything covered
+        (2, f"lead {block} mid {block} trail"),
+    ]
+    got = (
+        corpus.dedup_spans_df(_docs(spark, rows), k=10)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[1, "clean_text"] == "" and got.loc[1, "n_kept"] == 0
+    assert got.loc[2, "clean_text"] == "lead mid trail"
+
+
+def test_dedup_spans_oracle_duckdb(spark):
+    docs = spark.read.parquet(DOCS_PQ)
+    got = (
+        corpus.dedup_spans_df(docs, k=5)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS_PQ}')")
+    exp = (
+        con.execute(corpus.dedup_spans_sql("documents", k=5))
+        .df()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got["n_removed"].sum() > 0  # word soup repeats 5-grams somewhere
+    for c in ("n_tokens", "n_kept", "n_removed", "clean_text"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    # parallelism invariance
+    again = (
+        corpus.dedup_spans_df(docs.repartition(16), k=5)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (again["clean_text"].to_numpy() == got["clean_text"].to_numpy()).all()
+
+
 def test_domain_cap(spark):
     docs = spark.read.parquet(DOCS_PQ)
     capped = corpus.domain_cap_df(docs, "source", cap=10, key_col="doc_id")
