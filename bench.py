@@ -212,6 +212,13 @@ def main():
 
     _run("pq_ann", _pq, timings)
 
+    # corpus-curation additions: Gopher quality+repetition scan, exact
+    # duplicated-substring removal (both one-pass exploded aggregations)
+    from engine import corpus as _corpus
+
+    _run("corpus_gopher", lambda: _force(_corpus.gopher_quality_df(docs)), timings)
+    _run("span_dedup", lambda: _force(_corpus.dedup_spans_df(docs, k=20)), timings)
+
     total = round(sum(timings.values()), 3)
     pages_per_sec = round(n_pages / flagship_wall, 1) if flagship_wall > 0 else None
     print(

