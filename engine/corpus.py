@@ -610,6 +610,126 @@ FROM w LEFT JOIN agg a ON w.id = a.id
 """
 
 
+# --------------------------------------------------------------------------
+# PII scrubbing / token chunking
+# --------------------------------------------------------------------------
+
+# Public Dolma/CCNet-style patterns, restricted to syntax with identical
+# semantics under Java regex (Spark) and RE2 (DuckDB): no lookaround.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "|||EMAIL|||"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "|||IP|||"),
+    ("phone", r"\+?\d{1,3}[-. ]\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}", "|||PHONE|||"),
+)
+
+
+def pii_scrub_df(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction (the public Dolma/CCNet pipeline stage): emails, IPv4
+    addresses and phone numbers are counted and replaced with typed masks,
+    applied in the fixed order email -> ipv4 -> phone (each pass sees the
+    previous pass's masks, so counts are disjoint).  Pure projection — one
+    scan, no shuffle at any scale; DuckDB twin in pii_scrub_sql."""
+    t = F.col(text_col)
+    out_cols: list[Column] = [F.col(id_col)]
+    clean = t
+    for name, pat, mask in PII_PATTERNS:
+        out_cols.append(F.regexp_count(clean, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        clean = F.regexp_replace(clean, pat, mask)
+    out_cols.append(clean.alias("clean_text"))
+    return docs.select(*out_cols)
+
+
+def pii_scrub_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB oracle for pii_scrub_df (same patterns, same pass order)."""
+    counts, clean = [], text_col
+    for name, pat, mask in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({clean}, '{pat}')) AS BIGINT) AS n_{name}"
+        )
+        clean = f"regexp_replace({clean}, '{pat}', '{mask}', 'g')"
+    return (
+        f"SELECT {id_col}, {', '.join(counts)}, {clean} AS clean_text FROM {table}"
+    )
+
+
+def chunk_tokens_df(
+    docs: DataFrame,
+    size: int = 512,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document's token stream into training windows of `size`
+    tokens stepping by `stride` (= size when None: disjoint; < size:
+    overlapping).  The final partial window is kept (sequence packing pads
+    downstream).  Explode-only plan — no shuffle; rows are
+    (id, chunk_id, n_tokens, chunk_text) with chunk_id = 0-based window
+    ordinal, so (id, chunk_id) is a deterministic global key."""
+    stride = size if stride is None else stride
+    if stride < 1 or size < 1:
+        raise ValueError("size and stride must be >= 1")
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
+    base = docs.select(F.col(id_col).alias("_id"), words.alias("_w"))
+    m = F.size(F.col("_w"))
+    # number of windows: 1 + ceil(max(m - size, 0) / stride), 0 when m == 0
+    n_win = F.when(
+        m > 0,
+        F.lit(1)
+        + F.ceil((F.greatest(m - size, F.lit(0))).cast("double") / stride).cast("int"),
+    ).otherwise(F.lit(0))
+    chunks = F.when(
+        n_win > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_id"),
+                F.size(F.slice(F.col("_w"), i * stride + 1, size))
+                .cast("long")
+                .alias("n_tokens"),
+                F.concat_ws(" ", F.slice(F.col("_w"), i * stride + 1, size)).alias(
+                    "chunk_text"
+                ),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<chunk_id:bigint,n_tokens:bigint,chunk_text:string>>")
+    )
+    return base.select(
+        F.col("_id").alias(id_col), F.explode(chunks).alias("c")
+    ).select(id_col, "c.chunk_id", "c.n_tokens", "c.chunk_text")
+
+
+def chunk_tokens_sql(
+    table: str,
+    size: int = 512,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle for chunk_tokens_df."""
+    stride = size if stride is None else stride
+    return f"""
+WITH w AS (
+  SELECT {id_col},
+         list_filter(string_split_regex({text_col}, '\\s+'), x -> x <> '') AS words
+  FROM {table}
+), nw AS (
+  SELECT {id_col}, words,
+         CASE WHEN len(words) > 0
+              THEN 1 + CAST(ceil(greatest(len(words) - {size}, 0)::DOUBLE / {stride}) AS INT)
+              ELSE 0 END AS n_win
+  FROM w
+)
+SELECT {id_col},
+       CAST(i AS BIGINT) AS chunk_id,
+       CAST(len(words[i * {stride} + 1 : i * {stride} + {size}]) AS BIGINT) AS n_tokens,
+       array_to_string(words[i * {stride} + 1 : i * {stride} + {size}], ' ') AS chunk_text
+FROM (SELECT {id_col}, words, unnest(range(0, n_win)) AS i FROM nw)
+"""
+
+
 def domain_cap_df(
     df: DataFrame,
     domain_col: str,

@@ -314,6 +314,94 @@ def test_dedup_spans_oracle_duckdb(spark):
     assert (again["clean_text"].to_numpy() == got["clean_text"].to_numpy()).all()
 
 
+def test_pii_scrub_unit(spark):
+    rows = [
+        (1, "mail me at john.doe+x@sub.example.org or call +1-555 123-4567 now"),
+        (2, "server at 192.168.0.1 and 10.0.0.255 ok"),
+        (3, "clean text with no pii at all"),
+    ]
+    got = corpus.pii_scrub_df(_docs(spark, rows)).toPandas().set_index("doc_id")
+    assert got.loc[1, "n_email"] == 1 and got.loc[1, "n_phone"] == 1
+    assert "|||EMAIL|||" in got.loc[1, "clean_text"]
+    assert "|||PHONE|||" in got.loc[1, "clean_text"]
+    assert "john.doe" not in got.loc[1, "clean_text"]
+    assert got.loc[2, "n_ipv4"] == 2
+    assert got.loc[2, "clean_text"] == "server at |||IP||| and |||IP||| ok"
+    assert got.loc[3, "clean_text"] == rows[2][1]
+    assert (got.loc[3, ["n_email", "n_ipv4", "n_phone"]] == 0).all()
+
+
+def test_pii_scrub_oracle_duckdb(spark):
+    docs = spark.read.parquet(DOCS_PQ)
+    # salt the real table with synthetic PII rows (deterministic in-query)
+    salted = docs.selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 5 = 0 THEN concat(text, ' a@b.io 1.2.3.4 +1-555 123-4567') "
+        "ELSE text END AS text",
+    )
+    got = corpus.pii_scrub_df(salted).toPandas().set_index("doc_id").sort_index()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS_PQ}')")
+    con.execute(
+        "CREATE VIEW salted AS SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
+        "THEN concat(text, ' a@b.io 1.2.3.4 +1-555 123-4567') ELSE text END AS text "
+        "FROM documents"
+    )
+    exp = (
+        con.execute(corpus.pii_scrub_sql("salted"))
+        .df()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got["n_email"].sum() > 0 and got["n_ipv4"].sum() > 0
+    for c in got.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_chunk_tokens(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    rows = [(1, text), (2, "only three tokens"), (3, "")]
+    got = (
+        corpus.chunk_tokens_df(_docs(spark, rows), size=4, stride=4)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    d1 = got[got.doc_id == 1]
+    assert list(d1["chunk_text"]) == ["t0 t1 t2 t3", "t4 t5 t6 t7", "t8 t9"]
+    assert list(d1["n_tokens"]) == [4, 4, 2]
+    assert len(got[got.doc_id == 2]) == 1
+    assert len(got[got.doc_id == 3]) == 0  # empty doc -> no chunks
+    # overlapping windows
+    ov = (
+        corpus.chunk_tokens_df(_docs(spark, rows[:1]), size=6, stride=3)
+        .toPandas()
+        .sort_values("chunk_id")
+    )
+    assert list(ov["chunk_text"])[:2] == ["t0 t1 t2 t3 t4 t5", "t3 t4 t5 t6 t7 t8"]
+
+
+def test_chunk_tokens_oracle_duckdb(spark):
+    docs = spark.read.parquet(DOCS_PQ)
+    got = (
+        corpus.chunk_tokens_df(docs, size=32, stride=24)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS_PQ}')")
+    exp = (
+        con.execute(corpus.chunk_tokens_sql("documents", size=32, stride=24))
+        .df()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) and len(got) > len(got["doc_id"].unique())
+    for c in ("doc_id", "chunk_id", "n_tokens", "chunk_text"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
 def test_domain_cap(spark):
     docs = spark.read.parquet(DOCS_PQ)
     capped = corpus.domain_cap_df(docs, "source", cap=10, key_col="doc_id")
