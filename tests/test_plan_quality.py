@@ -59,3 +59,52 @@ def test_small_dimension_broadcast(spark):
     out = entrymod._q_first_match_join(spark, SF)
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_corpus_operators_stay_jvm_side(spark):
+    """The corpus-curation hot paths must contain NO Python execution
+    nodes (BatchEvalPython / ArrowEvalPython / FlatMapGroupsInPandas) and
+    must prune the documents scan to the columns they read."""
+    from engine import corpus
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    for df in (
+        corpus.gopher_quality_df(docs),
+        corpus.dedup_spans_df(docs, k=10),
+        corpus.pii_scrub_df(docs),
+        corpus.chunk_tokens_df(docs, size=64),
+        corpus.decontaminate_df(docs, docs.limit(2).select("text"), n=8),
+    ):
+        plan = _plan(df)
+        assert "EvalPython" not in plan and "InPandas" not in plan, plan[:2000]
+        rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert rs and all("html" not in ln for ln in rs), rs
+
+
+def test_gopher_aggregation_map_side_combines(spark):
+    """The repetition groupBy must plan a partial aggregate before the
+    exchange (map-side combine) so a hot gram never ships every
+    occurrence through the shuffle."""
+    from engine import corpus
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    plan = _plan(corpus.gopher_repetition_df(docs))
+    # formatted plan lists HashAggregate twice around the Exchange for a
+    # partial+final pair; assert a partial aggregate exists upstream
+    assert plan.count("HashAggregate") >= 2 and "Exchange" in plan
+
+
+def test_urlops_projection_only(spark):
+    """URL parse/normalize/SURT are pure projections: no exchange, no
+    Python nodes, single scan."""
+    from engine import urlops
+    from engine.fixtures import make_pages
+
+    pages = spark.createDataFrame(make_pages(n=200))
+    df = pages.select(
+        urlops.url_normalize(F.col("url")).alias("n"),
+        urlops.surt_key(F.col("url")).alias("s"),
+    )
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
