@@ -455,3 +455,53 @@ def fit_pair_transforms(gcps: DataFrame, min_gcps: int = 3) -> DataFrame:
         .groupBy("pair_id")
         .applyInPandas(_fit, FIT_SCHEMA)
     )
+
+
+def gcps_to_vector(gcps: DataFrame, links: bool = False) -> DataFrame:
+    """gcps2vec analog (swig/python/scripts/gcps2vec.py): a GCP table ->
+    point layer at the georeferenced positions with pixel/line attributes;
+    ``links=True`` instead emits a LineString per GCP from the raw
+    (pixel, line) position to the (x, y) position (the -l mode, for
+    visual residual inspection).  Pure projection — no shuffle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from . import geom as _geom
+
+    @F.pandas_udf(BinaryType())
+    def _pt(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_geom.wkb_point(float(a), float(b)) for a, b in zip(x, y)]
+        )
+
+    @F.pandas_udf(BinaryType())
+    def _link(px: pd.Series, ln: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _geom.wkb_linestring([(float(a), float(b)), (float(c), float(d))])
+                for a, b, c, d in zip(px, ln, x, y)
+            ]
+        )
+
+    if links:
+        g = _link(F.col("gcp_pixel"), F.col("gcp_line"), F.col("gcp_x"), F.col("gcp_y"))
+    else:
+        g = _pt(F.col("gcp_x"), F.col("gcp_y"))
+    return gcps.withColumn("geom_wkb", g)
+
+
+def move_geotransform(gt, affine):
+    """gdalmove analog (swig/python/scripts/gdalmove.py): compose an affine
+    correction ``x' = c0 + c1 x + c2 y ; y' = c3 + c4 x + c5 y`` onto a GDAL
+    geotransform WITHOUT resampling pixels — only the georeferencing
+    changes.  Returns the new 6-tuple."""
+    g0, g1, g2, g3, g4, g5 = (float(v) for v in gt)
+    c0, c1, c2, c3, c4, c5 = (float(v) for v in affine)
+    return (
+        c0 + c1 * g0 + c2 * g3,
+        c1 * g1 + c2 * g4,
+        c1 * g2 + c2 * g5,
+        c3 + c4 * g0 + c5 * g3,
+        c4 * g1 + c5 * g4,
+        c4 * g2 + c5 * g5,
+    )

@@ -542,3 +542,154 @@ class UTMTransformer:
         x = np.asarray(e, dtype=np.float64) - _FE
         y = np.asarray(n, dtype=np.float64) - (_FN_S if self.south else 0.0)
         return tmerc_inverse(x, y, self.lon0)
+
+
+# ---------------------------------------------------------------------------
+# PROJ.4-string registry (gdalsrsinfo / gdalwarp -t_srs parity surface)
+#
+# The reference accepts CRS definitions as PROJ.4 strings (apps/gdalwarp.cpp
+# -t_srs; apps/gdalsrsinfo.cpp reports them).  PROJ.4 syntax is the public
+# de-facto exchange format; this registry maps the subset this engine
+# implements in closed form onto the transformer classes above, both ways:
+# parse_proj4 -> make_transformer, and proj4_string -> report.
+# ---------------------------------------------------------------------------
+
+_ELLPS_BY_NAME = {k: k for k in ELLIPSOIDS}
+
+
+def parse_proj4(s: str) -> dict:
+    """Parse a PROJ.4 string into a {key: value} dict (floats where they
+    parse, bare flags -> True).  Raises on a missing +proj."""
+    out: dict = {}
+    for tok in s.split():
+        if not tok.startswith("+"):
+            raise ValueError(f"bad PROJ.4 token: {tok!r}")
+        body = tok[1:]
+        if "=" in body:
+            k, v = body.split("=", 1)
+            try:
+                out[k] = float(v) if k not in ("proj", "ellps", "units") else v
+            except ValueError:
+                out[k] = v
+        else:
+            out[body] = True
+    if "proj" not in out:
+        raise ValueError("PROJ.4 string lacks +proj")
+    return out
+
+
+def make_transformer(proj4: str | dict):
+    """PROJ.4 string (or parsed dict) -> transformer with forward/inverse,
+    ready for engine.warp.warp_custom — the ``gdalwarp -t_srs '+proj=...'``
+    entry point.  Supported: longlat (identity), utm, tmerc, lcc, aea,
+    merc, stere (polar aspect), sinu, eqc.  +towgs84 with 7 parameters
+    chains a Helmert datum shift in front of the projection
+    (alg/gdaltransformer.cpp:974 composition)."""
+    p = parse_proj4(proj4) if isinstance(proj4, str) else dict(proj4)
+    name = p["proj"]
+    ellps = p.get("ellps", "WGS84")
+    if isinstance(ellps, str) and ellps not in ELLIPSOIDS:
+        raise ValueError(f"unknown ellipsoid {ellps!r}")
+    if "a" in p and "rf" in p:
+        ellps = (float(p["a"]), float(p["rf"]))
+
+    if name == "longlat":
+        class _Identity:
+            def forward(self, lon, lat):
+                return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
+
+            inverse = forward
+
+        tr = _Identity()
+    elif name == "utm":
+        tr = UTMTransformer(int(p["zone"]), south=bool(p.get("south", False)))
+    elif name == "tmerc":
+        lon0, k0 = float(p.get("lon_0", 0.0)), float(p.get("k", _K0))
+        fe, fn = float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0))
+
+        class _Tmerc:
+            def forward(self, lon, lat):
+                x, y = tmerc_forward(lon, lat, lon0, k0)
+                return x + fe, y + fn
+
+            def inverse(self, x, y):
+                return tmerc_inverse(
+                    np.asarray(x, dtype=np.float64) - fe,
+                    np.asarray(y, dtype=np.float64) - fn,
+                    lon0,
+                    k0,
+                )
+
+        tr = _Tmerc()
+    elif name == "lcc":
+        tr = LCCTransformer(
+            float(p["lat_1"]), float(p.get("lat_2", p["lat_1"])),
+            float(p.get("lat_0", 0.0)), float(p.get("lon_0", 0.0)),
+            float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0)), ellps,
+        )
+    elif name == "aea":
+        tr = AlbersTransformer(
+            float(p["lat_1"]), float(p.get("lat_2", p["lat_1"])),
+            float(p.get("lat_0", 0.0)), float(p.get("lon_0", 0.0)),
+            float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0)), ellps,
+        )
+    elif name == "merc":
+        tr = MercatorTransformer(
+            float(p.get("lon_0", 0.0)), float(p.get("lat_ts", 0.0)),
+            float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0)), ellps,
+        )
+    elif name == "stere":
+        lat0 = float(p.get("lat_0", 90.0))
+        if abs(lat0) != 90.0:
+            raise ValueError("stere: only the polar aspect (lat_0=±90) is implemented")
+        lat_ts = float(p.get("lat_ts", lat0))
+        tr = PolarStereographicTransformer(
+            lat_ts if lat0 > 0 else -abs(lat_ts),
+            float(p.get("lon_0", 0.0)),
+            float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0)), ellps,
+        )
+    elif name == "sinu":
+        tr = SinusoidalTransformer(float(p.get("lon_0", 0.0)), ellps)
+    elif name == "eqc":
+        tr = EquirectangularTransformer(
+            float(p.get("lat_ts", 0.0)), float(p.get("lon_0", 0.0)), ellps
+        )
+    else:
+        raise ValueError(f"unsupported +proj={name!r} (closed-form subset)")
+
+    tw = p.get("towgs84")
+    if tw:
+        vals = [float(v) for v in str(tw).split(",")]
+        if len(vals) == 3:
+            vals += [0.0, 0.0, 0.0, 0.0]
+        if len(vals) != 7:
+            raise ValueError("+towgs84 needs 3 or 7 parameters")
+        tr = DatumProjectedTransformer(HelmertTransformer(*vals), tr)
+    return tr
+
+
+def srs_info(proj4: str) -> dict:
+    """gdalsrsinfo analog (apps/gdalsrsinfo.cpp): report a parsed, validated
+    view of a PROJ.4 definition — canonical parameter dict, ellipsoid
+    (a, 1/f), and whether this engine can transform it in closed form."""
+    p = parse_proj4(proj4)
+    ellps = p.get("ellps", "WGS84")
+    if "a" in p and "rf" in p:
+        a, inv_f = float(p["a"]), float(p["rf"])
+    else:
+        a, inv_f = ELLIPSOIDS.get(str(ellps), (float("nan"), float("nan")))
+    try:
+        make_transformer(dict(p))
+        supported = True
+        reason = ""
+    except (ValueError, KeyError) as exc:
+        supported = False
+        reason = str(exc)
+    return {
+        "proj": p["proj"],
+        "params": {k: v for k, v in p.items() if k != "proj"},
+        "semi_major": a,
+        "inverse_flattening": inv_f,
+        "supported": supported,
+        "reason": reason,
+    }

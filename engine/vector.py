@@ -349,3 +349,42 @@ def layer_info(df: DataFrame, lon_col: str = "lon", lat_col: str = "lat") -> Dat
         F.lit(fields).alias("fields"),
         "feature_count", "minx", "miny", "maxx", "maxy",
     )
+
+
+def layer_tile_index(layers: dict, lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """ogrtindex analog (apps/ogrtindex.cpp): one row per input layer with
+    its name, feature count, extent, and the extent's bbox polygon as WKB —
+    the vector-layer counterpart of the gdaltindex manifest.  One extent
+    aggregation per layer; rows union driver-side (layer count is small by
+    definition of a tile index)."""
+    from . import geom as _geom
+
+    out = None
+    for name, df in layers.items():
+        ext = layer_extent(df, lon_col, lat_col).withColumn(
+            "location", F.lit(name)
+        )
+        out = ext if out is None else out.unionByName(ext)
+
+    @F.pandas_udf("binary")
+    def _bbox(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _geom.wkb_polygon(
+                    [[(a, b), (c, b), (c, d), (a, d), (a, b)]]
+                )
+                for a, b, c, d in zip(minx, miny, maxx, maxy)
+            ]
+        )
+
+    return out.select(
+        "location",
+        "feature_count",
+        "minx",
+        "miny",
+        "maxx",
+        "maxy",
+        _bbox(F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy")).alias(
+            "geom_wkb"
+        ),
+    )
