@@ -219,3 +219,58 @@ def run_stage(
         },
     )
     return persisted
+
+
+def run_doc_stage(
+    spark: SparkSession,
+    stage: str,
+    df_fn,
+    base: str,
+    resume: bool = False,
+) -> DataFrame:
+    """:func:`run_stage` for DOCUMENT tables (any schema): parquet persist
+    under ``base/stage=<name>``, per-partition lineage (row count + an
+    order-independent xxhash64-XOR content checksum over every column), a
+    manifest record, and resume (a completed stage reads back; its producer
+    is never re-invoked).  This extends the checkpoint/lineage contract
+    from the tile pipeline to the corpus pipeline — every curation stage
+    (scrub -> filter -> dedup -> sample) restarts mid-pipeline."""
+    path = os.path.join(base, f"stage={stage}")
+    if resume and stage in completed_stages(spark, base):
+        return spark.read.parquet(path)
+    t0 = time.time()
+    out = df_fn()
+    out.write.mode("overwrite").parquet(path)
+    persisted = spark.read.parquet(path)
+    # content checksum: per-row hash over ALL columns folded with XOR —
+    # invariant to row order and partitioning, so re-runs at any
+    # parallelism must reproduce it bit-for-bit
+    hashed = persisted.withColumn(
+        "_h", F.xxhash64(*[F.col(c) for c in persisted.columns])
+    ).withColumn("part_id", F.spark_partition_id())
+    lineage = hashed.groupBy("part_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("aggregate(collect_list(_h), 0L, (a, x) -> a ^ x)").alias("ck_xor"),
+    )
+    lineage.write.mode("overwrite").parquet(
+        os.path.join(base, "_lineage", f"stage={stage}")
+    )
+    total = persisted.count()
+    ck = lineage.agg(
+        F.expr("aggregate(collect_list(ck_xor), 0L, (a, x) -> a ^ x)")
+    ).collect()[0][0]
+    _append_manifest(
+        spark,
+        base,
+        {
+            "stage": stage,
+            "ts": time.time(),
+            "wall_s": round(time.time() - t0, 3),
+            "master": spark.sparkContext.master,
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "n_rows": total,
+            "content_ck": int(ck if ck is not None else 0),
+            "n_partitions": lineage.count(),
+        },
+    )
+    return persisted

@@ -417,3 +417,45 @@ def test_domain_cap(spark):
     got = per.set_index("source")["count"]
     for dom, n in orig.items():
         assert got.get(dom, 0) == min(n, 10)
+
+
+def test_run_doc_stage_checkpoint_resume(spark, tmp_path):
+    """The corpus pipeline gets the same checkpoint/lineage/resume contract
+    as the tile pipeline: stages persist with per-partition content
+    checksums, resume never re-invokes the producer, and the checksum is
+    parallelism-invariant."""
+    from engine import pipeline
+
+    base = str(tmp_path / "corpus_run")
+    docs = spark.read.parquet(DOCS_PQ)
+
+    out1 = pipeline.run_doc_stage(
+        spark, "pii", lambda: corpus.pii_scrub_df(docs), base
+    )
+    out2 = pipeline.run_doc_stage(
+        spark,
+        "gopher",
+        lambda: corpus.gopher_quality_df(
+            out1.withColumnRenamed("clean_text", "text")
+        ),
+        base,
+    )
+    assert out2.count() == docs.count()
+    man = spark.read.json(f"{base}/_manifest").toPandas().set_index("stage")
+    assert set(man.index) == {"pii", "gopher"}
+    assert int(man.loc["pii", "n_rows"]) == docs.count()
+
+    def boom():
+        raise AssertionError("resume must not re-invoke the producer")
+
+    res = pipeline.run_doc_stage(spark, "pii", boom, base, resume=True)
+    assert res.count() == docs.count()
+
+    # content checksum is row-order / parallelism invariant: rebuilding the
+    # same stage from a repartitioned input yields the same manifest ck
+    base2 = str(tmp_path / "corpus_run2")
+    pipeline.run_doc_stage(
+        spark, "pii", lambda: corpus.pii_scrub_df(docs.repartition(16)), base2
+    )
+    man2 = spark.read.json(f"{base2}/_manifest").toPandas().set_index("stage")
+    assert int(man2.loc["pii", "content_ck"]) == int(man.loc["pii", "content_ck"])
