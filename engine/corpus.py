@@ -57,8 +57,8 @@ def _word_ngrams(words: Column, n: int) -> Column:
 def gopher_repetition_df(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Gopher repetition metrics (Rae et al. 2021 App. A1.2), one exploded
-    scan + two map-combined aggregations.  Per document:
+    """Gopher repetition metrics (Rae et al. 2021 App. A1.2), one
+    shuffle-free projection.  Per document:
 
       dup_line_frac        duplicate lines / total lines
       dup_para_frac        duplicate paragraphs / total paragraphs
@@ -78,13 +78,36 @@ def gopher_repetition_df(
 
     "duplicate" for lines/paragraphs = occurrences beyond the first of a
     trimmed non-empty line (paragraphs split on blank lines).
+
+    Plan: ZERO shuffles.  Every metric counts duplicates *within* one
+    document, so nothing ever needs to leave the row: each family's items
+    hash to (xxhash64, chars) structs, the array is sorted in-row, and one
+    sequential fold over adjacent elements yields excess counts, excess
+    chars, and the max run cover.  The whole operator is a projection —
+    at 100 TB it runs entirely map-side in whole-stage codegen.  A 64-bit
+    hash collision within one (doc, family) would merge two items; at
+    ~1e6 items/doc the probability is < 1e-7 corpus-wide, and the DuckDB
+    oracle (corpus_curation) groups by the exact strings, so driver
+    parity doubles as a standing collision check.
     """
+    pre = _rep_prepared(docs, id_col, text_col)
+    return pre.select(
+        F.col("_id").alias(id_col), *_rep_metric_cols()
+    )
+
+
+_REP_FAMILIES = ("line", "para", *[f"g{n}" for n in range(2, 11)])
+
+
+def _rep_prepared(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Two-stage projection materializing, per family, the SORTED
+    (hash, chars) item array as a column (materialized so the fold reads a
+    plain column — an inline array_sort expression would be re-evaluated
+    per element reference)."""
     did, t = F.col(id_col), F.col(text_col)
-    # materialize the token/line/paragraph arrays ONCE into columns — an
-    # inline expression would be re-derived by each downstream lambda tree
-    # (measured 2.3x slower), and it keeps the explode expression small
     base = docs.select(
         did.alias("_id"),
+        t.alias("_t"),
         F.length(t).alias("_chars"),
         _words(t).alias("_w"),
         F.filter(
@@ -95,109 +118,112 @@ def gopher_repetition_df(
         ).alias("_paras"),
     )
 
-    # items carry (kind, xxhash64(kind, item), chars) — the shuffle moves
-    # 8-byte keys, never gram strings.  A 64-bit collision within one
-    # (doc, kind) group would merge two items; at ~1e6 items/doc the
-    # probability is < 1e-7 corpus-wide, and the DuckDB oracle
-    # (corpus_curation) groups by the exact strings, so driver parity
-    # doubles as a standing collision check.
-    def _tagged(kind: str, arr: Column) -> Column:
-        return F.transform(
-            arr,
-            lambda x: F.struct(
-                F.lit(kind).alias("kind"),
-                F.xxhash64(F.lit(kind), x).alias("key"),
-                F.length(x).alias("chars"),
-            ),
+    def _hashed(arr: Column) -> Column:
+        return F.array_sort(
+            F.transform(
+                arr,
+                lambda x: F.struct(
+                    F.xxhash64(x).alias("h"),
+                    F.length(x).cast("long").alias("c"),
+                ),
+            )
         )
 
-    def _gram_tagged(n: int) -> Column:
+    def _gram_strings(n: int) -> Column:
         cnt = F.size(F.col("_w")) - (n - 1)
-        kind = f"g{n}"
         return F.when(
             cnt >= 1,
             F.transform(
                 F.sequence(F.lit(1), cnt),
-                lambda i: F.struct(
-                    F.lit(kind).alias("kind"),
-                    F.xxhash64(
-                        F.lit(kind), F.concat_ws(" ", F.slice(F.col("_w"), i, n))
-                    ).alias("key"),
-                    # chars(gram) = sum of word lengths + (n-1) separators,
-                    # computed without materializing the joined string twice
-                    F.aggregate(
-                        F.slice(F.col("_w"), i, n),
-                        F.lit(n - 1),
-                        lambda acc, w: acc + F.length(w),
-                    ).alias("chars"),
-                ),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, n)),
             ),
-        ).otherwise(F.array().cast("array<struct<kind:string,key:bigint,chars:int>>"))
+        ).otherwise(F.array().cast("array<string>"))
 
-    parts = [_tagged("line", F.col("_lines")), _tagged("para", F.col("_paras"))]
-    for n in (*GOPHER_TOP_NGRAM_MAX, *GOPHER_DUP_NGRAM_MAX):
-        parts.append(_gram_tagged(n))
-
-    ex = base.select(
+    # stage 2: gram STRING arrays as columns (each built once), stage 3:
+    # flat hash+length pass + sort.  Higher-order functions run on Spark's
+    # interpreted path, so two flat passes beat one nested fold-per-gram.
+    mid = base.select(
         "_id",
+        "_t",
+        "_w",
+        "_lines",
+        "_paras",
+        "_chars",
+        *[_gram_strings(n).alias(f"_gs{n}") for n in range(2, 11)],
+    )
+    fams = [_hashed(F.col("_lines")).alias("_f_line"), _hashed(F.col("_paras")).alias("_f_para")]
+    for n in range(2, 11):
+        fams.append(_hashed(F.col(f"_gs{n}")).alias(f"_f_g{n}"))
+    return mid.select(
+        "_id",
+        "_t",
+        "_w",
+        "_lines",
         "_chars",
         F.size("_lines").alias("_n_lines"),
         F.size("_paras").alias("_n_paras"),
-        F.explode_outer(F.concat(*parts)).alias("it"),
+        *fams,
     )
-    counts = ex.groupBy("_id", F.col("it.kind").alias("kind"), F.col("it.key")).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.first("it.chars").alias("chars"),
-        F.first("_chars").alias("_chars"),
-        F.first("_n_lines").alias("_n_lines"),
-        F.first("_n_paras").alias("_n_paras"),
+
+
+def _run_fold(fam: str) -> Column:
+    """Fold a sorted (h, c) array into struct(ec, echars, best):
+    ec = Σ occurrences beyond the first of each distinct h,
+    echars = Σ their chars,  best = max over runs of run_len * chars."""
+    s = F.col(f"_f_{fam}")
+    n = F.size(s)
+    first_c = F.when(n >= 1, s[0]["c"]).otherwise(F.lit(0).cast("long"))
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        zero.alias("ec"),
+        zero.alias("echars"),
+        F.lit(1).cast("long").alias("run"),
+        first_c.alias("best"),
     )
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def step(acc: Column, i: Column) -> Column:
+        cur = F.element_at(s, i + 1)
+        prev = F.element_at(s, i)
+        same = cur["h"] == prev["h"]
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            (acc["ec"] + F.when(same, 1).otherwise(0)).alias("ec"),
+            (acc["echars"] + F.when(same, cur["c"]).otherwise(zero)).alias("echars"),
+            run.alias("run"),
+            F.greatest(acc["best"], run * cur["c"]).alias("best"),
+        )
+
+    return F.aggregate(idx, init, step)
+
+
+def _rep_metric_cols() -> list:
+    """Metric Columns over a _rep_prepared frame (names fixed)."""
 
     def _frac(num: Column, den: Column) -> Column:
         return F.when(den > 0, num / den).otherwise(F.lit(0.0))
 
-    excess = F.greatest(F.col("cnt") - 1, F.lit(0))
-    aggs = [
-        _frac(
-            F.sum(F.when(F.col("kind") == "line", excess).otherwise(0)),
-            F.first("_n_lines"),
-        ).alias("dup_line_frac"),
-        _frac(
-            F.sum(F.when(F.col("kind") == "para", excess).otherwise(0)),
-            F.first("_n_paras"),
-        ).alias("dup_para_frac"),
-        _frac(
-            F.sum(F.when(F.col("kind") == "line", excess * F.col("chars")).otherwise(0)),
-            F.first("_chars"),
-        ).alias("dup_line_char_frac"),
-        _frac(
-            F.sum(F.when(F.col("kind") == "para", excess * F.col("chars")).otherwise(0)),
-            F.first("_chars"),
-        ).alias("dup_para_char_frac"),
-    ]
+    cols = []
+    line, para = _run_fold("line"), _run_fold("para")
+    cols.append(_frac(line["ec"], F.col("_n_lines")).alias("dup_line_frac"))
+    cols.append(_frac(para["ec"], F.col("_n_paras")).alias("dup_para_frac"))
+    cols.append(_frac(line["echars"], F.col("_chars")).alias("dup_line_char_frac"))
+    cols.append(_frac(para["echars"], F.col("_chars")).alias("dup_para_char_frac"))
     for n in GOPHER_TOP_NGRAM_MAX:
-        aggs.append(
-            _frac(
-                # coalesce: a doc shorter than n words has no n-grams -> 0.0
-                F.coalesce(
-                    F.max(
-                        F.when(F.col("kind") == f"g{n}", F.col("cnt") * F.col("chars"))
-                    ),
-                    F.lit(0),
-                ),
-                F.first("_chars"),
-            ).alias(f"top{n}gram_char_frac")
+        cols.append(
+            _frac(_run_fold(f"g{n}")["best"], F.col("_chars")).alias(
+                f"top{n}gram_char_frac"
+            )
         )
     for n in GOPHER_DUP_NGRAM_MAX:
-        aggs.append(
-            _frac(
-                F.sum(
-                    F.when(F.col("kind") == f"g{n}", excess * F.col("chars")).otherwise(0)
-                ),
-                F.first("_chars"),
-            ).alias(f"dup{n}gram_char_frac")
+        cols.append(
+            _frac(_run_fold(f"g{n}")["echars"], F.col("_chars")).alias(
+                f"dup{n}gram_char_frac"
+            )
         )
-    return counts.groupBy("_id").agg(*aggs).withColumnRenamed("_id", id_col)
+    return cols
 
 
 def gopher_quality_df(
@@ -209,23 +235,16 @@ def gopher_quality_df(
     ('#' + ellipsis occurrences per word), bullet_line_frac (lines starting
     with a bullet), ellipsis_line_frac (lines ending with an ellipsis),
     alpha_word_frac (words containing a letter), stopword_hits (how many of
-    Gopher's 8 required words appear).  Joined with gopher_repetition_df
-    on id (shuffle keyed by id).  gopher_keep applies every published
-    threshold; per-rule booleans are exposed so pipelines can relax rules.
+    Gopher's 8 required words appear), plus ALL repetition metrics — one
+    shuffle-free projection (the repetition folds share the same prepared
+    arrays; there is no join).  gopher_keep applies every published
+    threshold; per-rule columns are exposed so pipelines can relax rules.
     """
-    did, t = F.col(id_col), F.col(text_col)
-    pre = docs.select(
-        did,
-        t.alias("_t"),
-        _words(t).alias("_w"),
-        F.filter(
-            F.transform(F.split(t, "\n"), F.trim), lambda l: l != F.lit("")
-        ).alias("_lines"),
-    )
+    pre = _rep_prepared(docs, id_col, text_col)
     words, lines, t = F.col("_w"), F.col("_lines"), F.col("_t")
     wc = F.size(words)
-    scan = pre.select(
-        F.col(id_col),
+    out = pre.select(
+        F.col("_id").alias(id_col),
         wc.cast("long").alias("word_count"),
         F.when(
             wc > 0,
@@ -272,9 +291,8 @@ def gopher_quality_df(
         )
         .cast("long")
         .alias("stopword_hits"),
+        *_rep_metric_cols(),
     )
-    rep = gopher_repetition_df(docs, id_col, text_col)
-    out = scan.join(rep, on=id_col, how="left")
     keep = (
         F.col("word_count").between(50, 100_000)
         & F.col("mean_word_len").between(3.0, 10.0)
@@ -736,23 +754,56 @@ def domain_cap_df(
     cap: int,
     key_col: str,
     seed: int = 42,
+    prefilter: bool = False,
+    slack: float = 4.0,
 ) -> DataFrame:
     """Per-domain document cap (domain balancing): keep at most `cap` rows
     per domain, chosen deterministically by md5(seed || key) rank.
 
     Exact form: row_number over (partitionBy domain, orderBy hash, key) —
-    one shuffle.  Skew note: a single hot domain serializes into one task's
-    sort; at 100 TB pre-filter hot domains first with an approximate
-    hash-threshold pass (count per domain → keep hash < cap/count * 2^60 *
-    slack) and run the exact window on the survivors.  The exact window is
-    what this helper does; the pre-filter composes from sample_stratified.
+    one shuffle.  A single hot domain serializes into one task's sort, so
+    with ``prefilter=True`` (the 100-TB path) a hash-threshold pass first
+    discards rows that cannot be in the winning ``cap`` ranks: per-domain
+    counts (broadcast — the domain dimension is small by definition),
+    keep hash < cap/count * slack * 2^60.  The survivor set is verified to
+    still hold >= cap rows for every capped domain (the threshold is
+    doubled and re-checked, up to 3 times) so the final window is EXACTLY
+    the unfiltered answer, computed over a bounded input.
     """
     from pyspark.sql import Window
 
     h = md5_int(F.concat_ws("\x1f", F.lit(str(seed)), F.col(key_col)))
-    w = Window.partitionBy(domain_col).orderBy(h, F.col(key_col))
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= cap)
-        .drop("_rn")
-    )
+
+    def _exact(frame: DataFrame) -> DataFrame:
+        w = Window.partitionBy(domain_col).orderBy(h, F.col(key_col))
+        return (
+            frame.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= cap)
+            .drop("_rn")
+        )
+
+    if not prefilter:
+        return _exact(df)
+
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_dn"))
+    cur = float(slack)
+    for _ in range(3):
+        frac = F.least(F.lit(1.0), F.lit(cap) * cur / F.col("_dn"))
+        thr = (frac * _HASH_SPACE).cast("long")
+        survivors = df.join(F.broadcast(counts), on=domain_col).where(
+            (F.col("_dn") <= cap) | (h < thr)
+        )
+        # exactness check: every domain with more rows than cap must keep
+        # >= cap survivors, else the winning ranks might have been cut
+        short = (
+            survivors.groupBy(domain_col)
+            .agg(F.count(F.lit(1)).alias("_sn"), F.first("_dn").alias("_dn"))
+            .where((F.col("_dn") > cap) & (F.col("_sn") < cap))
+            .limit(1)
+            .count()
+        )
+        if short == 0:
+            return _exact(survivors.drop("_dn"))
+        cur *= 2.0
+    # pathological hash clustering: fall back to the exact full window
+    return _exact(df)

@@ -459,3 +459,28 @@ def test_run_doc_stage_checkpoint_resume(spark, tmp_path):
     )
     man2 = spark.read.json(f"{base2}/_manifest").toPandas().set_index("stage")
     assert int(man2.loc["pii", "content_ck"]) == int(man.loc["pii", "content_ck"])
+
+
+def test_domain_cap_prefilter_exact(spark):
+    """The hot-domain hash pre-filter must return EXACTLY the rows of the
+    plain window path on a heavily skewed fixture."""
+    rows = pd.DataFrame(
+        {
+            "doc_id": range(2200),
+            "source": ["hot"] * 2000 + [f"s{i}" for i in range(200)],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    plain = corpus.domain_cap_df(df, "source", cap=10, key_col="doc_id")
+    fast = corpus.domain_cap_df(
+        df, "source", cap=10, key_col="doc_id", prefilter=True
+    )
+    a = sorted(r.doc_id for r in plain.select("doc_id").collect())
+    b = sorted(r.doc_id for r in fast.select("doc_id").collect())
+    assert a == b and len(a) == 10 + 200
+    # tiny slack forces the doubling loop; result must still be exact
+    tight = corpus.domain_cap_df(
+        df, "source", cap=10, key_col="doc_id", prefilter=True, slack=1.001
+    )
+    c = sorted(r.doc_id for r in tight.select("doc_id").collect())
+    assert a == c

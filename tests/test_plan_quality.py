@@ -81,17 +81,17 @@ def test_corpus_operators_stay_jvm_side(spark):
         assert rs and all("html" not in ln for ln in rs), rs
 
 
-def test_gopher_aggregation_map_side_combines(spark):
-    """The repetition groupBy must plan a partial aggregate before the
-    exchange (map-side combine) so a hot gram never ships every
-    occurrence through the shuffle."""
+def test_gopher_repetition_is_shuffle_free(spark):
+    """Every repetition metric counts duplicates WITHIN a document, so the
+    whole operator must plan as a projection: zero exchanges, zero
+    aggregates — nothing leaves the row."""
     from engine import corpus
 
     docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
     plan = _plan(corpus.gopher_repetition_df(docs))
-    # formatted plan lists HashAggregate twice around the Exchange for a
-    # partial+final pair; assert a partial aggregate exists upstream
-    assert plan.count("HashAggregate") >= 2 and "Exchange" in plan
+    assert "Exchange" not in plan and "HashAggregate" not in plan
+    plan_q = _plan(corpus.gopher_quality_df(docs))
+    assert "Exchange" not in plan_q and "Join" not in plan_q
 
 
 def test_urlops_projection_only(spark):
