@@ -484,3 +484,70 @@ def test_domain_cap_prefilter_exact(spark):
     )
     c = sorted(r.doc_id for r in tight.select("doc_id").collect())
     assert a == c
+
+
+def test_dedup_spans_randomized_vs_python_reference(spark):
+    """30 seeded random mini-corpora (tiny alphabet -> dense collisions,
+    within- and cross-doc) checked against a direct python reference.
+    Corpora are isolated by prefixing tokens with the corpus id, so ONE
+    Spark run covers all of them (grams never cross corpora)."""
+    from collections import Counter
+
+    import numpy as np
+
+    k = 3
+    rng = np.random.default_rng(12345)
+    corpora = {}
+    rows = []
+    doc_key = 0
+    for c in range(30):
+        docs = {}
+        for d in range(int(rng.integers(2, 5))):
+            n = int(rng.integers(0, 18))
+            toks = [f"c{c}w{int(rng.integers(0, 5))}" for _ in range(n)]
+            docs[doc_key] = toks
+            rows.append((doc_key, " ".join(toks)))
+            doc_key += 1
+        corpora[c] = docs
+
+    got = (
+        corpus.dedup_spans_df(_docs(spark, rows), k=k)
+        .toPandas()
+        .set_index("doc_id")
+    )
+
+    for docs in corpora.values():
+        cnt = Counter()
+        for toks in docs.values():
+            for j in range(len(toks) - k + 1):
+                cnt[tuple(toks[j : j + k])] += 1
+        for did, toks in docs.items():
+            covered = set()
+            for j in range(len(toks) - k + 1):
+                if cnt[tuple(toks[j : j + k])] >= 2:
+                    covered.update(range(j, j + k))
+            clean = " ".join(t for i, t in enumerate(toks) if i not in covered)
+            assert got.loc[did, "clean_text"] == clean, did
+            assert got.loc[did, "n_removed"] == len(covered), did
+
+
+def test_chunk_tokens_partition_property(spark):
+    """Disjoint chunks (stride == size) partition the token stream: the
+    concatenation of a doc's chunks equals its full token stream."""
+    docs = spark.read.parquet(DOCS_PQ)
+    chunks = (
+        corpus.chunk_tokens_df(docs, size=7, stride=7)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_id"])
+    )
+    joined = chunks.groupby("doc_id")["chunk_text"].apply(" ".join)
+    texts = spark.read.parquet(DOCS_PQ).select("doc_id", "text").toPandas()
+    import re
+
+    for _, row in texts.iterrows():
+        toks = [w for w in re.split(r"\s+", row["text"]) if w]
+        expect = " ".join(toks)
+        if toks:
+            assert joined[row["doc_id"]] == expect
+        else:
+            assert row["doc_id"] not in joined.index
