@@ -901,3 +901,77 @@ def raster_info(tile_df: DataFrame) -> DataFrame:
     )
     stats = raster_statistics(tile_df)
     return cover.join(cks, on="zoom").join(stats, on="zoom")
+
+
+def add_tiles(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Pixelwise SUM of two density tile tables (MERGE_ALG=ADD across
+    tables): full outer join on (zoom, tx, ty), missing side = zeros.
+    One co-partitioned join; per-tile numpy add; no collect."""
+    ja = a.select("zoom", "tx", "ty", F.col("data").alias("_da"))
+    jb = b.select("zoom", "tx", "ty", F.col("data").alias("_db"))
+    joined = ja.join(jb, on=["zoom", "tx", "ty"], how="full_outer")
+
+    def _add(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for z, tx, ty, da, db in zip(
+                pdf["zoom"], pdf["tx"], pdf["ty"], pdf["_da"], pdf["_db"]
+            ):
+                if da is None:
+                    buf = bytes(db)
+                elif db is None:
+                    buf = bytes(da)
+                else:
+                    buf = tile_to_bytes(bytes_to_tile(da) + bytes_to_tile(db))
+                rows.append((int(z), int(tx), int(ty), buf))
+            yield pd.DataFrame(rows, columns=["zoom", "tx", "ty", "data"])
+
+    return joined.mapInPandas(_add, "zoom int, tx int, ty int, data binary")
+
+
+def pyramid_delta_update(
+    existing: dict, delta_base: DataFrame, method: str = "average"
+):
+    """Incremental pyramid maintenance (the Iceberg-partition update story
+    at crawl scale): given the persisted pyramid levels
+    ``existing[zoom] -> tile table`` and a DELTA of newly burned base
+    tiles, produce updated levels recomputing ONLY tiles that are
+    ancestors of a changed base tile — every untouched tile at every
+    level is reused as-is.
+
+    Work per level is proportional to the DELTA's tile count, not the
+    pyramid's: for a daily crawl increment touching T of N base tiles,
+    the update costs O(T log N) tile reduces instead of O(N).
+
+    Returns (levels, changed): updated ``{zoom: DataFrame}`` and
+    ``{zoom: DataFrame(tx, ty)}`` of recomputed keys per level (the test
+    hook proving partial recomputation).
+    """
+    zooms = sorted(existing, reverse=True)
+    base_zoom = zooms[0]
+    levels = {base_zoom: add_tiles(existing[base_zoom], delta_base)}
+    changed_keys = {base_zoom: delta_base.select("tx", "ty").distinct()}
+    for z in zooms[1:]:
+        child = levels[z + 1]
+        parents = (
+            changed_keys[z + 1]
+            .select(
+                F.floor(F.col("tx") / 2).cast("int").alias("tx"),
+                F.floor(F.col("ty") / 2).cast("int").alias("ty"),
+            )
+            .distinct()
+        )
+        affected_children = child.join(
+            parents.withColumnRenamed("tx", "_ptx").withColumnRenamed("ty", "_pty"),
+            on=[
+                F.floor(child["tx"] / 2).cast("int") == F.col("_ptx"),
+                F.floor(child["ty"] / 2).cast("int") == F.col("_pty"),
+            ],
+        ).select(child["zoom"], child["tx"], child["ty"], child["data"])
+        rebuilt = pyramid_reduce(affected_children, method)
+        untouched = existing[z].join(parents, on=["tx", "ty"], how="left_anti")
+        levels[z] = untouched.select("zoom", "tx", "ty", "data").unionByName(
+            rebuilt.select("zoom", "tx", "ty", "data")
+        )
+        changed_keys[z] = parents
+    return levels, changed_keys

@@ -219,3 +219,59 @@ def test_run_stage_checkpoint_and_resume(spark, tmp_path):
     got1 = {(r.tx, r.ty): bytes(r.data) for r in out1.collect()}
     got2 = {(r.tx, r.ty): bytes(r.data) for r in out2.collect()}
     assert got1 == got2
+
+
+def test_pyramid_delta_update_matches_full_recompute(spark):
+    """Incremental pyramid maintenance: burning only the NEW points and
+    updating ancestor tiles must equal a full recompute bit-for-bit, while
+    recomputing only the delta's ancestor keys."""
+    import numpy as np
+    import pandas as pd
+
+    from engine import raster
+    from engine.fixtures import make_gazetteer, make_pages
+    from engine.geotag import geotag_first
+
+    gaz = make_gazetteer(n=150)
+    old = spark.createDataFrame(make_pages(n=1200, gazetteer=gaz, seed=21))
+    new = spark.createDataFrame(make_pages(n=300, gazetteer=gaz, seed=22))
+    gdf = spark.createDataFrame(gaz)
+    p_old = geotag_first(old, gdf)
+    p_new = geotag_first(new, gdf)
+    bz, mz = 5, 3
+
+    def full_levels(points):
+        lv = {bz: raster.burn_base_tiles(points, bz)}
+        for z in range(bz, mz, -1):
+            lv[z - 1] = raster.pyramid_reduce(lv[z])
+        return lv
+
+    existing = {z: df.cache() for z, df in full_levels(p_old).items()}
+    for df in existing.values():
+        df.count()
+    expect = full_levels(p_old.unionByName(p_new))
+
+    delta = raster.burn_base_tiles(p_new, bz)
+    got, changed = raster.pyramid_delta_update(existing, delta)
+
+    for z in range(mz, bz + 1):
+        a = {
+            (r.tx, r.ty): r.checksum
+            for r in raster.tile_checksums(expect[z]).collect()
+        }
+        b = {
+            (r.tx, r.ty): r.checksum
+            for r in raster.tile_checksums(got[z]).collect()
+        }
+        assert a == b, f"zoom {z}"
+
+    # partial-recompute property: changed keys are EXACTLY the delta's
+    # ancestors, and (on this fixture) fewer than the full level
+    delta_keys = {(r.tx, r.ty) for r in delta.select("tx", "ty").collect()}
+    anc = delta_keys
+    for z in range(bz - 1, mz - 1, -1):
+        anc = {(tx // 2, ty // 2) for tx, ty in anc}
+        ch = {(r.tx, r.ty) for r in changed[z].collect()}
+        assert ch == anc, f"zoom {z}"
+    full_n = expect[bz].count()
+    assert len(delta_keys) < full_n  # the fixture actually exercises reuse
