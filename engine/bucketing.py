@@ -66,3 +66,21 @@ def plan_has_shuffle(df: DataFrame) -> bool:
     dimension table is the cheap path, not a data shuffle."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return "Exchange hashpartitioning" in plan or "Exchange rangepartitioning" in plan
+
+
+def write_clustered(
+    df: DataFrame, path: str, key_col: str, n_files: int = 16
+) -> None:
+    """Range-clustered parquet layout (the Iceberg sort-key story): global
+    range partition + in-file sort on ``key_col`` makes every output file
+    carry a DISJOINT [min, max] key range in its footer stats, so any
+    key-range predicate prunes whole files at scan time.  With
+    ``key_col='quadkey'`` a prefix predicate selects a tile subtree; with
+    a SURT key it selects one site's contiguous pages.  One range
+    exchange at write time buys stats-based scan skipping on every read."""
+    (
+        df.repartitionByRange(n_files, F.col(key_col))
+        .sortWithinPartitions(key_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

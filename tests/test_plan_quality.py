@@ -108,3 +108,39 @@ def test_urlops_projection_only(spark):
     plan = _plan(df)
     assert "Exchange" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_clustered_layout_prunes(spark, tmp_path):
+    """write_clustered must produce parquet files with DISJOINT key ranges
+    (footer min/max proves scan skipping works) and a prefix predicate
+    must reach the scan as a pushed filter."""
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entrymod
+    from engine import bucketing, joins
+
+    pts = entrymod._points(spark, SF)
+    tiled = joins.with_tile(pts, zoom=8).select("event_id", "quadkey")
+    path = str(tmp_path / "clustered")
+    bucketing.write_clustered(tiled, path, "quadkey", n_files=8)
+
+    ranges = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        col = {md.schema.column(i).name: i for i in range(md.num_columns)}["quadkey"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)  # disjoint (boundaries may touch)
+
+    back = spark.read.parquet(path).where(F.col("quadkey").startswith("121"))
+    plan = _plan(back)
+    assert "StartsWith" in plan and "PushedFilters" in plan
