@@ -141,3 +141,68 @@ def stateful_first_seen(
     return keyed.groupBy("bucket").applyInPandasWithState(
         _dedup, out_schema, state_schema, "append", timeout
     )
+
+
+def run_stream_to_pyramid(
+    spark: SparkSession,
+    src_dir: str,
+    gazetteer: DataFrame,
+    base_zoom: int,
+    min_zoom: int,
+    checkpoint_dir: str,
+    out_dir: str,
+) -> None:
+    """Streaming pyramid MAINTENANCE: each micro-batch burns its pages and
+    incrementally updates the persisted pyramid via
+    :func:`engine.raster.pyramid_delta_update` — only ancestors of tiles
+    the batch touched are recomputed, so steady-state cost per batch is
+    O(batch log pyramid), independent of corpus size.
+
+    Levels persist under ``out_dir/z=<zoom>``; each batch writes the
+    updated levels to a scratch dir and atomically swaps directories (the
+    plain-parquet stand-in for an Iceberg snapshot commit — readers see
+    the old snapshot until the swap).  Trigger availableNow: drains the
+    backlog then stops; the stream checkpoint makes batch delivery
+    exactly-once, and the swap makes the level update idempotent-visible.
+    """
+    import os
+    import shutil
+
+    from . import raster
+
+    def _level_dir(z: int) -> str:
+        return os.path.join(out_dir, f"z={z}")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        tagged = geotag_all(batch_df, gazetteer)
+        delta = raster.burn_base_tiles(tagged, base_zoom)
+        have = all(os.path.isdir(_level_dir(z)) for z in range(min_zoom, base_zoom + 1))
+        if have:
+            existing = {
+                z: spark.read.parquet(_level_dir(z))
+                for z in range(min_zoom, base_zoom + 1)
+            }
+            updated, _ = raster.pyramid_delta_update(existing, delta)
+        else:
+            updated = {base_zoom: delta}
+            for z in range(base_zoom, min_zoom, -1):
+                updated[z - 1] = raster.pyramid_reduce(updated[z])
+        scratch = os.path.join(out_dir, f"_pending_{batch_id}")
+        for z, df in updated.items():
+            df.write.mode("overwrite").parquet(os.path.join(scratch, f"z={z}"))
+        # snapshot swap: new levels become visible only after ALL are written
+        for z in updated:
+            dst = _level_dir(z)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            os.replace(os.path.join(scratch, f"z={z}"), dst)
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    q = (
+        stream_pages(spark, src_dir, max_files_per_trigger=1)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

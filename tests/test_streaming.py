@@ -119,3 +119,30 @@ def test_stateful_first_seen_dedup(spark, tmp_path):
     assert set(rows) == {"a", "b", "c"}
     assert len(got) == 3  # b emitted once despite the duplicate
     assert rows["b"] == base + pd.Timedelta(hours=1)
+
+
+def test_stream_pyramid_maintenance_matches_batch(spark, stream_fixture):
+    """Incremental streaming pyramid (per-batch delta update with snapshot
+    swap) must equal the one-shot batch pyramid over the same pages,
+    tile-for-tile, after the backlog drains across multiple micro-batches."""
+    base = stream_fixture["base"]
+    out = str(base / "pyr")
+    ckpt = str(base / "ckpt_pyr")
+    bz, mz = 5, 3
+    streaming.run_stream_to_pyramid(
+        spark, stream_fixture["src"], stream_fixture["gaz"], bz, mz, ckpt, out
+    )
+    tagged = geotag_all(stream_fixture["pages"], stream_fixture["gaz"])
+    expect = {bz: raster.burn_base_tiles(tagged, bz)}
+    for z in range(bz, mz, -1):
+        expect[z - 1] = raster.pyramid_reduce(expect[z])
+    for z in range(mz, bz + 1):
+        got = {
+            (r.tx, r.ty): r.checksum
+            for r in raster.tile_checksums(spark.read.parquet(f"{out}/z={z}")).collect()
+        }
+        exp = {
+            (r.tx, r.ty): r.checksum
+            for r in raster.tile_checksums(expect[z]).collect()
+        }
+        assert got == exp, f"zoom {z}"
