@@ -807,3 +807,89 @@ def domain_cap_df(
         cur *= 2.0
     # pathological hash clustering: fall back to the exact full window
     return _exact(df)
+
+
+# --------------------------------------------------------------------------
+# Perplexity-style quality scoring (CCNet pipeline shape)
+# --------------------------------------------------------------------------
+
+
+def unigram_logprob_df(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    reference: DataFrame | None = None,
+    ref_text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Perplexity-style quality score (the CCNet pipeline stage, Wenzek et
+    al. 2019): per-document mean negative log-probability of its words
+    under an add-alpha-smoothed UNIGRAM model.  CCNet ranks by KenLM
+    5-gram perplexity, which needs external model files; this re-expresses
+    the same pipeline shape — train model, score docs, rank — with the
+    model TRAINED IN-QUERY: from ``reference`` when given (the
+    train-on-Wikipedia shape) else from the scored corpus itself.
+
+    p(w) = (count(w) + alpha) / (N + alpha * (V + 1)); words absent from
+    the reference take count 0 (the +1 in the vocabulary term is the
+    unseen-word mass).  Returns (id, n_scored, mean_neg_logprob).
+
+    Plan: one groupBy builds the frequency table; totals attach via a
+    broadcast single-row cross join (no collect); scoring is an equi-join
+    from exploded words to the table.  Scale notes: the frequency table
+    is Zipf-headed — AQE's skew-join split handles the hot stopword keys,
+    and the table itself broadcasts while it fits (vocabulary grows
+    sub-linearly in corpus size).
+    """
+    model_src = reference if reference is not None else docs
+    mcol = ref_text_col if reference is not None else text_col
+    freq = (
+        model_src.select(F.explode(_words(F.col(mcol))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = freq.agg(
+        F.sum("c").alias("_N"), F.count(F.lit(1)).alias("_V")
+    )
+    ex = docs.select(F.col(id_col).alias("_id"), F.explode_outer(_words(F.col(text_col))).alias("w"))
+    scored = (
+        ex.join(freq, on="w", how="left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_id",
+            F.when(
+                F.col("w").isNotNull(),
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(float(alpha)))
+                    / (F.col("_N") + F.lit(float(alpha)) * (F.col("_V") + 1))
+                ),
+            ).alias("nlp"),
+        )
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.count("nlp").alias("n_scored"),
+            F.coalesce(F.avg("nlp"), F.lit(0.0)).alias("mean_neg_logprob"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def ccnet_buckets(
+    scores: DataFrame, score_col: str = "mean_neg_logprob", rel_err: float = 0.001
+) -> DataFrame:
+    """CCNet's head/middle/tail split: docs ranked by LM score into thirds.
+    Thresholds come from percentile_approx at 1/3 and 2/3 (a bounded-error
+    sketch — the exact split would need a global sort); the two scalars
+    attach via a broadcast cross join, the bucketing itself is a pure
+    projection."""
+    thr = scores.agg(
+        F.percentile_approx(score_col, [1.0 / 3.0, 2.0 / 3.0], int(1.0 / rel_err)).alias("_t")
+    ).select(F.col("_t")[0].alias("_t1"), F.col("_t")[1].alias("_t2"))
+    return scores.crossJoin(F.broadcast(thr)).withColumn(
+        "bucket",
+        F.when(F.col(score_col) <= F.col("_t1"), F.lit("head"))
+        .when(F.col(score_col) <= F.col("_t2"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    ).drop("_t1", "_t2")

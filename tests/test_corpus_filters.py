@@ -551,3 +551,96 @@ def test_chunk_tokens_partition_property(spark):
             assert joined[row["doc_id"]] == expect
         else:
             assert row["doc_id"] not in joined.index
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    rows = [(1, "a a b"), (2, "b"), (3, "")]
+    got = (
+        corpus.unigram_logprob_df(_docs(spark, rows), alpha=1.0)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # corpus counts: a=2, b=2, N=4, V=2 -> p(a)=p(b)=(2+1)/(4+3)=3/7
+    p = 3.0 / 7.0
+    assert got.loc[1, "n_scored"] == 3
+    assert got.loc[1, "mean_neg_logprob"] == pytest.approx(-math.log(p), rel=1e-12)
+    assert got.loc[2, "mean_neg_logprob"] == pytest.approx(-math.log(p), rel=1e-12)
+    assert got.loc[3, "n_scored"] == 0 and got.loc[3, "mean_neg_logprob"] == 0.0
+
+
+def test_unigram_logprob_external_reference(spark):
+    import math
+
+    docs = _docs(spark, [(1, "x y"), (2, "zz zz")])
+    ref = spark.createDataFrame(pd.DataFrame({"text": ["x x x y"]}))
+    got = (
+        corpus.unigram_logprob_df(docs, reference=ref, alpha=1.0)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # ref: x=3, y=1, N=4, V=2 -> p(x)=4/7, p(y)=2/7, unseen p=1/7
+    px, py, pu = 4 / 7, 2 / 7, 1 / 7
+    assert got.loc[1, "mean_neg_logprob"] == pytest.approx(
+        -(math.log(px) + math.log(py)) / 2, rel=1e-12
+    )
+    assert got.loc[2, "mean_neg_logprob"] == pytest.approx(-math.log(pu), rel=1e-12)
+
+
+def test_unigram_logprob_duckdb_oracle(spark):
+    docs = spark.read.parquet(DOCS_PQ)
+    got = (
+        corpus.unigram_logprob_df(docs)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS_PQ}')")
+    exp = con.execute(
+        """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(words) AS w FROM w
+), freq AS (
+  SELECT w, count(*) AS c FROM ex GROUP BY w
+), tot AS (
+  SELECT sum(c) AS N, count(*) AS V FROM freq
+)
+SELECT d.doc_id,
+       COALESCE(s.n_scored, 0) AS n_scored,
+       COALESCE(s.m, 0.0) AS mean_neg_logprob
+FROM documents d
+LEFT JOIN (
+  SELECT ex.doc_id, count(*) AS n_scored,
+         avg(-ln((f.c + 1.0) / (t.N + 1.0 * (t.V + 1)))) AS m
+  FROM ex JOIN freq f USING (w) CROSS JOIN tot t
+  GROUP BY ex.doc_id
+) s USING (doc_id)
+ORDER BY doc_id
+"""
+    ).df().set_index("doc_id")
+    assert (got["n_scored"].to_numpy() == exp["n_scored"].to_numpy()).all()
+    assert got["mean_neg_logprob"].to_numpy() == pytest.approx(
+        exp["mean_neg_logprob"].to_numpy(), rel=1e-12
+    )
+
+
+def test_ccnet_buckets(spark):
+    docs = spark.read.parquet(DOCS_PQ)
+    scores = corpus.unigram_logprob_df(docs)
+    b = corpus.ccnet_buckets(scores).toPandas()
+    counts = b["bucket"].value_counts()
+    n = len(b)
+    assert set(counts.index) <= {"head", "middle", "tail"}
+    for k in ("head", "middle", "tail"):
+        assert counts.get(k, 0) > 0.2 * n  # roughly thirds
+    # head scores <= tail scores
+    assert b[b.bucket == "head"]["mean_neg_logprob"].max() <= b[
+        b.bucket == "tail"
+    ]["mean_neg_logprob"].min()
