@@ -276,6 +276,7 @@ def s2_radius_join(
     lon_col: str = "lon",
     lat_col: str = "lat",
     suffix: str = "_r",
+    dist_col: str | None = None,
 ) -> DataFrame:
     """Exact great-circle radius join via S2 bucketing: one shuffle, no
     dateline seam, no polar singularity (the quadkey/tile path needs the
@@ -325,7 +326,10 @@ def s2_radius_join(
     dlon = F.radians(F.col(lon_col + suffix)) - F.radians(F.col(lon_col))
     a = F.pow(F.sin(dlat / 2), 2) + F.cos(lat1) * F.cos(lat2) * F.pow(F.sin(dlon / 2), 2)
     dist = 2 * F.asin(F.sqrt(a))
-    return pairs.where(dist <= F.lit(float(radius_rad)))
+    out = pairs.where(dist <= F.lit(float(radius_rad)))
+    if dist_col:
+        out = out.withColumn(dist_col, dist)
+    return out
 
 
 def with_s2_cell(
@@ -356,3 +360,85 @@ def with_s2_cell(
             yield out
 
     return points.mapInPandas(_enc, out_schema)
+
+
+def s2_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    query_key: str,
+    r0_rad: float = 0.02,
+    max_rounds: int = 6,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    suffix: str = "_r",
+) -> DataFrame:
+    """EXACT great-circle kNN via radius-doubling S2 joins — the
+    sphere-native counterpart of ``engine.joins.knn_join`` (which ranks by
+    planar degree distance): no dateline seam, no polar distortion.
+
+    Round i joins the still-unsatisfied queries against ``right`` within
+    radius r0·2^i.  Because :func:`s2_radius_join` is an exact candidate
+    generator, a query with >= k matches inside radius r has its true
+    top-k finalized (every point closer than its kth neighbor lies within
+    r and was examined).  Queries still unsatisfied after ``max_rounds``
+    (fewer than k points within the final radius) finish on a broadcast
+    brute-force pass — by then the pending set is the sparse tail, so the
+    cross join is bounded.
+
+    Deterministic: ranking orders by (distance, right row's first column
+    after suffixing).  Output: left columns + suffixed right columns +
+    ``dist_rad`` + ``rank`` (1..k).  Driver rounds are O(max_rounds) tiny
+    jobs, mirroring knn_join's ring-doubling contract.
+    """
+    from pyspark.sql import Window
+
+    tie = right.columns[0] + suffix
+    results = None
+    pending = left
+    r = float(r0_rad)
+    for _ in range(max_rounds):
+        if pending.limit(1).count() == 0:
+            break
+        cand = s2_radius_join(
+            pending, right, r, lon_col=lon_col, lat_col=lat_col,
+            suffix=suffix, dist_col="dist_rad",
+        )
+        w = Window.partitionBy(query_key).orderBy(
+            F.col("dist_rad").asc(), F.col(tie).asc()
+        )
+        ranked = cand.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= k
+        )
+        done = (
+            ranked.groupBy(query_key)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") >= k)
+            .select(query_key)
+        )
+        got = ranked.join(done, on=query_key, how="left_semi")
+        results = got if results is None else results.unionByName(got)
+        pending = pending.join(done, on=query_key, how="left_anti")
+        r *= 2.0
+    # sparse-tail fallback: brute-force the remaining queries (broadcast)
+    rest = pending
+    if rest.limit(1).count() > 0:
+        # suffix every right column to match s2_radius_join's output shape
+        rren = right.withColumnsRenamed({c: c + suffix for c in right.columns})
+        pairs = F.broadcast(rest).crossJoin(rren)
+        lat1 = F.radians(F.col(lat_col))
+        lat2 = F.radians(F.col(lat_col + suffix))
+        dlon = F.radians(F.col(lon_col + suffix)) - F.radians(F.col(lon_col))
+        a = (
+            F.pow(F.sin((lat2 - lat1) / 2), 2)
+            + F.cos(lat1) * F.cos(lat2) * F.pow(F.sin(dlon / 2), 2)
+        )
+        pairs = pairs.withColumn("dist_rad", 2 * F.asin(F.sqrt(a)))
+        w = Window.partitionBy(query_key).orderBy(
+            F.col("dist_rad").asc(), F.col(tie).asc()
+        )
+        tail = pairs.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= k
+        )
+        results = tail if results is None else results.unionByName(tail)
+    return results

@@ -8,6 +8,7 @@ hierarchy/range nesting, and cross-parallelism determinism via Spark."""
 import numpy as np
 import pytest
 
+from engine import s2cells
 from engine import s2cells as S2
 
 
@@ -223,3 +224,76 @@ def test_sphere_coverage_all_faces():
     # roughly equal share per face (cube symmetry): each ~1/6 ± 3%
     frac = np.bincount(faces, minlength=6) / faces.size
     assert np.all(np.abs(frac - 1 / 6) < 0.03)
+
+
+def test_s2_knn_join_exact_vs_bruteforce(spark):
+    """Great-circle kNN (radius-doubling S2 join + sparse-tail fallback)
+    must equal brute-force haversine top-k — including dateline-straddling
+    and near-polar queries where the planar quadkey path distorts."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(77)
+    n_r = 400
+    right = pd.DataFrame(
+        {
+            "pid": np.arange(n_r),
+            "lon": rng.uniform(-180, 180, n_r),
+            "lat": rng.uniform(-85, 85, n_r),
+        }
+    )
+    queries = pd.DataFrame(
+        {
+            "qid": np.arange(40),
+            "lon": np.concatenate(
+                [rng.uniform(-180, 180, 30), rng.uniform(179.5, 180, 5), rng.uniform(-180, -179.5, 5)]
+            ),
+            "lat": np.concatenate([rng.uniform(-85, 85, 30), rng.uniform(80, 85, 10)]),
+        }
+    )
+    k = 5
+    got = (
+        s2cells.s2_knn_join(
+            spark.createDataFrame(queries),
+            spark.createDataFrame(right),
+            k=k,
+            query_key="qid",
+            r0_rad=0.05,
+            max_rounds=4,
+        )
+        .select("qid", "pid_r", "rank")
+        .toPandas()
+        .sort_values(["qid", "rank"])
+    )
+
+    def hav(lon1, lat1, lon2, lat2):
+        p1, p2 = np.radians(lat1), np.radians(lat2)
+        dl = np.radians(lon2 - lon1)
+        a = np.sin((p2 - p1) / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dl / 2) ** 2
+        return 2 * np.arcsin(np.sqrt(a))
+
+    for qid in queries["qid"]:
+        qlon = float(queries.loc[queries.qid == qid, "lon"].iloc[0])
+        qlat = float(queries.loc[queries.qid == qid, "lat"].iloc[0])
+        d = hav(qlon, qlat, right["lon"].to_numpy(), right["lat"].to_numpy())
+        order = sorted(range(n_r), key=lambda i: (d[i], right["pid"][i]))
+        expect = [right["pid"][i] for i in order[:k]]
+        mine = got[got.qid == qid]["pid_r"].tolist()
+        assert mine == expect, qid
+    assert (got.groupby("qid").size() == k).all()
+
+
+def test_s2_knn_join_sparse_fallback(spark):
+    """Fewer right rows than k resolves through the brute-force tail."""
+    import pandas as pd
+
+    q = spark.createDataFrame(pd.DataFrame({"qid": [1], "lon": [0.0], "lat": [0.0]}))
+    r = spark.createDataFrame(
+        pd.DataFrame({"pid": [10, 11], "lon": [10.0, -170.0], "lat": [0.0, 0.0]})
+    )
+    got = (
+        s2cells.s2_knn_join(q, r, k=5, query_key="qid", r0_rad=0.01, max_rounds=2)
+        .toPandas()
+        .sort_values("rank")
+    )
+    assert got["pid_r"].tolist() == [10, 11]
