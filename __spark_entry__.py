@@ -3090,13 +3090,15 @@ def _sql_corpus_curation() -> str:
             m.format(x="q.bullet") + " AS bullet_ppm",
             m.format(x="q.ell") + " AS ellipsis_ppm",
             m.format(x="q.alpha") + " AS alpha_ppm",
-            m.format(x="r.dup_line_frac") + " AS dup_line_ppm",
-            m.format(x="r.dup_para_frac") + " AS dup_para_ppm",
-            m.format(x="r.dup_line_char_frac") + " AS dup_line_char_ppm",
-            m.format(x="r.dup_para_char_frac") + " AS dup_para_char_ppm",
+            # coalesce: a doc whose derived text has NO items at all is
+            # absent from rep (LEFT JOIN -> NULL) while Spark emits 0.0
+            m.format(x="coalesce(r.dup_line_frac, 0)") + " AS dup_line_ppm",
+            m.format(x="coalesce(r.dup_para_frac, 0)") + " AS dup_para_ppm",
+            m.format(x="coalesce(r.dup_line_char_frac, 0)") + " AS dup_line_char_ppm",
+            m.format(x="coalesce(r.dup_para_char_frac, 0)") + " AS dup_para_char_ppm",
         ]
-        + [m.format(x=f"r.top{n}f") + f" AS top{n}_ppm" for n in (2, 3, 4)]
-        + [m.format(x=f"r.dup{n}f") + f" AS dup{n}_ppm" for n in range(5, 11)]
+        + [m.format(x=f"coalesce(r.top{n}f, 0)") + f" AS top{n}_ppm" for n in (2, 3, 4)]
+        + [m.format(x=f"coalesce(r.dup{n}f, 0)") + f" AS dup{n}_ppm" for n in range(5, 11)]
     )
     return f"""
         WITH base AS (

@@ -794,11 +794,16 @@ def domain_cap_df(
             (F.col("_dn") <= cap) | (h < thr)
         )
         # exactness check: every domain with more rows than cap must keep
-        # >= cap survivors, else the winning ranks might have been cut
+        # >= cap survivors, else the winning ranks might have been cut.
+        # Anchor on `counts` (LEFT join) so a domain whose rows ALL failed
+        # the threshold — zero survivor rows — is still visible as short.
+        surv_counts = survivors.groupBy(domain_col).agg(
+            F.count(F.lit(1)).alias("_sn")
+        )
         short = (
-            survivors.groupBy(domain_col)
-            .agg(F.count(F.lit(1)).alias("_sn"), F.first("_dn").alias("_dn"))
-            .where((F.col("_dn") > cap) & (F.col("_sn") < cap))
+            counts.where(F.col("_dn") > cap)
+            .join(surv_counts, on=domain_col, how="left")
+            .where(F.coalesce(F.col("_sn"), F.lit(0)) < cap)
             .limit(1)
             .count()
         )

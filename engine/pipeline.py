@@ -242,23 +242,31 @@ def run_doc_stage(
     out = df_fn()
     out.write.mode("overwrite").parquet(path)
     persisted = spark.read.parquet(path)
-    # content checksum: per-row hash over ALL columns folded with XOR —
-    # invariant to row order and partitioning, so re-runs at any
+    # content checksum: per-row hash over ALL columns folded with the
+    # bit_xor AGGREGATE (constant state — never materializes a partition's
+    # hashes) — invariant to row order and partitioning, so re-runs at any
     # parallelism must reproduce it bit-for-bit
     hashed = persisted.withColumn(
         "_h", F.xxhash64(*[F.col(c) for c in persisted.columns])
     ).withColumn("part_id", F.spark_partition_id())
     lineage = hashed.groupBy("part_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.expr("aggregate(collect_list(_h), 0L, (a, x) -> a ^ x)").alias("ck_xor"),
+        F.expr("bit_xor(_h)").alias("ck_xor"),
     )
-    lineage.write.mode("overwrite").parquet(
-        os.path.join(base, "_lineage", f"stage={stage}")
+    lpath = os.path.join(base, "_lineage", f"stage={stage}")
+    lineage.write.mode("overwrite").parquet(lpath)
+    # manifest scalars come from the tiny persisted lineage (no rescan of
+    # the stage table)
+    lsum = (
+        spark.read.parquet(lpath)
+        .agg(
+            F.sum("n_rows").alias("n"),
+            F.expr("bit_xor(ck_xor)").alias("ck"),
+            F.count(F.lit(1)).alias("np"),
+        )
+        .collect()[0]
     )
-    total = persisted.count()
-    ck = lineage.agg(
-        F.expr("aggregate(collect_list(ck_xor), 0L, (a, x) -> a ^ x)")
-    ).collect()[0][0]
+    total, ck, n_parts = int(lsum["n"] or 0), lsum["ck"], int(lsum["np"])
     _append_manifest(
         spark,
         base,
@@ -270,7 +278,7 @@ def run_doc_stage(
             "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
             "n_rows": total,
             "content_ck": int(ck if ck is not None else 0),
-            "n_partitions": lineage.count(),
+            "n_partitions": n_parts,
         },
     )
     return persisted

@@ -416,13 +416,22 @@ def s2_knn_join(
             .where(F.col("_n") >= k)
             .select(query_key)
         )
-        got = ranked.join(done, on=query_key, how="left_semi")
+        # truncate lineage each round (same trap knn_join's ring loop hits:
+        # an uncached anti-join chain replays every prior round's radius
+        # join on each subsequent action)
+        got = ranked.join(done, on=query_key, how="left_semi").localCheckpoint(
+            eager=True
+        )
         results = got if results is None else results.unionByName(got)
-        pending = pending.join(done, on=query_key, how="left_anti")
+        pending = pending.join(done, on=query_key, how="left_anti").localCheckpoint(
+            eager=True
+        )
         r *= 2.0
-    # sparse-tail fallback: brute-force the remaining queries (broadcast)
+    # sparse-tail fallback: brute-force the remaining queries (broadcast).
+    # Also runs (empty) when no round produced results, so an empty left
+    # input yields a typed empty frame rather than None.
     rest = pending
-    if rest.limit(1).count() > 0:
+    if rest.limit(1).count() > 0 or results is None:
         # suffix every right column to match s2_radius_join's output shape
         rren = right.withColumnsRenamed({c: c + suffix for c in right.columns})
         pairs = F.broadcast(rest).crossJoin(rren)

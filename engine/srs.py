@@ -602,8 +602,22 @@ def make_transformer(proj4: str | dict):
 
         tr = _Identity()
     elif name == "utm":
+        # UTMTransformer's closed-form series is WGS84-specific: refuse a
+        # different ellipsoid rather than silently computing WGS84 numbers
+        if ellps not in ("WGS84",) and not (
+            isinstance(ellps, tuple) and ellps == ELLIPSOIDS["WGS84"]
+        ):
+            raise ValueError("utm: only +ellps=WGS84 is implemented")
         tr = UTMTransformer(int(p["zone"]), south=bool(p.get("south", False)))
     elif name == "tmerc":
+        # tmerc_forward has no latitude-of-origin term: a nonzero +lat_0
+        # (e.g. OSGB) would be silently ignored -> refuse instead
+        if float(p.get("lat_0", 0.0)) != 0.0:
+            raise ValueError("tmerc: only +lat_0=0 is implemented")
+        if ellps not in ("WGS84",) and not (
+            isinstance(ellps, tuple) and ellps == ELLIPSOIDS["WGS84"]
+        ):
+            raise ValueError("tmerc: only +ellps=WGS84 is implemented")
         lon0, k0 = float(p.get("lon_0", 0.0)), float(p.get("k", _K0))
         fe, fn = float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0))
 

@@ -159,11 +159,16 @@ def run_stream_to_pyramid(
     O(batch log pyramid), independent of corpus size.
 
     Levels persist under ``out_dir/z=<zoom>``; each batch writes the
-    updated levels to a scratch dir and atomically swaps directories (the
-    plain-parquet stand-in for an Iceberg snapshot commit — readers see
-    the old snapshot until the swap).  Trigger availableNow: drains the
-    backlog then stops; the stream checkpoint makes batch delivery
-    exactly-once, and the swap makes the level update idempotent-visible.
+    updated levels to a scratch dir and swaps directories, then records a
+    per-batch commit marker (the plain-parquet stand-in for an Iceberg
+    snapshot commit).  Foreachbatch delivery is at-least-once and the sink
+    is ADDITIVE, so the marker is what makes replays idempotent: a batch
+    whose marker exists is skipped instead of double-added.  A crash in
+    the middle of the swap leaves a committed-marker/level-dir
+    inconsistency, which is detected and raised LOUDLY (restore from the
+    previous snapshot / rerun the pipeline) rather than silently
+    re-initializing the pyramid from one batch — full transactional
+    recovery is a table format's job, not a directory layout's.
     """
     import os
     import shutil
@@ -173,10 +178,21 @@ def run_stream_to_pyramid(
     def _level_dir(z: int) -> str:
         return os.path.join(out_dir, f"z={z}")
 
+    commits_dir = os.path.join(out_dir, "_commits")
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(commits_dir, f"batch_{batch_id}")
+        if os.path.exists(marker):
+            return  # replayed batch (at-least-once delivery): already added
+        committed = os.path.isdir(commits_dir) and len(os.listdir(commits_dir)) > 0
+        have = all(os.path.isdir(_level_dir(z)) for z in range(min_zoom, base_zoom + 1))
+        if committed and not have:
+            raise RuntimeError(
+                "pyramid state inconsistent: commits exist but a level dir "
+                "is missing (crash mid-swap) — restore the previous snapshot"
+            )
         tagged = geotag_all(batch_df, gazetteer)
         delta = raster.burn_base_tiles(tagged, base_zoom)
-        have = all(os.path.isdir(_level_dir(z)) for z in range(min_zoom, base_zoom + 1))
         if have:
             existing = {
                 z: spark.read.parquet(_level_dir(z))
@@ -196,6 +212,8 @@ def run_stream_to_pyramid(
             if os.path.isdir(dst):
                 shutil.rmtree(dst)
             os.replace(os.path.join(scratch, f"z={z}"), dst)
+        os.makedirs(commits_dir, exist_ok=True)
+        open(marker, "w").close()
         shutil.rmtree(scratch, ignore_errors=True)
 
     q = (

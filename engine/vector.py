@@ -359,6 +359,8 @@ def layer_tile_index(layers: dict, lon_col: str = "lon", lat_col: str = "lat") -
     definition of a tile index)."""
     from . import geom as _geom
 
+    if not layers:
+        raise ValueError("layer_tile_index needs at least one layer")
     out = None
     for name, df in layers.items():
         ext = layer_extent(df, lon_col, lat_col).withColumn(

@@ -484,6 +484,14 @@ def test_domain_cap_prefilter_exact(spark):
     )
     c = sorted(r.doc_id for r in tight.select("doc_id").collect())
     assert a == c
+    # pathological slack: the hot domain keeps ZERO survivor rows at the
+    # first thresholds, which must be DETECTED (not silently dropped) and
+    # resolved through the exact fallback
+    zero = corpus.domain_cap_df(
+        df, "source", cap=10, key_col="doc_id", prefilter=True, slack=1e-9
+    )
+    d = sorted(r.doc_id for r in zero.select("doc_id").collect())
+    assert a == d
 
 
 def test_dedup_spans_randomized_vs_python_reference(spark):
