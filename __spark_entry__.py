@@ -3001,13 +3001,60 @@ def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_removed").alias("span_removed"),
         F.md5(F.col("clean_text").cast("binary")).alias("span_clean_md5"),
     )
+    # URL operators (engine/urlops.py) over a deterministic per-doc URL —
+    # pure string pipeline, exact in both engines
+    from engine import urlops
+
+    url = _corpus_url_col()
+    urls = docs.select(
+        "doc_id",
+        urlops.url_normalize(url).alias("url_norm"),
+        urlops.surt_key(url).alias("surt"),
+        urlops.registered_domain(urlops.url_host(url)).alias("reg_domain"),
+    )
     return (
-        qsel.join(dec, on="doc_id").join(samp, on="doc_id").join(spans, on="doc_id")
+        qsel.join(dec, on="doc_id")
+        .join(samp, on="doc_id")
+        .join(spans, on="doc_id")
+        .join(urls, on="doc_id")
+    )
+
+
+def _corpus_url_col() -> F.Column:
+    """Deterministic synthetic URL per doc exercising every normalization
+    rule: case, www, default port, tracking params, unsorted query,
+    trailing slash, fragment, and a multi-label public suffix every third
+    doc."""
+    host = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("WWW.shop"), (F.col("doc_id") % 50).cast("string"), F.lit(".co.uk")),
+    ).otherwise(
+        F.concat(F.lit("www.Site"), (F.col("doc_id") % 50).cast("string"), F.lit(".Example.com"))
+    )
+    return F.concat(
+        F.lit("https://"),
+        host,
+        F.lit(":443/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=x&b=2&a=1#frag"),
     )
 
 
 def _sql_corpus_curation() -> str:
-    from engine import corpus
+    from engine import corpus, urlops
+
+    url_sql = (
+        "('https://' || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.shop' || "
+        "CAST(doc_id % 50 AS VARCHAR) || '.co.uk' ELSE 'www.Site' || "
+        "CAST(doc_id % 50 AS VARCHAR) || '.Example.com' END) || ':443/p/' || "
+        "CAST(doc_id AS VARCHAR) || '/?utm_source=x&b=2&a=1#frag')"
+    )
+    url_host = urlops.url_parts_sql("u")["host"]
+    url_cols = (
+        f"{urlops.url_normalize_sql('u')} AS url_norm, "
+        f"{urlops.surt_key_sql('u')} AS surt, "
+        f"{urlops.registered_domain_sql(url_host)} AS reg_domain"
+    )
 
     m = _MICRO_SQL
     words = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
@@ -3184,6 +3231,9 @@ def _sql_corpus_curation() -> str:
             GROUP BY d.doc_id
         ), spans AS (
             {corpus.dedup_spans_sql("base", k=10)}
+        ), urls AS (
+            SELECT doc_id, {url_cols}
+            FROM (SELECT doc_id, {url_sql} AS u FROM documents)
         )
         SELECT d.doc_id,
                CAST(q.wc AS BIGINT) AS word_count,
@@ -3195,12 +3245,14 @@ def _sql_corpus_curation() -> str:
                CASE WHEN coalesce(dec.ngrams_hit, 0) > 0 THEN 1 ELSE 0 END AS contaminated,
                {flag}::INT AS sample_kept,
                s.n_removed AS span_removed,
-               md5(s.clean_text) AS span_clean_md5
+               md5(s.clean_text) AS span_clean_md5,
+               urls.url_norm, urls.surt, urls.reg_domain
         FROM documents d
         JOIN q USING (doc_id)
         LEFT JOIN rep r USING (doc_id)
         LEFT JOIN dec USING (doc_id)
         JOIN spans s USING (doc_id)
+        JOIN urls USING (doc_id)
     """
 
 
