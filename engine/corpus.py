@@ -898,3 +898,95 @@ def ccnet_buckets(
         .when(F.col(score_col) <= F.col("_t2"), F.lit("middle"))
         .otherwise(F.lit("tail")),
     ).drop("_t1", "_t2")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    size: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing with document concatenation (the GPT-style training
+    prep): documents in deterministic ``id`` order form one global token
+    stream, cut into fixed ``size``-token sequences; documents crossing a
+    boundary are split across the adjacent sequences (no padding waste —
+    every sequence except the last is exactly full).
+
+    Output: one row per (seq_id, doc) overlap —
+    (seq_id, id, offset_in_seq, n_tokens, part_text); a trainer reassembles
+    a sequence by concatenating its parts ordered by offset_in_seq.
+
+    Plan: ONE global sort (the cumulative token offset is a running sum
+    over id order — a range-partitioned window, the unavoidable cost of a
+    deterministic global stream) + an explode; everything else is
+    projection.  At 100 TB, pre-bucketing by id range turns the window
+    into per-bucket sums with broadcast bucket offsets; the semantic
+    contract (id-ordered stream) is what this function pins down.
+    """
+    from pyspark.sql import Window
+
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")).alias(
+            "_w"
+        ),
+    ).withColumn("_n", F.size("_w").cast("long"))
+    w = Window.orderBy("_id").rowsBetween(Window.unboundedPreceding, 0)
+    pos = base.withColumn("_end", F.sum("_n").over(w)).withColumn(
+        "_start", F.col("_end") - F.col("_n")
+    )
+    pos = pos.where(F.col("_n") > 0)
+    first_seq = F.floor(F.col("_start") / size)
+    last_seq = F.floor((F.col("_end") - 1) / size)
+    ex = pos.select(
+        "_id",
+        "_w",
+        "_n",
+        "_start",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    lo = F.greatest(F.col("seq_id") * size, F.col("_start"))
+    hi = F.least((F.col("seq_id") + 1) * size, F.col("_start") + F.col("_n"))
+    a = (lo - F.col("_start")).cast("int")  # 0-based offset within the doc
+    ln = (hi - lo).cast("int")
+    return ex.select(
+        F.col("seq_id"),
+        F.col("_id").alias(id_col),
+        (lo - F.col("seq_id") * size).cast("long").alias("offset_in_seq"),
+        ln.cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.slice(F.col("_w"), a + 1, ln)).alias("part_text"),
+    )
+
+
+def pack_sequences_sql(
+    table: str, size: int = 2048, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB oracle for pack_sequences (same id-ordered token stream)."""
+    return f"""
+WITH w AS (
+  SELECT {id_col} AS id,
+         list_filter(string_split_regex({text_col}, '\\s+'), x -> x <> '') AS words
+  FROM {table}
+), pos AS (
+  SELECT id, words, len(words)::BIGINT AS n,
+         sum(len(words)) OVER (ORDER BY id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS e
+  FROM w
+), nz AS (
+  SELECT id, words, n, e - n AS s FROM pos WHERE n > 0
+), ex AS (
+  SELECT id, words, n, s,
+         unnest(range(s // {size}, (s + n - 1) // {size} + 1)) AS seq_id
+  FROM nz
+)
+SELECT seq_id,
+       id AS {id_col},
+       (greatest(seq_id * {size}, s) - seq_id * {size})::BIGINT AS offset_in_seq,
+       (least((seq_id + 1) * {size}, s + n) - greatest(seq_id * {size}, s))::BIGINT AS n_tokens,
+       array_to_string(
+         words[(greatest(seq_id * {size}, s) - s + 1) :
+               (least((seq_id + 1) * {size}, s + n) - s)], ' ') AS part_text
+FROM ex
+"""

@@ -652,3 +652,57 @@ def test_ccnet_buckets(spark):
     assert b[b.bucket == "head"]["mean_neg_logprob"].max() <= b[
         b.bucket == "tail"
     ]["mean_neg_logprob"].min()
+
+
+def test_pack_sequences_hand_computed(spark):
+    rows = [(1, "a b c"), (2, "d e f g"), (3, ""), (4, "h")]
+    got = (
+        corpus.pack_sequences(_docs(spark, rows), size=4)
+        .toPandas()
+        .sort_values(["seq_id", "offset_in_seq"])
+        .reset_index(drop=True)
+    )
+    # stream: a b c | d  ||  e f g h  (seq 0: doc1[3] + doc2[1]; seq 1: doc2[3] + doc4[1])
+    recs = list(got[["seq_id", "doc_id", "offset_in_seq", "n_tokens", "part_text"]].itertuples(index=False))
+    assert recs[0] == (0, 1, 0, 3, "a b c")
+    assert recs[1] == (0, 2, 3, 1, "d")
+    assert recs[2] == (1, 2, 0, 3, "e f g")
+    assert recs[3] == (1, 4, 3, 1, "h")
+    # every sequence except the last is exactly full; empty doc absent
+    per_seq = got.groupby("seq_id")["n_tokens"].sum()
+    assert per_seq.iloc[:-1].eq(4).all()
+    assert 3 not in set(got["doc_id"])
+
+
+def test_pack_sequences_duckdb_and_stream_property(spark):
+    docs = spark.read.parquet(DOCS_PQ)
+    size = 97
+    got = (
+        corpus.pack_sequences(docs, size=size)
+        .toPandas()
+        .sort_values(["seq_id", "offset_in_seq"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS_PQ}')")
+    exp = (
+        con.execute(corpus.pack_sequences_sql("documents", size=size))
+        .df()
+        .sort_values(["seq_id", "offset_in_seq"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in ("seq_id", "doc_id", "offset_in_seq", "n_tokens", "part_text"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    # reassembled stream == id-ordered concatenation of all doc tokens
+    import re
+
+    stream = " ".join(got["part_text"])
+    texts = docs.select("doc_id", "text").toPandas().sort_values("doc_id")
+    expect = " ".join(
+        w for t in texts["text"] for w in re.split(r"\s+", t) if w
+    )
+    assert stream == expect
+    # all but the last sequence are exactly full
+    per_seq = got.groupby("seq_id")["n_tokens"].sum().sort_index()
+    assert per_seq.iloc[:-1].eq(size).all()
