@@ -1124,9 +1124,12 @@ def _sql_raster_stats() -> str:
             SELECT tx, ty, ix, iy, COUNT(*) AS c FROM pix GROUP BY 1,2,3,4
         ), tiles AS (SELECT DISTINCT tx, ty FROM cnts)
         SELECT CAST(5 AS INT) AS zoom,
-               (SELECT COUNT(*) FROM tiles) * 65536 AS n_pixels,
+               CAST((SELECT COUNT(*) FROM tiles) * 65536 AS BIGINT) AS n_pixels,
                (SELECT COUNT(*) FROM cnts) AS n_nonzero,
-               (SELECT SUM(c) FROM cnts) AS sum_val,
+               -- DuckDB SUM(BIGINT) returns HUGEINT, which pandas renders as
+               -- float64 and the driver's value hash sees 10000.0 != 10000;
+               -- the engine side is int64, so pin the oracle to BIGINT too
+               CAST((SELECT SUM(c) FROM cnts) AS BIGINT) AS sum_val,
                CAST(0 AS BIGINT) AS min_val,
                (SELECT MAX(c) FROM cnts) AS max_val,
                CAST(ROUND(CAST((SELECT SUM(c) FROM cnts) AS DOUBLE)

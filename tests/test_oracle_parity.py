@@ -29,6 +29,24 @@ def ddb():
     return con
 
 
+def _dtype_family(s: pd.Series) -> str:
+    """Coarse dtype family used to replicate the driver's value-hash
+    sensitivity: the driver canonicalizes each cell from its pandas dtype, so
+    an int64 10000 vs a float64 10000.0 (e.g. DuckDB HUGEINT from SUM(BIGINT)
+    landing in pandas as float) hash-mismatch even though == holds.  The
+    local gate must therefore refuse cross-family columns rather than coerce
+    them (the r1-r3 `raster_stats` red cell was exactly this)."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -54,6 +72,13 @@ def test_query_matches_oracle(spark, ddb, name):
     exp = ddb.execute(sql).df()
     assert sorted(got.columns) == sorted(exp.columns), f"{name}: column names differ"
     assert len(got) == len(exp), f"{name}: row count {len(got)} vs oracle {len(exp)}"
+    for c in got.columns:
+        gf, ef = _dtype_family(got[c]), _dtype_family(exp[c])
+        assert gf == ef, (
+            f"{name}.{c}: dtype family {gf} (spark {got[c].dtype}) vs "
+            f"{ef} (oracle {exp[c].dtype}) — the driver's value hash would flag this "
+            f"even if values are equal; CAST the oracle (or Spark) side"
+        )
     g, e = _canon(got), _canon(exp)
     for c in g.columns:
         if g[c].dtype == "float64":
