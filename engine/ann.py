@@ -118,6 +118,7 @@ def cosine_near_dup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 7,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the mission brief's
     embedding-space dedup mode): all candidate pairs sharing at least one
@@ -136,8 +137,13 @@ def cosine_near_dup(
     step — nbits dot products against literal hyperplane arrays, band-key
     assembly, the band equi-join, the cosine refine — is JVM-side
     whole-stage codegen; the only shuffles are the band-key exchange and
-    the pair dedupe, both O(n·n_bands) rows, never O(n²).  Mirrors the
-    MinHash/SimHash text paths (engine/textops.py) for the vector column.
+    the pair dedupe.  Candidate-pair output is quadratic WITHIN a band
+    bucket (exact-duplicate embedding megaclusters collide in every band);
+    pass ``max_bucket`` to deterministically truncate each bucket to its
+    ``max_bucket`` smallest ids (textops.cap_lsh_buckets semantics,
+    overflow accountable via textops.lsh_bucket_overflow on the banded
+    frame).  Mirrors the MinHash/SimHash text paths (engine/textops.py)
+    for the vector column.
 
     Output: (id_a, id_b, cos) with id_a < id_b, one row per pair.
     """
@@ -162,6 +168,10 @@ def cosine_near_dup(
     keyed = emb.select(
         F.col(id_col), F.col(vec_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, vec_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket is not None:
+        from engine.textops import cap_lsh_buckets
+
+        keyed = cap_lsh_buckets(keyed, max_bucket, id_col=id_col)
 
     a = keyed.select(
         F.col("band"), F.col("key"),

@@ -17,7 +17,7 @@ A_i/B_i — the standard universal-hash MinHash construction.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 MERSENNE_P = (1 << 61) - 1
 _HEX_CHARS = 15  # 60 bits < 2^61 and < int64
@@ -131,7 +131,66 @@ def minhash_signatures_df(
     return sig.select("_id", F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("_sig"))
 
 
-def minhash_lsh_pairs(
+def cap_lsh_buckets(
+    banded: DataFrame, max_bucket: int | None, id_col: str = "_id",
+    keys: tuple = ("band", "key"),
+) -> DataFrame:
+    """Deterministically truncate every LSH bucket to its ``max_bucket``
+    smallest ids.
+
+    All-pairs generation within a bucket is quadratic in bucket size: a
+    boilerplate cluster of c identical documents collides in EVERY band and
+    emits c(c-1)/2 pairs — at web scale (c ~ 10^6) that is 5·10^11 rows out
+    of ONE bucket.  Capping bounds pair output at max_bucket²·n_buckets
+    while keeping the truncation deterministic (smallest ids survive, so
+    the bucket minimum — the dedup hub — is always retained).  Use
+    :func:`lsh_bucket_overflow` on the same banded frame to account for
+    what the cap dropped; for full-connectivity dedup use the star-edge
+    path (:func:`minhash_lsh_star_edges`), which needs no cap at all."""
+    if max_bucket is None:
+        return banded
+    if max_bucket < 2:
+        raise ValueError("max_bucket must be >= 2 (a 1-member bucket emits no pairs)")
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(id_col).asc())
+    return (
+        banded.withColumn("_bucket_rn", F.row_number().over(w))
+        .where(F.col("_bucket_rn") <= int(max_bucket))
+        .drop("_bucket_rn")
+    )
+
+
+def lsh_bucket_overflow(
+    banded: DataFrame, max_bucket: int, id_col: str = "_id",
+    keys: tuple = ("band", "key"),
+) -> DataFrame:
+    """Overflow accounting for :func:`cap_lsh_buckets`: one row per bucket
+    whose membership exceeds ``max_bucket`` — (keys..., n_members,
+    n_dropped).  One map-combined groupBy on the band keys; run it on the
+    same banded frame the pair generator saw to report exactly what the cap
+    truncated."""
+    g = banded.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return g.where(F.col("n_members") > int(max_bucket)).select(
+        *keys,
+        "n_members",
+        (F.col("n_members") - F.lit(int(max_bucket))).cast("long").alias("n_dropped"),
+    )
+
+
+def _minhash_banded(
+    docs: DataFrame, id_col: str, text_col: str, n_hashes: int, n_bands: int,
+    shingle_words: int, seed: int,
+) -> DataFrame:
+    """(_id, _sig, band, key) — the banded signature frame shared by the
+    pair and star-edge generators."""
+    sig = minhash_signatures_df(docs, id_col, text_col, n_hashes, shingle_words, seed)
+    return sig.select(
+        "_id", "_sig", F.explode(lsh_bands(F.col("_sig"), n_bands, n_hashes // n_bands)).alias("_b")
+    ).select("_id", "_sig", F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))
+
+
+def minhash_lsh_star_edges(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -140,18 +199,56 @@ def minhash_lsh_pairs(
     shingle_words: int = 3,
     seed: int = 42,
 ) -> DataFrame:
+    """Connectivity edges for fuzzy dedup, LINEAR in bucket size.
+
+    Per (band, key) bucket, emit (bucket-min id ↔ member) star edges instead
+    of all pairs: the star spans the same vertex set as the clique, so
+    connected components over the union of stars are IDENTICAL to components
+    over the union of cliques — while a c-member boilerplate megabucket
+    emits c-1 edges, not c(c-1)/2.  This is the 100-TB-safe edge generator
+    behind :func:`dedup_clusters_df`; the pairwise API
+    (:func:`minhash_lsh_pairs`) remains for jaccard-gated inspection.
+
+    Plan: one window-min over the band exchange (no self-join), then a
+    distinct.  Returns (ka, kb) with ka = bucket hub < kb.
+    """
+    banded = _minhash_banded(docs, id_col, text_col, n_hashes, n_bands, shingle_words, seed)
+    w = Window.partitionBy("band", "key")
+    return (
+        banded.withColumn("_hub", F.min("_id").over(w))
+        .where(F.col("_id") != F.col("_hub"))
+        .select(F.col("_hub").alias("ka"), F.col("_id").alias("kb"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_words: int = 3,
+    seed: int = 42,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash+LSH banding.
 
     Plan: per-doc signature (explode + grouped min-agg, see
     minhash_signatures_df) → explode bands → self-equi-join on (band, key) →
     distinct ordered pairs (a < b) → exact signature-agreement fraction as
-    the MinHash Jaccard estimate.  Scale: the self-join shuffles on band
-    keys — identical docs collide in every band; unrelated docs almost never.
+    the MinHash Jaccard estimate.
+
+    Scale: the self-join shuffles on band keys, but pair output is
+    QUADRATIC in bucket size — a duplicate megacluster collides in every
+    band.  Pass ``max_bucket`` to deterministically truncate each bucket to
+    its ``max_bucket`` smallest ids (see :func:`cap_lsh_buckets`;
+    :func:`lsh_bucket_overflow` reports what was dropped).  For
+    connectivity-only dedup use :func:`minhash_lsh_star_edges`, which is
+    exact for clustering and linear in bucket size without any cap.
     """
-    sig = minhash_signatures_df(docs, id_col, text_col, n_hashes, shingle_words, seed)
-    banded = sig.select(
-        "_id", "_sig", F.explode(lsh_bands(F.col("_sig"), n_bands, n_hashes // n_bands)).alias("_b")
-    ).select("_id", "_sig", F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))
+    banded = _minhash_banded(docs, id_col, text_col, n_hashes, n_bands, shingle_words, seed)
+    banded = cap_lsh_buckets(banded, max_bucket)
     left = banded.select(
         F.col("_id").alias("a"), F.col("_sig").alias("sig_a"), "band", "key"
     )
@@ -322,6 +419,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     sig: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by 64-bit SimHash with the standard
     chunk-banding index: the 64-bit word splits into 4×16-bit chunks; any
@@ -332,7 +430,13 @@ def simhash_near_pairs(
     The 4-chunk index is exact for ``max_hamming`` ≤ 3; larger radii would
     need more/finer bands (documented contract, same trade-off as the
     reference MinHash banding).  Pass ``sig`` — a precomputed
-    (id_col, simhash64) frame — to skip recomputing signatures."""
+    (id_col, simhash64) frame — to skip recomputing signatures.
+
+    Pair output is quadratic in chunk-bucket size (an exact-duplicate
+    megacluster agrees on every chunk); pass ``max_bucket`` to
+    deterministically truncate buckets (see :func:`cap_lsh_buckets`) —
+    exactness then holds only within the retained members, with
+    :func:`lsh_bucket_overflow` accounting for the rest."""
     if max_hamming > 3:
         raise ValueError(
             "the 4x16-bit chunk index is exact only for max_hamming <= 3; "
@@ -359,6 +463,7 @@ def simhash_near_pairs(
             ])
         ).alias("_c"),
     ).select("_id", "_sh", "_c.ci", "_c.cv")
+    chunks = cap_lsh_buckets(chunks, max_bucket, keys=("ci", "cv"))
     a = chunks.select(F.col("_id").alias("a"), F.col("_sh").alias("sa"), "ci", "cv")
     b = chunks.select(F.col("_id").alias("b"), F.col("_sh").alias("sb"), "ci", "cv")
     pairs = (
@@ -498,29 +603,42 @@ def dedup_clusters_df(
     shingle_words: int = 3,
     seed: int = 42,
     min_est_jaccard: float | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Fuzzy-dedup clustering: the full near-duplicate REMOVAL pipeline
     (Gopher/RefinedWeb style), not just candidate pairs.
 
-    MinHash+LSH candidate pairs (minhash_lsh_pairs) → optional estimated-
-    Jaccard gate → distributed connected components over the pair graph
-    (components.min_label_propagate — hash-to-min + pointer jumping, no
-    driver union-find) → every document labeled with its cluster's minimum
-    id; the minimum-id member is the canonical survivor.
+    MinHash+LSH connectivity edges → distributed connected components over
+    the edge graph (components.min_label_propagate — hash-to-min + pointer
+    jumping, no driver union-find) → every document labeled with its
+    cluster's minimum id; the minimum-id member is the canonical survivor.
 
-    Scale: pairs are O(n·bands) via banding (never all-pairs); CC shuffles
-    edge-proportional bytes and converges in O(log diameter) rounds; docs
-    untouched by any pair never enter propagation (left-join + coalesce
-    restores them as singletons).
+    Scale: ungated (``min_est_jaccard`` is None, the production mode), the
+    edge generator is :func:`minhash_lsh_star_edges` — per-bucket hub↔member
+    stars, LINEAR in bucket size and component-identical to the all-pairs
+    clique (a star spans the same vertex set), so a 10^6-member boilerplate
+    megabucket emits 10^6-1 edges, not 5·10^11 pairs.  With a jaccard gate
+    the graph is defined PAIRWISE (an edge exists iff that pair's estimated
+    jaccard clears the gate), so the pair path runs instead — quadratic in
+    bucket size; cap it via ``max_bucket``.  CC shuffles edge-proportional
+    bytes and converges in O(log diameter) rounds; docs untouched by any
+    edge never enter propagation (left-join + coalesce restores them as
+    singletons).
 
     Returns (id_col, cluster_id, n_members, is_canonical:int).
     """
     from engine.components import min_label_propagate
 
-    pairs = minhash_lsh_pairs(docs, id_col, text_col, n_hashes, n_bands, shingle_words, seed)
-    if min_est_jaccard is not None:
-        pairs = pairs.where(F.col("est_jaccard") >= float(min_est_jaccard))
-    edges = pairs.select(F.col("a").alias("ka"), F.col("b").alias("kb"))
+    if min_est_jaccard is None:
+        edges = minhash_lsh_star_edges(
+            docs, id_col, text_col, n_hashes, n_bands, shingle_words, seed
+        )
+    else:
+        pairs = minhash_lsh_pairs(
+            docs, id_col, text_col, n_hashes, n_bands, shingle_words, seed,
+            max_bucket=max_bucket,
+        ).where(F.col("est_jaccard") >= float(min_est_jaccard))
+        edges = pairs.select(F.col("a").alias("ka"), F.col("b").alias("kb"))
     comp = min_label_propagate(edges)
     labeled = (
         docs.select(F.col(id_col).alias("k"))

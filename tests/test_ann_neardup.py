@@ -184,3 +184,22 @@ def test_pq_recall_on_real_fixture(spark):
     # determinism
     cb2 = pq_train(emb, m=8, ksub=16, max_iters=8)
     assert sorted(map(tuple, cb.collect())) == sorted(map(tuple, cb2.collect()))
+
+
+def test_cosine_near_dup_bucket_cap(spark):
+    """max_bucket bounds within-bucket pair output for duplicate embedding
+    megaclusters: n identical vectors with cap c emit C(c,2) pairs among the
+    c smallest ids, not C(n,2)."""
+    from engine import ann
+    from pyspark.sql import functions as F
+
+    n, cap = 60, 4
+    df = spark.range(n).select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.array(*[F.lit(float(x)) for x in (0.3, -1.2, 0.7, 2.0)]).alias("embedding"),
+    )
+    pairs = ann.cosine_near_dup(
+        df, threshold=0.99, nbits=16, n_bands=4, max_bucket=cap
+    ).toPandas()
+    assert len(pairs) == cap * (cap - 1) // 2
+    assert set(pairs.id_a) | set(pairs.id_b) == set(range(cap))

@@ -205,3 +205,94 @@ def test_bpe_token_count_examples(spark):
     df = spark.createDataFrame([(s,) for s in cases], "text string")
     got = {r["text"]: r["n"] for r in df.select("text", bpe_token_count(F.col("text")).alias("n")).collect()}
     assert got == cases
+
+
+def test_star_edges_linear_on_hot_bucket(spark):
+    """The 100-TB blowup guard: a bucket of n identical documents must emit
+    O(n) connectivity edges (hub star), NOT n(n-1)/2 pairs — and the dedup
+    clustering over it stays exact (one cluster, min id canonical)."""
+    from engine.textops import dedup_clusters_df, minhash_lsh_star_edges
+    from pyspark.sql import functions as F
+
+    n = 10_000
+    base = "the same boilerplate footer text repeated across every page " * 3
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(base).alias("text")
+    )
+    edges = minhash_lsh_star_edges(docs, n_hashes=16, n_bands=4)
+    assert edges.count() == n - 1  # every member ↔ hub 0, once, despite 4 bands
+
+    got = dedup_clusters_df(docs, n_hashes=16, n_bands=4).toPandas()
+    assert (got.cluster_id == 0).all()
+    assert (got.n_members == n).all()
+    assert got.loc[got.doc_id == 0, "is_canonical"].iloc[0] == 1
+    assert int(got.is_canonical.sum()) == 1
+
+
+def test_star_edges_cc_identical_to_pair_clique(spark):
+    """Star edges span the same vertex set per bucket as the all-pairs
+    clique, so connected components are identical: the star path (ungated)
+    must produce the same cluster labels as the pair path with a vacuous
+    jaccard gate (>= 0.0 keeps every candidate pair)."""
+    from engine.textops import dedup_clusters_df
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [
+        (10, base),
+        (11, base + "tail one"),
+        (12, base + "tail one extra"),
+        (20, "completely different text about spark shuffles and joins"),
+        (21, "completely different text about spark shuffles and joins"),
+        (30, "an isolated singleton document with its own vocabulary entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(n_hashes=16, n_bands=8, shingle_words=3)
+    star = dedup_clusters_df(docs, **kw).orderBy("doc_id").toPandas()
+    pair = (
+        dedup_clusters_df(docs, min_est_jaccard=0.0, **kw).orderBy("doc_id").toPandas()
+    )
+    assert star.cluster_id.tolist() == pair.cluster_id.tolist()
+    assert star.n_members.tolist() == pair.n_members.tolist()
+    assert star.is_canonical.tolist() == pair.is_canonical.tolist()
+
+
+def test_minhash_pair_cap_and_overflow_accounting(spark):
+    """max_bucket deterministically truncates each LSH bucket to its
+    smallest ids (pairs only among survivors), and lsh_bucket_overflow
+    reports exactly what was dropped."""
+    from engine.textops import (
+        _minhash_banded, lsh_bucket_overflow, minhash_lsh_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    n, cap = 200, 5
+    base = "identical boilerplate page body shared by every document here " * 3
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(base).alias("text")
+    )
+    pairs = minhash_lsh_pairs(docs, n_hashes=16, n_bands=4, max_bucket=cap).toPandas()
+    # all docs identical -> every band bucket holds all n; survivors are ids 0..cap-1
+    assert len(pairs) == cap * (cap - 1) // 2
+    assert set(pairs.a) | set(pairs.b) == set(range(cap))
+    assert (pairs.est_jaccard == 1.0).all()
+
+    banded = _minhash_banded(docs, "doc_id", "text", 16, 4, 3, 42)
+    ov = lsh_bucket_overflow(banded, cap).toPandas()
+    assert len(ov) == 4  # one overflowing bucket per band
+    assert (ov.n_members == n).all()
+    assert (ov.n_dropped == n - cap).all()
+
+
+def test_simhash_pair_cap(spark):
+    from engine import textops
+    from pyspark.sql import functions as F
+
+    n, cap = 100, 4
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same tokens in every single document body").alias("text"),
+    )
+    pairs = textops.simhash_near_pairs(docs, max_bucket=cap).toPandas()
+    assert len(pairs) == cap * (cap - 1) // 2
+    assert set(pairs.a) | set(pairs.b) == set(range(cap))
+    assert (pairs.hamming == 0).all()
