@@ -42,30 +42,35 @@ _BO = {0: ">", 1: "<"}
 def _read_header(buf: bytes, off: int):
     bo = _BO[buf[off]]
     (gtype,) = struct.unpack_from(bo + "I", buf, off + 1)
-    return bo, gtype & 0xFF, off + 5  # mask off 2.5D/SRID flags (wkbFlatten, ogr_core.h:347)
+    # wkbFlatten (ogr_core.h:347): strip the 2.5D flag but REMEMBER it —
+    # a Z geometry carries 3 doubles per vertex that the 2D readers must skip
+    has_z = bool(gtype & 0x80000000)
+    return bo, gtype & 0xFF, has_z, off + 5
 
 
-def _read_ring(buf: bytes, off: int, bo: str):
+def _read_ring(buf: bytes, off: int, bo: str, has_z: bool = False):
     (n,) = struct.unpack_from(bo + "I", buf, off)
     off += 4
-    pts = np.frombuffer(buf, dtype=np.dtype(np.float64).newbyteorder(bo), count=2 * n, offset=off)
-    return pts.reshape(n, 2).astype(np.float64), off + 16 * n
+    dims = 3 if has_z else 2
+    pts = np.frombuffer(buf, dtype=np.dtype(np.float64).newbyteorder(bo), count=dims * n, offset=off)
+    pts = pts.reshape(n, dims)[:, :2]
+    return pts.astype(np.float64), off + 8 * dims * n
 
 
 def _parse(buf: bytes, off: int):
-    bo, gtype, off = _read_header(buf, off)
+    bo, gtype, has_z, off = _read_header(buf, off)
     if gtype == WKB_POINT:
         x, y = struct.unpack_from(bo + "dd", buf, off)
-        return ("Point", (x, y)), off + 16
+        return ("Point", (x, y)), off + (24 if has_z else 16)
     if gtype == WKB_LINESTRING:
-        ring, off = _read_ring(buf, off, bo)
+        ring, off = _read_ring(buf, off, bo, has_z)
         return ("LineString", ring), off
     if gtype == WKB_POLYGON:
         (nrings,) = struct.unpack_from(bo + "I", buf, off)
         off += 4
         rings = []
         for _ in range(nrings):
-            ring, off = _read_ring(buf, off, bo)
+            ring, off = _read_ring(buf, off, bo, has_z)
             rings.append(ring)
         return ("Polygon", rings), off
     if gtype in (WKB_MULTIPOINT, WKB_MULTILINESTRING, WKB_MULTIPOLYGON, WKB_GEOMETRYCOLLECTION):
@@ -89,6 +94,99 @@ def wkb_loads(buf: bytes):
     """Parse WKB → ("Point",(x,y)) | ("Polygon",[rings]) | ("MultiPolygon",[parts]) ..."""
     geom, _ = _parse(bytes(buf), 0)
     return geom
+
+
+# -- 2.5D (Z) support: the wkb25DBit flag (ogr_core.h:347) ------------------
+
+_WKB_25D = 0x80000000
+
+
+def _read_pts_z(buf: bytes, off: int, bo: str, has_z: bool):
+    """Read a vertex run as (N,3) float64; z = 0 when the geometry is 2D."""
+    (n,) = struct.unpack_from(bo + "I", buf, off)
+    off += 4
+    dims = 3 if has_z else 2
+    pts = np.frombuffer(
+        buf, dtype=np.dtype(np.float64).newbyteorder(bo), count=dims * n, offset=off
+    ).reshape(n, dims)
+    if not has_z:
+        pts = np.column_stack([pts, np.zeros(n)])
+    return pts.astype(np.float64), off + 8 * dims * n
+
+
+def _collect_parts_z(buf: bytes, off: int, parts: list):
+    """Recursive part collector mirroring GDALCollectRingsFromGeometry
+    (alg/gdalrasterize.cpp:176-283): points → 1-vertex parts, linestrings →
+    one part each, polygons → one part PER RING (exterior first), multis
+    recurse in order.  Returns (flat geometry kind of the outermost
+    geometry, next offset); appends (N,3) arrays to ``parts``."""
+    bo = _BO[buf[off]]
+    (raw,) = struct.unpack_from(bo + "I", buf, off + 1)
+    has_z = bool(raw & _WKB_25D)
+    gtype = raw & 0xFF
+    off += 5
+    if gtype == WKB_POINT:
+        dims = 3 if has_z else 2
+        vals = struct.unpack_from(bo + "d" * dims, buf, off)
+        parts.append(np.array([[vals[0], vals[1], vals[2] if has_z else 0.0]]))
+        return "Point", off + 8 * dims
+    if gtype == WKB_LINESTRING:
+        pts, off = _read_pts_z(buf, off, bo, has_z)
+        parts.append(pts)
+        return "LineString", off
+    if gtype == WKB_POLYGON:
+        (nrings,) = struct.unpack_from(bo + "I", buf, off)
+        off += 4
+        for _ in range(nrings):
+            ring, off = _read_pts_z(buf, off, bo, has_z)
+            parts.append(ring)
+        return "Polygon", off
+    if gtype in (WKB_MULTIPOINT, WKB_MULTILINESTRING, WKB_MULTIPOLYGON, WKB_GEOMETRYCOLLECTION):
+        (nparts,) = struct.unpack_from(bo + "I", buf, off)
+        off += 4
+        kind = "GeometryCollection"
+        inner = None
+        for _ in range(nparts):
+            inner, off = _collect_parts_z(buf, off, parts)
+        names = {
+            WKB_MULTIPOINT: "MultiPoint",
+            WKB_MULTILINESTRING: "MultiLineString",
+            WKB_MULTIPOLYGON: "MultiPolygon",
+            WKB_GEOMETRYCOLLECTION: "GeometryCollection",
+        }
+        return names[gtype], off
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def collect_parts_z(buf: bytes):
+    """(kind, [ (N,3) float64 arrays ]) — vertex parts with Z (0 when 2D),
+    in GDALCollectRingsFromGeometry order.  The rasterizer's
+    BURN_VALUE_FROM=Z source: parts[0][0, 2] is aPointVariant[0]."""
+    parts: list = []
+    kind, _ = _collect_parts_z(bytes(buf), 0, parts)
+    return kind, parts
+
+
+def wkb_point_z(x: float, y: float, z: float) -> bytes:
+    return struct.pack("<BIddd", 1, WKB_POINT | _WKB_25D, x, y, z)
+
+
+def wkb_linestring_z(pts) -> bytes:
+    """pts: (N,3) x/y/z."""
+    pts = np.asarray(pts, dtype=np.float64)
+    return struct.pack("<BII", 1, WKB_LINESTRING | _WKB_25D, pts.shape[0]) + pts.astype("<f8").tobytes()
+
+
+def wkb_polygon_z(rings) -> bytes:
+    """rings: list of (N,3) arrays, first = exterior; closed automatically."""
+    out = [struct.pack("<BII", 1, WKB_POLYGON | _WKB_25D, len(rings))]
+    for ring in rings:
+        ring = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(ring[0], ring[-1]):
+            ring = np.vstack([ring, ring[:1]])
+        out.append(struct.pack("<I", len(ring)))
+        out.append(ring.astype("<f8").tobytes())
+    return b"".join(out)
 
 
 def wkb_point(x: float, y: float) -> bytes:

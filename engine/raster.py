@@ -165,21 +165,39 @@ def rasterize_polygons(
     merge_alg: str = "replace",
     id_col: str | None = None,
     wkb_col: str = "geom_wkb",
+    all_touched: bool = False,
+    burn_value_from_z: bool = False,
 ) -> DataFrame:
     """gdal_rasterize polygon burn (alg/gdalrasterize.cpp): every mercator
     pixel whose CENTER falls inside a polygon takes its burn value (the
-    default center rule; ALL_TOUCHED unsupported).  Features burn in
-    feature-id order — on overlap the LAST feature wins (``replace``, the
-    reference default) or values sum (``add``, MERGE_ALG=ADD).
+    default center rule).  Features burn in feature-id order — on overlap
+    the LAST feature wins (``replace``, the reference default) or values
+    sum (``add``, MERGE_ALG=ADD).
+
+    ``all_touched=True`` (ALL_TOUCHED, alg/gdalrasterize.cpp:411-447):
+    after the center-rule fill, every ring of the polygon — exterior AND
+    holes — is walked with GDALdllImageLineAllTouched so each boundary-
+    touched pixel burns too; per the reference, boundary burns apply per
+    visit ON TOP of the fill (in ``add`` mode a boundary pixel counts the
+    fill plus each walk visit).
+
+    ``burn_value_from_z=True`` (BURN_VALUE_FROM=Z, :466-481): burn value =
+    ``value + z`` where z is the FIRST collected vertex's Z for the whole
+    polygon — both the scanline fill (llrasterize.cpp:209 uses
+    dfVariant[0]) and the ALL_TOUCHED boundary (the :421-434 variant
+    revert) use that single value; truncated to int like the reference's
+    integer-buffer cast.  2D WKB burns z = 0.
 
     Input: (id, geom_wkb[, value]); burn value = ``value_col`` or 1.
     Output: (zoom, tx, ty, data) tile table at ``zoom``.
 
     Plan (scales like warp): per-polygon envelope → covering mercator
     tile rectangle (pure arithmetic, exploded JVM-side — a polygon ships
-    to exactly the tiles it can touch) → grouped burn per tile: prepared
-    polygon PIP over the pixel-center subgrid of the polygon's bbox, all
-    vectorized numpy.  No driver geometry, no per-pixel Python.
+    to exactly the tiles it can touch; padded by one tile when ALL_TOUCHED
+    since a boundary coordinate exactly on a tile edge floors into the
+    neighbor) → grouped burn per tile: prepared polygon PIP over the
+    pixel-center subgrid of the polygon's bbox, all vectorized numpy.  No
+    driver geometry, no per-pixel Python in the fill.
     """
     if merge_alg not in ("replace", "add"):
         raise ValueError("merge_alg must be 'replace' or 'add'")
@@ -206,14 +224,16 @@ def rasterize_polygons(
         F.least(F.col("_e.maxy"), F.lit(lat_lim)).alias("maxy"),
     )
 
+    pad = 1 if all_touched else 0
+
     @F.pandas_udf("tx0 long, ty0 long, tx1 long, ty1 long")
     def _trange(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.DataFrame:
         tx0, ty0 = tiles.lonlat_to_tile(minx.to_numpy(np.float64), miny.to_numpy(np.float64), zoom)
         tx1, ty1 = tiles.lonlat_to_tile(maxx.to_numpy(np.float64), maxy.to_numpy(np.float64), zoom)
         n = 2 ** zoom
         return pd.DataFrame({
-            "tx0": np.clip(tx0, 0, n - 1), "ty0": np.clip(ty0, 0, n - 1),
-            "tx1": np.clip(tx1, 0, n - 1), "ty1": np.clip(ty1, 0, n - 1),
+            "tx0": np.clip(tx0 - pad, 0, n - 1), "ty0": np.clip(ty0 - pad, 0, n - 1),
+            "tx1": np.clip(tx1 + pad, 0, n - 1), "ty1": np.clip(ty1 + pad, 0, n - 1),
         })
 
     cover = (
@@ -224,12 +244,14 @@ def rasterize_polygons(
     )
 
     add_mode = merge_alg == "add"
+    world = TILE_SIZE * (2 ** zoom)
 
     def _burn(pdf: pd.DataFrame) -> pd.DataFrame:
         from . import geom as geommod
 
         tx = int(pdf["tx"].iat[0])
         ty = int(pdf["ty"].iat[0])
+        gx0, gy0 = tx * TILE_SIZE, ty * TILE_SIZE
         cols = np.arange(TILE_SIZE)
         px = tx * TILE_SIZE + cols + 0.5
         py = (ty + 1) * TILE_SIZE - np.arange(TILE_SIZE) - 0.5  # row 0 = top
@@ -240,17 +262,41 @@ def rasterize_polygons(
         grid = np.zeros((TILE_SIZE, TILE_SIZE), dtype=np.int64)
         order = np.argsort(pdf["_pid"].to_numpy(), kind="stable")
         for i in order:
-            prep = geommod.PreparedPolygon(bytes(pdf["_wkb"].iat[i]))
+            wkb = bytes(pdf["_wkb"].iat[i])
+            v = int(pdf["_val"].iat[i])
+            rings = None
+            if all_touched or burn_value_from_z:
+                _, rings = geommod.collect_parts_z(wkb)
+            if burn_value_from_z and rings:
+                # the whole polygon burns value + FIRST vertex Z: the
+                # scanline fill uses dfVariant[0] (llrasterize.cpp:209,240)
+                # and the ALL_TOUCHED pass reverts every variant to
+                # aPointVariant[0] (gdalrasterize.cpp:421-447)
+                v = int(v + rings[0][0, 2])
+            prep = geommod.PreparedPolygon(wkb)
             # pixel-center subwindow of the polygon bbox
             ci = np.nonzero((lon >= prep.minx) & (lon <= prep.maxx))[0]
             ri = np.nonzero((lat >= prep.miny) & (lat <= prep.maxy))[0]
-            if ci.size == 0 or ri.size == 0:
-                continue
-            lg, tg = np.meshgrid(lon[ci], lat[ri])
-            inside = prep.contains(lg.ravel(), tg.ravel()).reshape(ri.size, ci.size)
-            v = int(pdf["_val"].iat[i])
-            sub = grid[np.ix_(ri, ci)]
-            grid[np.ix_(ri, ci)] = np.where(inside, sub + v if add_mode else v, sub)
+            if ci.size > 0 and ri.size > 0:
+                lg, tg = np.meshgrid(lon[ci], lat[ri])
+                inside = prep.contains(lg.ravel(), tg.ravel()).reshape(ri.size, ci.size)
+                sub = grid[np.ix_(ri, ci)]
+                grid[np.ix_(ri, ci)] = np.where(inside, sub + v if add_mode else v, sub)
+            if all_touched and rings:
+                # every ring (exterior and holes) walks all-touched, burning
+                # per visit on top of the fill — the reference's order
+                for ring in rings:
+                    rpx, rpy = tiles.lonlat_to_pixels(ring[:, 0], ring[:, 1], zoom)
+                    for s in range(rpx.shape[0] - 1):
+                        for cx, cy, _var in _all_touched_segment(
+                            float(rpx[s]), float(rpy[s]),
+                            float(rpx[s + 1]), float(rpy[s + 1]),
+                            0.0, 0.0, world, world, False,
+                        ):
+                            if gx0 <= cx < gx0 + TILE_SIZE and gy0 <= cy < gy0 + TILE_SIZE:
+                                r = TILE_SIZE - 1 - (cy - gy0)
+                                c = cx - gx0
+                                grid[r, c] = grid[r, c] + v if add_mode else v
         if not grid.any():  # sparse tile table: bbox-covered but unburned
             return pd.DataFrame({"zoom": [], "tx": [], "ty": [], "data": []})
         return pd.DataFrame(
@@ -264,6 +310,116 @@ def rasterize_polygons(
 
     nparts = polys.sparkSession.sparkContext.defaultParallelism
     return cover.repartition(nparts, "tx", "ty").groupBy("tx", "ty").applyInPandas(_burn, TILE_SCHEMA)
+
+
+def _all_touched_segment(x0, y0, x1, y1, v0, v1, nx, ny, use_z):
+    """Every pixel touched by the segment, with linearly interpolated
+    variant — transcription of GDALdllImageLineAllTouched
+    (alg/llrasterize.cpp:388-606): off-region skip, left-to-right swap,
+    vertical / horizontal inclusive floor runs, then the boundary-crossing
+    float walk with the reference's 1e-9 step guards.  Coordinates are
+    continuous global pixels; yields (ix, iy, variant)."""
+    import math
+
+    if (y0 < 0 and y1 < 0) or (y0 > ny and y1 > ny) \
+            or (x0 < 0 and x1 < 0) or (x0 > nx and x1 > nx):
+        return
+    if not use_z:
+        v0 = v1 = 0.0
+    if x0 > x1:
+        x0, x1, y0, y1, v0, v1 = x1, x0, y1, y0, v1, v0
+    if math.floor(x0) == math.floor(x1):  # vertical
+        if y1 < y0:
+            y0, y1, v0, v1 = y1, y0, v1, v0
+        ix = int(math.floor(x0))
+        iy = int(math.floor(y0))
+        iy_end = int(math.floor(y1))
+        if ix >= nx:
+            return
+        dvar = (v1 - v0) / (y1 - y0) if (y1 - y0) > 0 else 0.0
+        if iy < 0:
+            iy = 0
+        if iy_end >= ny:
+            iy_end = ny - 1
+        v = v0 + dvar * (iy - y0)
+        while iy <= iy_end:
+            if ix >= 0:
+                yield ix, iy, v
+            iy += 1
+            v += dvar
+        return
+    dvar = (v1 - v0) / (x1 - x0)
+    if math.floor(y0) == math.floor(y1):  # horizontal (x already increasing)
+        ix = int(math.floor(x0))
+        iy = int(math.floor(y0))
+        ix_end = int(math.floor(x1))
+        if iy >= ny or iy < 0:
+            return
+        if ix < 0:
+            ix = 0
+        if ix_end >= nx:
+            ix_end = nx - 1
+        v = v0 + dvar * (ix - x0)
+        while ix <= ix_end:
+            yield ix, iy, v
+            ix += 1
+            v += dvar
+        return
+    # general left-to-right sloped case
+    slope = (y1 - y0) / (x1 - x0)
+    if x1 > nx:
+        y1 -= (x1 - nx) * slope
+        x1 = float(nx)
+    if x0 < 0:
+        y0 += (0 - x0) * slope
+        v0 += dvar * (0.0 - x0)
+        x0 = 0.0
+    if y1 > y0:
+        if y0 < 0:
+            dx = (0 - y0) / slope
+            x0 += dx
+            v0 += dvar * dx
+            y0 = 0.0
+        if y1 >= ny:
+            x1 += (y1 - ny) / slope
+            y1 = float(ny)
+    else:
+        if y0 >= ny:
+            dx = (ny - y0) / slope
+            x0 += dx
+            v0 += dvar * dx
+            y0 = float(ny)
+        if y1 < 0:
+            x1 -= (y1 - 0) / slope
+            y1 = 0.0
+    x, y, v = x0, y0, v0
+    while x < x1:
+        ix = int(math.floor(x))
+        iy = int(math.floor(y))
+        if 0 <= iy < ny and 0 <= ix < nx:
+            yield ix, iy, v
+        step_x = math.floor(x + 1.0) - x
+        step_y = step_x * slope
+        if int(math.floor(y + step_y)) == iy:
+            x += step_x
+            y += step_y
+            v += dvar * step_x
+        elif slope < 0:
+            step_y = iy - y
+            if step_y > -1e-9:
+                step_y = -1e-9
+            step_x = step_y / slope
+            x += step_x
+            y += step_y
+            v += dvar * step_x
+        else:
+            step_y = (iy + 1) - y
+            if step_y < 1e-9:
+                step_y = 1e-9
+            step_x = step_y / slope
+            x += step_x
+            y += step_y
+            v += dvar * step_x
 
 
 def _bresenham(ix0: int, iy0: int, ix1: int, iy1: int):
@@ -296,17 +452,31 @@ def rasterize_lines(
     merge_alg: str = "replace",
     id_col: str | None = None,
     wkb_col: str = "geom_wkb",
+    all_touched: bool = False,
+    burn_value_from_z: bool = False,
 ) -> DataFrame:
     """gdal_rasterize for line layers: integer Bresenham between the
     endpoint pixels of every segment (alg/llrasterize.cpp
     GDALdllImageLine), features burning in id order with last-wins
     (``replace``) or summing (``add``) overlap semantics.
 
+    ``all_touched=True`` switches to the ALL_TOUCHED walk
+    (GDALdllImageLineAllTouched, alg/llrasterize.cpp:388): every pixel the
+    continuous segment touches burns, not just the Bresenham chain; burns
+    apply per VISIT exactly as the reference's gvBurnPoint does (a vertex
+    pixel shared by two segments burns twice in ``add`` mode).  The default
+    Bresenham path keeps this engine's documented per-feature pixel dedup.
+
+    ``burn_value_from_z=True`` is BURN_VALUE_FROM=Z
+    (alg/gdalrasterize.cpp:466-481): the burn value becomes
+    ``value + z`` with z linearly interpolated along each segment from the
+    geometry's vertex Z (2.5D WKB; 0 for 2D inputs), truncated to int like
+    the reference's integer-buffer cast.
+
     Seam-exact by construction: each covering tile re-runs the SAME
-    global-pixel Bresenham walk for its candidate segments and keeps only
-    its own pixels, so the walk's error-accumulator state never depends
-    on tile boundaries.  A segment ships only to the tiles its bbox
-    covers.
+    global-pixel walk for its candidate segments and keeps only its own
+    pixels, so walk state never depends on tile boundaries.  A segment
+    ships only to the tiles its bbox covers.
     """
     if merge_alg not in ("replace", "add"):
         raise ValueError("merge_alg must be 'replace' or 'add'")
@@ -351,8 +521,10 @@ def rasterize_lines(
         .select("tx", "ty", "_pid", "_val", "_wkb")
     )
     add_mode = merge_alg == "add"
+    world = TILE_SIZE * (2 ** zoom)
 
     def _burn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from . import geom as geommod
         from . import lineclip as lcmod
 
         tx = int(pdf["tx"].iat[0])
@@ -363,6 +535,55 @@ def rasterize_lines(
         order = np.argsort(pdf["_pid"].to_numpy(), kind="stable")
         for i in order:
             v = int(pdf["_val"].iat[i])
+            if all_touched or burn_value_from_z:
+                # Bresenham+Z keeps the per-feature dedup contract (first
+                # visit wins); ALL_TOUCHED burns per visit like gvBurnPoint
+                seen_z: set = set()
+                _, parts = geommod.collect_parts_z(bytes(pdf["_wkb"].iat[i]))
+                for pts in parts:
+                    px, py = tiles.lonlat_to_pixels(pts[:, 0], pts[:, 1], zoom)
+                    pz = pts[:, 2]
+                    for s in range(px.shape[0] - 1):
+                        if max(px[s], px[s + 1]) < gx0 - 1 or min(px[s], px[s + 1]) > gx1 + 1:
+                            continue
+                        if max(py[s], py[s + 1]) < gy0 - 1 or min(py[s], py[s + 1]) > gy1 + 1:
+                            continue
+                        if all_touched:
+                            walk = _all_touched_segment(
+                                float(px[s]), float(py[s]), float(px[s + 1]), float(py[s + 1]),
+                                float(pz[s]), float(pz[s + 1]), world, world, burn_value_from_z,
+                            )
+                        else:
+                            # Bresenham chain + the reference's per-major-axis
+                            # variant interpolation (GDALdllImageLine
+                            # :299-360) at pixel granularity
+                            ix0, iy0 = int(np.floor(px[s])), int(np.floor(py[s]))
+                            ix1, iy1 = int(np.floor(px[s + 1])), int(np.floor(py[s + 1]))
+                            z0, z1 = float(pz[s]), float(pz[s + 1])
+                            major_dx, major_dy = ix1 - ix0, iy1 - iy0
+
+                            def _w():
+                                for cx, cy in _bresenham(ix0, iy0, ix1, iy1):
+                                    if abs(major_dx) >= abs(major_dy):
+                                        t = (cx - ix0) / major_dx if major_dx else 0.0
+                                    else:
+                                        t = (cy - iy0) / major_dy if major_dy else 0.0
+                                    yield cx, cy, z0 + (z1 - z0) * t
+
+                            walk = _w()
+                        for cx, cy, var in walk:
+                            if not (gx0 <= cx < gx1 and gy0 <= cy < gy1):
+                                continue
+                            if not all_touched:
+                                if (cx, cy) in seen_z:
+                                    continue
+                                seen_z.add((cx, cy))
+                            bv = int(v + var) if burn_value_from_z else v
+                            r = TILE_SIZE - 1 - (cy - gy0)
+                            c = cx - gx0
+                            grid[r, c] = grid[r, c] + bv if add_mode else bv
+                continue
+            # default path: per-feature pixel dedup (documented contract)
             # track burned pixels per FEATURE so 'add' counts a feature
             # once per pixel even when consecutive segments share a vertex
             seen = set()

@@ -594,3 +594,174 @@ def test_info_analogs(spark):
     assert ri["checksum_xor"] == (gdal_checksum(g0.astype(np.int32)) ^ gdal_checksum(g1.astype(np.int32)))
     assert ri["min_val"] == 0 and ri["max_val"] == 9
     assert ri["n_pixels"] == 2 * TILE_SIZE * TILE_SIZE
+
+
+# -- ALL_TOUCHED + BURN_VALUE_FROM=Z (gdal_rasterize options, round 4) -------
+
+
+def _dense_touch_pixels(p0, p1, zoom, n=40000):
+    """Independent all-touched oracle: densely sample the continuous segment
+    IN GLOBAL PIXEL SPACE (the rasterizer, like the reference, walks raster
+    coordinates — mercator py is nonlinear in latitude, so sampling lon/lat
+    would trace a different curve) and floor — converges to the set of
+    pixels whose interior the segment passes through (generic,
+    non-boundary-degenerate coordinates assumed)."""
+    from engine import tiles
+
+    ex, ey = tiles.lonlat_to_pixels(
+        np.array([p0[0], p1[0]]), np.array([p0[1], p1[1]]), zoom
+    )
+    t = np.linspace(0.0, 1.0, n)
+    px = ex[0] + (ex[1] - ex[0]) * t
+    py = ey[0] + (ey[1] - ey[0]) * t
+    return set(zip(np.floor(px).astype(int).tolist(), np.floor(py).astype(int).tolist()))
+
+
+def _collect_burned(rows):
+    from engine import raster
+
+    burned = {}
+    for r in rows:
+        grid = raster.bytes_to_tile(r.data)
+        ys, xs = np.nonzero(grid)
+        for y, x in zip(ys.tolist(), xs.tolist()):
+            cx = r.tx * 256 + x
+            cy = r.ty * 256 + (256 - 1 - y)
+            burned[(cx, cy)] = int(grid[y, x])
+    return burned
+
+
+def test_rasterize_lines_all_touched_matches_dense_sampling(spark):
+    """ALL_TOUCHED burns exactly the pixels the continuous segment touches
+    (GDALdllImageLineAllTouched semantics), verified against an independent
+    dense-sampling oracle — including tile-seam crossings."""
+    import pandas as pd
+
+    from engine import geom, raster
+
+    zoom = 3
+    segs = [
+        ((-31.7, 4.3), (11.9, 6.8)),    # shallow oblique, crosses tiles
+        ((2.3, 1.7), (17.6, 14.9)),     # steep-ish oblique
+        ((50.3, -9.7), (50.3, 24.6)),   # vertical
+        ((-4.9, 40.2), (23.8, 40.2)),   # horizontal
+        ((10.1, 30.5), (-20.7, 8.3)),   # right-to-left (swap path)
+    ]
+    rows = [(i, geom.wkb_linestring([a, b])) for i, (a, b) in enumerate(segs)]
+    lines = spark.createDataFrame(pd.DataFrame(rows, columns=["lid", "geom_wkb"]))
+    burned = _collect_burned(
+        raster.rasterize_lines(lines, zoom, all_touched=True).collect()
+    )
+    exp = set()
+    for a, b in segs:
+        exp |= _dense_touch_pixels(a, b, zoom)
+    assert set(burned) == exp
+    # all-touched strictly widens the Bresenham chain on oblique segments
+    chain = _collect_burned(raster.rasterize_lines(lines, zoom).collect())
+    assert len(burned) > len(chain)
+
+
+def test_rasterize_lines_all_touched_z_interpolation(spark):
+    """BURN_VALUE_FROM=Z on an all-touched horizontal segment: per-pixel
+    value follows the reference's per-unit-iX linear interpolation
+    (llrasterize.cpp:475-505), truncated to int."""
+    import math
+
+    import pandas as pd
+
+    from engine import geom, raster, tiles
+
+    zoom = 3
+    (x0, y0, z0), (x1, y1, z1) = (-4.9, 40.2, 100.0), (23.8, 40.2, 400.0)
+    wkb = geom.wkb_linestring_z([(x0, y0, z0), (x1, y1, z1)])
+    lines = spark.createDataFrame(pd.DataFrame({"lid": [0], "geom_wkb": [wkb]}))
+    burned = _collect_burned(
+        raster.rasterize_lines(
+            lines, zoom, all_touched=True, burn_value_from_z=True
+        ).collect()
+    )
+    px, py = tiles.lonlat_to_pixels(np.array([x0, x1]), np.array([y0, y1]), zoom)
+    iy = int(math.floor(py[0]))
+    dvar = (z1 - z0) / (px[1] - px[0])
+    ix0, ix1 = int(math.floor(px[0])), int(math.floor(px[1]))
+    exp = {}
+    v = z0 + dvar * (ix0 - px[0])
+    for ix in range(ix0, ix1 + 1):
+        exp[(ix, iy)] = int(1 + v)  # burn value 1 + interpolated z, truncated
+        v += dvar
+    assert burned == exp
+
+
+def test_rasterize_polygons_all_touched(spark):
+    """ALL_TOUCHED polygons: center-rule fill PLUS every ring-touched pixel
+    — including the HOLE boundary, which burns even though the hole
+    interior does not (gdalrasterize.cpp:411-447 walks every ring)."""
+    import pandas as pd
+
+    from engine import geom, raster
+
+    zoom = 3
+    ext = [(0.3, 0.4), (30.2, 0.4), (30.2, 29.7), (0.3, 29.7)]
+    hole = [(10.2, 10.3), (19.8, 10.3), (19.8, 19.6), (10.2, 19.6)]
+    polys = spark.createDataFrame(
+        pd.DataFrame({"pid": [0], "geom_wkb": [geom.wkb_polygon([ext, hole])]})
+    )
+    burned = set(
+        _collect_burned(
+            raster.rasterize_polygons(polys, zoom, all_touched=True).collect()
+        )
+    )
+    fill = set(
+        _collect_burned(raster.rasterize_polygons(polys, zoom).collect())
+    )
+    ring_touch = set()
+    for ring in (ext, hole):
+        closed = ring + ring[:1]
+        for s in range(len(closed) - 1):
+            ring_touch |= _dense_touch_pixels(closed[s], closed[s + 1], zoom)
+    assert burned == fill | ring_touch
+    # the hole boundary burned pixels the fill did not
+    assert not (ring_touch <= fill)
+
+
+def test_rasterize_polygons_burn_value_from_z(spark):
+    """BURN_VALUE_FROM=Z uses the FIRST vertex's Z for the whole polygon
+    (fill and boundary both use dfVariant[0] — llrasterize.cpp:209, the
+    gdalrasterize.cpp:421-434 revert)."""
+    import pandas as pd
+
+    from engine import geom, raster
+
+    ring = [(0.3, 0.4, 7.0), (30.2, 0.4, 99.0), (30.2, 29.7, -3.0), (0.3, 29.7, 55.0)]
+    polys = spark.createDataFrame(
+        pd.DataFrame({"pid": [0], "geom_wkb": [geom.wkb_polygon_z([ring])], "v": [2]})
+    )
+    burned = _collect_burned(
+        raster.rasterize_polygons(
+            polys, 3, value_col="v", all_touched=True, burn_value_from_z=True
+        ).collect()
+    )
+    assert burned
+    assert set(burned.values()) == {9}  # 2 + first-vertex z (7), everywhere
+
+
+def test_rasterize_all_touched_add_burns_per_visit(spark):
+    """In ADD mode the all-touched walk burns per VISIT like gvBurnPoint:
+    a polygon's boundary pixels accumulate the fill burn plus each ring
+    visit, so their value exceeds the interior's."""
+    import pandas as pd
+
+    from engine import geom, raster
+
+    ring = [(0.3, 0.4), (30.2, 0.4), (30.2, 29.7), (0.3, 29.7)]
+    polys = spark.createDataFrame(
+        pd.DataFrame({"pid": [0], "geom_wkb": [geom.wkb_polygon([ring])], "v": [5]})
+    )
+    burned = _collect_burned(
+        raster.rasterize_polygons(
+            polys, 3, value_col="v", merge_alg="add", all_touched=True
+        ).collect()
+    )
+    vals = set(burned.values())
+    assert 5 in vals           # interior: fill only
+    assert max(vals) >= 10     # boundary: fill + at least one ring visit
