@@ -53,3 +53,44 @@ def geotag_first(pages: DataFrame, gazetteer: DataFrame) -> DataFrame:
         .where(F.col("_rn") == 1)
         .drop("_rn", "pos")
     )
+
+
+def geocode_reverse(
+    queries: DataFrame,
+    gazetteer: DataFrame,
+    query_id: str = "qid",
+    k: int = 1,
+) -> DataFrame:
+    """Reverse geocoding: (lon, lat) → nearest gazetteer place — the
+    ``OGRGeocodeReverse`` analog (``ogr/ogr_geocoding.cpp:331-357`` reverse
+    query templates :100-117; the service's nearest-place answer becomes an
+    exact kNN against the broadcast gazetteer, which IS the cache table, so
+    repeated queries are deterministic by construction — the cache-table
+    contract of OGRGeocodeCreateSession).
+
+    Plan: k=1 (default) exact kNN via the combiner-style broadcast scan
+    (``joins.knn_join_broadcast``) — queries broadcast, one vectorized pass
+    over the gazetteer, per-partition top-k, one tiny merge shuffle — then
+    a broadcast join restores the full place attribution.  Ties break on
+    place name ascending (documented, parallelism-invariant).
+
+    Output: (query_id, rank, name, place_lon, place_lat, dist,
+    <other gazetteer columns>).
+    """
+    from engine import joins
+
+    nn = joins.knn_join_broadcast(
+        queries, gazetteer, k=k, query_id=query_id, point_id="name"
+    )
+    attrs = [c for c in gazetteer.columns if c not in ("name", "lon", "lat")]
+    out = nn.join(F.broadcast(gazetteer.select("name", *attrs)),
+                  nn["neighbor"] == gazetteer["name"])
+    return out.select(
+        query_id,
+        "rank",
+        F.col("neighbor").alias("name"),
+        F.col("nbr_lon").alias("place_lon"),
+        F.col("nbr_lat").alias("place_lat"),
+        "dist",
+        *attrs,
+    )

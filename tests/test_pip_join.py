@@ -199,3 +199,33 @@ def test_knn_broadcast_matches_rings(spark):
     ka = sorted((r.qid, r.rank, r.neighbor, round(r.dist, 9)) for r in a)
     kb = sorted((r.qid, r.rank, r.neighbor, round(r.dist, 9)) for r in b)
     assert ka == kb
+
+
+def test_geocode_reverse_matches_oracle(spark, data):
+    """geocode_reverse (OGRGeocodeReverse analog): every query resolves to
+    the brute-force nearest gazetteer place, ties broken by name; repeated
+    runs are identical (the cache-table determinism contract)."""
+    import numpy as np
+
+    from engine.geotag import geocode_reverse
+
+    rng = np.random.default_rng(7)
+    qs = [(i, float(lo), float(la)) for i, (lo, la) in enumerate(
+        zip(rng.uniform(-179, 179, 40), rng.uniform(-80, 80, 40)))]
+    queries = spark.createDataFrame(qs, "qid long, lon double, lat double")
+    got = {r.qid: (r.name, r.dist, r.country_id)
+           for r in geocode_reverse(queries, data["gaz"]).collect()}
+    gaz = data["gaz_pdf"]
+    glon = gaz["lon"].to_numpy(float)
+    glat = gaz["lat"].to_numpy(float)
+    gname = gaz["name"].to_numpy()
+    gcountry = gaz["country_id"].to_numpy()
+    for qid, lon, lat in qs:
+        d = np.sqrt((glon - lon) ** 2 + (glat - lat) ** 2)
+        order = np.lexsort((gname, d))
+        i = order[0]
+        assert got[qid][0] == gname[i], qid
+        assert abs(got[qid][1] - d[i]) < 1e-12
+        assert got[qid][2] == gcountry[i]
+    again = {r.qid: r.name for r in geocode_reverse(queries, data["gaz"]).collect()}
+    assert again == {q: v[0] for q, v in got.items()}
