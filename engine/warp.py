@@ -134,9 +134,69 @@ def _lanczos_weights(d: np.ndarray) -> np.ndarray:
     return np.where(np.abs(d) < a, out, 0.0)
 
 
+def _cutline_boundary_segments(cutline_wkb: bytes) -> np.ndarray:
+    """Cutline polygon boundary as an (S, 2, 2) segment array — the
+    poLines the blend generator measures distance to
+    (alg/gdalcutline.cpp:60-121 builds the same boundary collection)."""
+    from .geom import polygon_rings
+
+    segs = []
+    for ring in polygon_rings(cutline_wkb):
+        r = np.asarray(ring, dtype=np.float64)
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        segs.append(np.stack([r[:-1], r[1:]], axis=1))
+    return np.concatenate(segs, axis=0)
+
+
+def _dist_to_segments(xs: np.ndarray, ys: np.ndarray, segs: np.ndarray) -> np.ndarray:
+    """Exact Euclidean distance from each point to the nearest boundary
+    segment (the GEOSDistance of alg/gdalcutline.cpp:186, vectorized over
+    pixels per segment — the segment count is the small axis)."""
+    a = segs[:, 0]
+    ab = segs[:, 1] - a
+    ab2 = (ab ** 2).sum(axis=1)
+    ab2 = np.where(ab2 == 0.0, 1.0, ab2)
+    best = np.full(xs.shape, np.inf)
+    for s in range(segs.shape[0]):
+        apx = xs - a[s, 0]
+        apy = ys - a[s, 1]
+        t = np.clip((apx * ab[s, 0] + apy * ab[s, 1]) / ab2[s], 0.0, 1.0)
+        dx = apx - t * ab[s, 0]
+        dy = apy - t * ab[s, 1]
+        d2 = dx * dx + dy * dy
+        np.minimum(best, d2, out=best)
+    return np.sqrt(best)
+
+
+def cutline_blend_ratio(
+    lon: np.ndarray, lat: np.ndarray, inside: np.ndarray,
+    cutline_wkb: bytes, blend_px: float, deg_per_px: float,
+) -> np.ndarray:
+    """Per-pixel validity ratio of the gdalwarp CUTLINE_BLEND_DIST mask
+    (alg/gdalcutline.cpp BlendMaskGenerator:148-210, apps/gdalwarp.cpp
+    -cblend): pixels farther than ``blend_px`` from the cutline boundary
+    keep their hard mask (1 inside / 0 outside); within the blend band the
+    ratio ramps 0.5 ± (dist/blend)·0.5 — inside rises toward 1, outside
+    falls toward 0, meeting at 0.5 ON the boundary.  Distances are
+    measured in destination pixel units (the geodetic grid is linear in
+    degrees, so pixel distance = degree distance / ``deg_per_px``)."""
+    px = (180.0 + lon) / deg_per_px
+    py = (90.0 + lat) / deg_per_px
+    segs = _cutline_boundary_segments(cutline_wkb)
+    segs_px = np.empty_like(segs)
+    segs_px[:, :, 0] = (180.0 + segs[:, :, 0]) / deg_per_px
+    segs_px[:, :, 1] = (90.0 + segs[:, :, 1]) / deg_per_px
+    dist = _dist_to_segments(px, py, segs_px)
+    far = dist > blend_px
+    ramp = np.where(inside, 0.5 + (dist / blend_px) * 0.5, 0.5 - (dist / blend_px) * 0.5)
+    return np.where(far, inside.astype(np.float64), ramp)
+
+
 def warp_mercator_to_geodetic(
     spark: SparkSession, src_tiles: DataFrame, src_zoom: int, dst_zoom: int,
     resampling: str = "nearest", cutline_wkb: bytes | None = None,
+    cutline_blend_dist: float = 0.0,
 ) -> DataFrame:
     """Mercator (TMS) density-tile table at src_zoom → geodetic (TMS
     tmscompatible) tile table at dst_zoom; ``resampling`` ∈ nearest /
@@ -147,7 +207,12 @@ def warp_mercator_to_geodetic(
     whose centers fall outside the polygon to 0 (the gdalwarp -cutline
     validity mask, alg/gdalcutline.cpp — rasterized here as an exact
     prepared-geometry PIP test per destination pixel instead of a scanline
-    burn; blend distance unsupported).
+    burn).  ``cutline_blend_dist`` > 0 (destination pixels) enables the
+    CUTLINE_BLEND_DIST ramp (apps/gdalwarp.cpp -cblend,
+    alg/gdalcutline.cpp BlendMaskGenerator): within that distance of the
+    cutline boundary the value scales by 0.5 ± (dist/blend)·0.5 (inside +
+    / outside −, exactly 0.5 on the line), rounded half-up to the integer
+    band — the hard edge becomes a linear feather.
 
     Plan: source extent (one tiny agg) → destination tile list (driver
     arithmetic, ≤ #dst tiles rows) → explode each dst tile to covering src
@@ -312,7 +377,15 @@ def warp_mercator_to_geodetic(
             from .geom import PreparedPolygon
 
             prep = PreparedPolygon(cutline_wkb)
-            out[~prep.contains(lon_g.ravel(), lat_g.ravel())] = 0
+            inside = prep.contains(lon_g.ravel(), lat_g.ravel())
+            if cutline_blend_dist > 0.0:
+                ratio = cutline_blend_ratio(
+                    lon_g.ravel(), lat_g.ravel(), inside,
+                    cutline_wkb, float(cutline_blend_dist), res,
+                )
+                out = np.floor(out * ratio + 0.5).astype(np.int64)
+            else:
+                out[~inside] = 0
         return pd.DataFrame(
             {
                 "zoom": [np.int32(dst_zoom)],
