@@ -198,6 +198,14 @@ def wkb_linestring(pts) -> bytes:
     return struct.pack("<BII", 1, WKB_LINESTRING, pts.shape[0]) + pts.astype("<f8").tobytes()
 
 
+def wkb_multipoint(pts) -> bytes:
+    """pts: list of (x, y)."""
+    out = [struct.pack("<BII", 1, WKB_MULTIPOINT, len(pts))]
+    for x, y in pts:
+        out.append(wkb_point(float(x), float(y)))
+    return b"".join(out)
+
+
 def wkb_multilinestring(lines) -> bytes:
     """lines: list of (N,2) arrays."""
     out = [struct.pack("<BII", 1, WKB_MULTILINESTRING, len(lines))]

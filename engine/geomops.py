@@ -441,6 +441,47 @@ def force_multipolygon(wkb: bytes) -> bytes:
     raise ValueError(f"forceToMultiPolygon: unsupported {kind}")
 
 
+def force_multipoint(wkb: bytes) -> bytes:
+    """OGRGeometryFactory::forceToMultiPoint (ogrgeometryfactory.cpp:678):
+    Point → single-member MultiPoint; MultiPoint passes through; a
+    GeometryCollection promotes iff EVERY member is a Point (an empty
+    collection promotes — the all-point check is vacuously true, :704-711);
+    any other geometry returns UNCHANGED (the reference returns the input
+    rather than erroring, :729-730)."""
+    kind, body = geom.wkb_loads(bytes(wkb))
+    if kind == "MultiPoint":
+        return bytes(wkb)
+    if kind == "Point":
+        return geom.wkb_multipoint([body])
+    if kind == "GeometryCollection" and all(k == "Point" for k, _ in body):
+        return geom.wkb_multipoint([b for _, b in body])
+    return bytes(wkb)
+
+
+def force_multilinestring(wkb: bytes) -> bytes:
+    """OGRGeometryFactory::forceToMultiLineString
+    (ogrgeometryfactory.cpp:783): MultiLineString passes through; a
+    GeometryCollection of only LineStrings promotes (empty promotes);
+    LineString wraps; Polygon → one LineString PER RING (exterior first,
+    then holes, empty rings skipped, :857-877); MultiPolygon → the rings
+    of every member polygon in order (:884-925); anything else returns
+    unchanged."""
+    kind, body = geom.wkb_loads(bytes(wkb))
+    if kind == "MultiLineString":
+        return bytes(wkb)
+    if kind == "GeometryCollection" and all(k == "LineString" for k, _ in body):
+        return geom.wkb_multilinestring([b for _, b in body])
+    if kind == "LineString":
+        return geom.wkb_multilinestring([body])
+    if kind == "Polygon":
+        return geom.wkb_multilinestring([r for r in body if len(r) > 0])
+    if kind == "MultiPolygon":
+        return geom.wkb_multilinestring(
+            [r for _, rings in body for r in rings if len(r) > 0]
+        )
+    return bytes(wkb)
+
+
 # ---------------------------------------------------------------------------
 # organizePolygons (OGRGeometryFactory::organizePolygons,
 # ogr/ogrgeometryfactory.cpp:1055): assemble a flat ring soup into

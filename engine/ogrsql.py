@@ -435,7 +435,7 @@ class _Compiler:
                 and node[1][0] == "col"
                 and (node[1][2] or "").lower() == (self.geom_col or "").lower()
             )
-            if typ in ("GEOMETRY", "POLYGON", "MULTIPOLYGON") or (
+            if typ in ("GEOMETRY", "POLYGON", "MULTIPOLYGON", "MULTIPOINT", "MULTILINESTRING") or (
                 is_geom_col and typ in ("CHARACTER", "VARCHAR", "TEXT", "STRING")
             ):
                 return self._geometry_cast(c, src_t, typ, width)
@@ -498,8 +498,13 @@ class _Compiler:
             return sqlcompat.ogr_cast_character(_wkt(c), width), StringType()
         if typ == "GEOMETRY":
             return c, src_t
-        if typ in ("POLYGON", "MULTIPOLYGON"):
-            fn = geomops.force_polygon if typ == "POLYGON" else geomops.force_multipolygon
+        if typ in ("POLYGON", "MULTIPOLYGON", "MULTIPOINT", "MULTILINESTRING"):
+            fn = {
+                "POLYGON": geomops.force_polygon,
+                "MULTIPOLYGON": geomops.force_multipolygon,
+                "MULTIPOINT": geomops.force_multipoint,
+                "MULTILINESTRING": geomops.force_multilinestring,
+            }[typ]
 
             @F.pandas_udf("binary")
             def _force(wkb: pd.Series) -> pd.Series:

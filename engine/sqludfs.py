@@ -122,6 +122,14 @@ def register_sql_udfs(spark: SparkSession) -> None:
 
         return pd.Series([one(b, t) for b, t in zip(wkb, tol)])
 
+    @F.pandas_udf("binary")
+    def st_multi_point(wkb: pd.Series) -> pd.Series:
+        return wkb.map(lambda b: None if b is None else geomops.force_multipoint(b))
+
+    @F.pandas_udf("binary")
+    def st_multi_linestring(wkb: pd.Series) -> pd.Series:
+        return wkb.map(lambda b: None if b is None else geomops.force_multilinestring(b))
+
     spark.udf.register("ST_Area", st_area)  # vector.st_area, parts/hole-correct
     spark.udf.register("ST_Centroid_X", st_centroid_x)
     spark.udf.register("ST_Centroid_Y", st_centroid_y)
@@ -137,3 +145,6 @@ def register_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("ST_IsValid", st_is_valid)  # :1361
     spark.udf.register("ST_Boundary", st_boundary)  # :2227
     spark.udf.register("ST_SimplifyPreserveTopology", st_simplify_preserve_topology)  # :3833
+    # forceToMultiPoint / forceToMultiLineString (ogrgeometryfactory.cpp:678,783)
+    spark.udf.register("ST_ForceToMultiPoint", st_multi_point)
+    spark.udf.register("ST_ForceToMultiLineString", st_multi_linestring)

@@ -359,3 +359,80 @@ def test_approximate_arc_angles_full_circle_closes():
 def test_approximate_arc_angles_wkb_roundtrip():
     b = geomops.approximate_arc_angles_wkb(1.0, 2.0, 3.0, 1.0, 0.0, 0.0, 90.0, 4.0)
     assert geom.wkb_geometry_name(b) == "LINESTRING"
+
+
+def test_force_multipoint_transcription():
+    """forceToMultiPoint (ogrgeometryfactory.cpp:678): Point wraps,
+    MultiPoint passes, all-point GeometryCollection promotes, anything
+    else returns UNCHANGED."""
+    import struct
+
+    p = geom.wkb_point(3.0, 4.0)
+    kind, body = geom.wkb_loads(geomops.force_multipoint(p))
+    assert kind == "MultiPoint" and [b for _, b in body] == [(3.0, 4.0)]
+    mp = geom.wkb_multipoint([(1.0, 2.0), (5.0, 6.0)])
+    assert geomops.force_multipoint(mp) == mp
+    # GeometryCollection of two points promotes
+    gc = struct.pack("<BII", 1, 7, 2) + geom.wkb_point(1.0, 1.0) + geom.wkb_point(2.0, 2.0)
+    kind, body = geom.wkb_loads(geomops.force_multipoint(gc))
+    assert kind == "MultiPoint" and [b for _, b in body] == [(1.0, 1.0), (2.0, 2.0)]
+    # mixed collection returns unchanged
+    gc2 = struct.pack("<BII", 1, 7, 2) + geom.wkb_point(1.0, 1.0) + geom.wkb_linestring([(0, 0), (1, 1)])
+    assert geomops.force_multipoint(gc2) == gc2
+    # a polygon returns unchanged
+    poly = geom.wkb_polygon([[(0, 0), (4, 0), (4, 4), (0, 4)]])
+    assert geomops.force_multipoint(poly) == poly
+    # empty collection promotes vacuously (the reference's all-point loop)
+    gc0 = struct.pack("<BII", 1, 7, 0)
+    kind, body = geom.wkb_loads(geomops.force_multipoint(gc0))
+    assert kind == "MultiPoint" and body == []
+
+
+def test_force_multilinestring_transcription():
+    """forceToMultiLineString (ogrgeometryfactory.cpp:783): LineString
+    wraps, polygon rings become one LineString each (exterior first, holes
+    after), MultiPolygon flattens every member's rings, points pass
+    unchanged."""
+    ls = geom.wkb_linestring([(0.0, 0.0), (2.0, 3.0)])
+    kind, body = geom.wkb_loads(geomops.force_multilinestring(ls))
+    assert kind == "MultiLineString"
+    assert [b.tolist() for _, b in body] == [[[0.0, 0.0], [2.0, 3.0]]]
+    mls = geom.wkb_multilinestring([np.array([[0.0, 0.0], [1.0, 1.0]])])
+    assert geomops.force_multilinestring(mls) == mls
+    ext = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+    hole = [(2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0)]
+    kind, body = geom.wkb_loads(geomops.force_multilinestring(geom.wkb_polygon([ext, hole])))
+    assert kind == "MultiLineString" and len(body) == 2
+    # each ring arrives closed, exterior first
+    assert body[0][1][0].tolist() == [0.0, 0.0] and body[0][1][-1].tolist() == [0.0, 0.0]
+    assert body[1][1][0].tolist() == [2.0, 2.0]
+    mpoly = geom.wkb_multipolygon([[ext], [hole]])
+    kind, body = geom.wkb_loads(geomops.force_multilinestring(mpoly))
+    assert kind == "MultiLineString" and len(body) == 2
+    pt = geom.wkb_point(1.0, 1.0)
+    assert geomops.force_multilinestring(pt) == pt
+
+
+def test_force_multi_sql_surfaces(spark):
+    """The new force-casts reach both SQL surfaces: ST_ UDFs and the OGR
+    SQL CAST targets."""
+    import pandas as pd
+
+    from engine.ogrsql import execute_ogr_sql
+    from engine.sqludfs import register_sql_udfs
+
+    register_sql_udfs(spark)
+    poly = geom.wkb_polygon([[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]])
+    df = spark.createDataFrame(pd.DataFrame({"fid": [1], "geom_wkb": [poly]}))
+    df.createOrReplaceTempView("t_force")
+    r = spark.sql(
+        "SELECT ST_ForceToMultiLineString(geom_wkb) AS mls, "
+        "ST_ForceToMultiPoint(geom_wkb) AS mp FROM t_force"
+    ).collect()[0]
+    assert geom.wkb_loads(bytes(r.mls))[0] == "MultiLineString"
+    assert bytes(r.mp) == poly  # non-point input passes through unchanged
+    out = execute_ogr_sql(
+        {"t_force": df},
+        "SELECT CAST(geom_wkb AS MULTILINESTRING) AS g FROM t_force",
+    ).collect()[0]
+    assert geom.wkb_loads(bytes(out.g))[0] == "MultiLineString"
