@@ -31,10 +31,10 @@ _FE = 500000.0                 # false easting
 _FN_S = 10000000.0             # false northing (southern hemisphere)
 
 
-def _m_arc(lat: np.ndarray) -> np.ndarray:
-    """Meridian arc length from the equator (Snyder eq. 3-21)."""
-    e2, e4, e6 = _E2, _E2 ** 2, _E2 ** 3
-    return _A * (
+def _m_arc_gen(lat: np.ndarray, a: float, e2v: float) -> np.ndarray:
+    """Meridian arc length from the equator (Snyder eq. 3-21), any ellipsoid."""
+    e2, e4, e6 = e2v, e2v ** 2, e2v ** 3
+    return a * (
         (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * lat
         - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * lat)
         + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * lat)
@@ -42,41 +42,54 @@ def _m_arc(lat: np.ndarray) -> np.ndarray:
     )
 
 
-def tmerc_forward(lon, lat, lon0: float, k0: float = _K0):
+def _m_arc(lat: np.ndarray) -> np.ndarray:
+    """Meridian arc length from the equator (Snyder eq. 3-21), WGS84."""
+    return _m_arc_gen(lat, _A, _E2)
+
+
+def tmerc_forward(lon, lat, lon0: float, k0: float = _K0,
+                  a: float = _A, e2: float = _E2, ep2: float = _EP2,
+                  m0: float = 0.0):
     """Geodetic degrees → transverse Mercator (x, y) meters about the
-    central meridian ``lon0`` (Snyder eqs. 8-9..8-13), no false offsets."""
+    central meridian ``lon0`` (Snyder eqs. 8-9..8-13), no false offsets.
+    Generalized over ellipsoid (``a``, ``e2``, ``ep2``) and latitude of
+    origin (``m0`` = meridian arc at lat_0); the defaults keep the
+    original WGS84 / equator-origin behavior bit-identically."""
     lon = np.radians(np.asarray(lon, dtype=np.float64))
     lat = np.radians(np.asarray(lat, dtype=np.float64))
     l0 = np.radians(lon0)
     sin_lat = np.sin(lat)
     cos_lat = np.cos(lat)
-    N = _A / np.sqrt(1 - _E2 * sin_lat ** 2)
+    N = a / np.sqrt(1 - e2 * sin_lat ** 2)
     T = (sin_lat / cos_lat) ** 2
-    C = _EP2 * cos_lat ** 2
+    C = ep2 * cos_lat ** 2
     Aa = (lon - l0) * cos_lat
-    M = _m_arc(lat)
+    M = _m_arc_gen(lat, a, e2)
     x = k0 * N * (
         Aa + (1 - T + C) * Aa ** 3 / 6
-        + (5 - 18 * T + T ** 2 + 72 * C - 58 * _EP2) * Aa ** 5 / 120
+        + (5 - 18 * T + T ** 2 + 72 * C - 58 * ep2) * Aa ** 5 / 120
     )
     y = k0 * (
-        M + N * (sin_lat / cos_lat) * (
+        M - m0 + N * (sin_lat / cos_lat) * (
             Aa ** 2 / 2 + (5 - T + 9 * C + 4 * C ** 2) * Aa ** 4 / 24
-            + (61 - 58 * T + T ** 2 + 600 * C - 330 * _EP2) * Aa ** 6 / 720
+            + (61 - 58 * T + T ** 2 + 600 * C - 330 * ep2) * Aa ** 6 / 720
         )
     )
     return x, y
 
 
-def tmerc_inverse(x, y, lon0: float, k0: float = _K0):
+def tmerc_inverse(x, y, lon0: float, k0: float = _K0,
+                  a: float = _A, e2: float = _E2, ep2: float = _EP2,
+                  m0: float = 0.0):
     """Transverse Mercator meters → geodetic degrees (Snyder eqs.
-    8-17..8-25, footpoint-latitude form)."""
+    8-17..8-25, footpoint-latitude form).  Same generalization as
+    :func:`tmerc_forward`."""
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     l0 = np.radians(lon0)
-    e1 = (1 - np.sqrt(1 - _E2)) / (1 + np.sqrt(1 - _E2))
-    M = y / k0
-    mu = M / (_A * (1 - _E2 / 4 - 3 * _E2 ** 2 / 64 - 5 * _E2 ** 3 / 256))
+    e1 = (1 - np.sqrt(1 - e2)) / (1 + np.sqrt(1 - e2))
+    M = m0 + y / k0
+    mu = M / (a * (1 - e2 / 4 - 3 * e2 ** 2 / 64 - 5 * e2 ** 3 / 256))
     lat1 = (
         mu
         + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * np.sin(2 * mu)
@@ -86,21 +99,52 @@ def tmerc_inverse(x, y, lon0: float, k0: float = _K0):
     )
     sin1 = np.sin(lat1)
     cos1 = np.cos(lat1)
-    C1 = _EP2 * cos1 ** 2
+    C1 = ep2 * cos1 ** 2
     T1 = (sin1 / cos1) ** 2
-    N1 = _A / np.sqrt(1 - _E2 * sin1 ** 2)
-    R1 = _A * (1 - _E2) / (1 - _E2 * sin1 ** 2) ** 1.5
+    N1 = a / np.sqrt(1 - e2 * sin1 ** 2)
+    R1 = a * (1 - e2) / (1 - e2 * sin1 ** 2) ** 1.5
     D = x / (N1 * k0)
     lat = lat1 - (N1 * sin1 / cos1 / R1) * (
         D ** 2 / 2
-        - (5 + 3 * T1 + 10 * C1 - 4 * C1 ** 2 - 9 * _EP2) * D ** 4 / 24
-        + (61 + 90 * T1 + 298 * C1 + 45 * T1 ** 2 - 252 * _EP2 - 3 * C1 ** 2) * D ** 6 / 720
+        - (5 + 3 * T1 + 10 * C1 - 4 * C1 ** 2 - 9 * ep2) * D ** 4 / 24
+        + (61 + 90 * T1 + 298 * C1 + 45 * T1 ** 2 - 252 * ep2 - 3 * C1 ** 2) * D ** 6 / 720
     )
     lon = l0 + (
         D - (1 + 2 * T1 + C1) * D ** 3 / 6
-        + (5 - 2 * C1 + 28 * T1 - 3 * C1 ** 2 + 8 * _EP2 + 24 * T1 ** 2) * D ** 5 / 120
+        + (5 - 2 * C1 + 28 * T1 - 3 * C1 ** 2 + 8 * ep2 + 24 * T1 ** 2) * D ** 5 / 120
     ) / cos1
     return np.degrees(lon), np.degrees(lat)
+
+
+class TransverseMercatorTransformer:
+    """General ellipsoidal transverse Mercator (Snyder eqs. 8-9..8-25):
+    any registered ellipsoid, latitude of origin (the M₀ term of eq.
+    8-13), scale factor, false offsets — the full ``+proj=tmerc`` surface
+    (OSGB-style national grids), removing the former WGS84/lat_0=0-only
+    restriction.  Accuracy: the 4th-order series is sub-centimeter within
+    ±4° of the central meridian (validated against the published OSGB
+    worked example)."""
+
+    def __init__(self, lat0: float, lon0: float, k0: float = 1.0,
+                 false_easting: float = 0.0, false_northing: float = 0.0,
+                 ellipsoid="WGS84"):
+        self.a, self.e2, self.e = _ellipsoid(ellipsoid)
+        self.ep2 = self.e2 / (1.0 - self.e2)
+        self.lon0, self.k0 = lon0, k0
+        self.fe, self.fn = false_easting, false_northing
+        self.m0 = float(_m_arc_gen(np.radians(lat0), self.a, self.e2))
+
+    def forward(self, lon, lat):
+        x, y = tmerc_forward(lon, lat, self.lon0, self.k0,
+                             self.a, self.e2, self.ep2, self.m0)
+        return x + self.fe, y + self.fn
+
+    def inverse(self, x, y):
+        return tmerc_inverse(
+            np.asarray(x, dtype=np.float64) - self.fe,
+            np.asarray(y, dtype=np.float64) - self.fn,
+            self.lon0, self.k0, self.a, self.e2, self.ep2, self.m0,
+        )
 
 
 def utm_zone(lon: float) -> int:
@@ -128,6 +172,7 @@ ELLIPSOIDS = {
     "clrk66": (6378206.4, 294.9786982),       # Clarke 1866 (NAD27)
     "intl": (6378388.0, 297.0),               # International 1924 (ED50)
     "bessel": (6377397.155, 299.1528128),     # Bessel 1841
+    "airy": (6377563.396, 299.3249646),       # Airy 1830 (OSGB36)
 }
 
 
@@ -384,26 +429,41 @@ class PolarStereographicTransformer:
     21-7..21-11 / 15-9, ellipsoidal) — the polar-region projection family
     (EPSG:3031/3413-style grids).  ``lat_ts`` < 0 selects the south
     aspect (computed by the sign-mirror rule, Snyder p. 161).  Validated
-    against Snyder PP1395's published south-polar example."""
+    against Snyder PP1395's published south-polar example.
+
+    ``lat_ts`` = ±90 is the pole-tangent aspect: the standard-parallel
+    ratio m_c/t_c degenerates to 0/0 there, so ρ switches to the scale-
+    factor form (Snyder eq. 21-33) with ``k0`` (default 1, the PROJ
+    ``+k`` default)."""
 
     def __init__(self, lat_ts: float, lon0: float,
                  false_easting: float = 0.0, false_northing: float = 0.0,
-                 ellipsoid="WGS84"):
+                 ellipsoid="WGS84", k0: float = 1.0):
         self.a, self.e2, self.e = _ellipsoid(ellipsoid)
         self.south = lat_ts < 0
         self._sgn = -1.0 if self.south else 1.0
         pc = np.radians(self._sgn * lat_ts)
         self._lam0 = np.radians(self._sgn * lon0)
         self.fe, self.fn = false_easting, false_northing
-        self.mc = float(_snyder_m(pc, self.e2))
-        self.tc = float(_snyder_t(pc, self.e))
+        if abs(lat_ts) == 90.0:
+            # pole-tangent aspect: mc = tc = 0 makes the standard-parallel
+            # form 0/0 — use the k0 form, Snyder eq. 21-33:
+            # ρ = 2·a·k0·t / √((1+e)^(1+e)·(1−e)^(1−e))
+            e = self.e
+            self._rho_per_t = (
+                2.0 * self.a * k0 / np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+            )
+        else:
+            self.mc = float(_snyder_m(pc, self.e2))
+            self.tc = float(_snyder_t(pc, self.e))
+            self._rho_per_t = self.a * self.mc / self.tc
 
     def forward(self, lon, lat):
         sgn = self._sgn
         phi = np.radians(sgn * np.asarray(lat, dtype=np.float64))
         lam = np.radians(sgn * np.asarray(lon, dtype=np.float64))
         t = _snyder_t(phi, self.e)
-        rho = self.a * self.mc * t / self.tc
+        rho = self._rho_per_t * t
         x = rho * np.sin(lam - self._lam0)
         y = -rho * np.cos(lam - self._lam0)
         return sgn * x + self.fe, sgn * y + self.fn
@@ -413,7 +473,7 @@ class PolarStereographicTransformer:
         x = sgn * (np.asarray(x, dtype=np.float64) - self.fe)
         y = sgn * (np.asarray(y, dtype=np.float64) - self.fn)
         rho = np.hypot(x, y)
-        t = rho * self.tc / (self.a * self.mc)
+        t = rho / self._rho_per_t
         lam = self._lam0 + np.arctan2(x, -y)
         phi = np.pi / 2.0 - 2.0 * np.arctan(t)
         for _ in range(8):
@@ -426,6 +486,82 @@ class PolarStereographicTransformer:
         # wrap into [-180, 180) (atan2 plus lam0 can leave the range)
         lon = (lon + 180.0) % 360.0 - 180.0
         return lon, lat
+
+
+def _conformal_lat(phi: np.ndarray, e: float) -> np.ndarray:
+    """Conformal latitude χ(φ) (Snyder eq. 3-1)."""
+    s = np.sin(phi)
+    return 2.0 * np.arctan(
+        np.tan(np.pi / 4.0 + phi / 2.0)
+        * ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+    ) - np.pi / 2.0
+
+
+def _inv_conformal_lat(chi: np.ndarray, e: float, iters: int = 10) -> np.ndarray:
+    """φ(χ) by fixed-point iteration of Snyder eq. 3-4 (the trial-φ loop
+    the stereographic inverse prescribes, p. 162)."""
+    phi = chi.copy() if isinstance(chi, np.ndarray) else np.asarray(chi, dtype=np.float64)
+    base = np.tan(np.pi / 4.0 + chi / 2.0)
+    for _ in range(iters):
+        s = np.sin(phi)
+        phi = 2.0 * np.arctan(
+            base * ((1.0 + e * s) / (1.0 - e * s)) ** (e / 2.0)
+        ) - np.pi / 2.0
+    return phi
+
+
+class ObliqueStereographicTransformer:
+    """Oblique/equatorial ellipsoidal stereographic (Snyder PP1395 pp.
+    160-162: forward eqs. 21-24/21-25 with A from 21-27 over the conformal
+    latitude 3-1; inverse eqs. 21-36..21-38 with the 3-4 trial-φ
+    iteration) — the non-polar ``+proj=stere`` aspect the engine
+    previously refused.  ``lat0`` is the center latitude (χ₁/m₁ evaluate
+    there); equatorial is simply lat0 = 0.  Conformality and the k0
+    center scale are property-tested; the spherical limit (e → 0)
+    collapses to the exact spherical oblique form."""
+
+    def __init__(self, lat0: float, lon0: float, k0: float = 1.0,
+                 false_easting: float = 0.0, false_northing: float = 0.0,
+                 ellipsoid="WGS84"):
+        self.a, self.e2, self.e = _ellipsoid(ellipsoid)
+        phi1 = np.radians(lat0)
+        self.chi1 = float(_conformal_lat(np.asarray(phi1), self.e))
+        self.m1 = float(_snyder_m(phi1, self.e2))
+        self.k0 = k0
+        self._lam0 = np.radians(lon0)
+        self.fe, self.fn = false_easting, false_northing
+        self._akm = 2.0 * self.a * self.k0 * self.m1  # 2·a·k0·m1 of eq. 21-27
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        dlam = np.radians(np.asarray(lon, dtype=np.float64)) - self._lam0
+        chi = _conformal_lat(phi, self.e)
+        sx1, cx1 = np.sin(self.chi1), np.cos(self.chi1)
+        sx, cx = np.sin(chi), np.cos(chi)
+        A = self._akm / (cx1 * (1.0 + sx1 * sx + cx1 * cx * np.cos(dlam)))
+        x = A * cx * np.sin(dlam)
+        y = A * (cx1 * sx - sx1 * cx * np.cos(dlam))
+        return x + self.fe, y + self.fn
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.fe
+        y = np.asarray(y, dtype=np.float64) - self.fn
+        rho = np.hypot(x, y)
+        sx1, cx1 = np.sin(self.chi1), np.cos(self.chi1)
+        ce = 2.0 * np.arctan2(rho * cx1, self._akm)
+        sce, cce = np.sin(ce), np.cos(ce)
+        safe_rho = np.where(rho == 0.0, 1.0, rho)
+        chi = np.where(
+            rho == 0.0,
+            self.chi1,
+            np.arcsin(np.clip(cce * sx1 + y * sce * cx1 / safe_rho, -1.0, 1.0)),
+        )
+        lam = np.arctan2(x * sce, safe_rho * cx1 * cce - y * sx1 * sce)
+        lam = np.where(rho == 0.0, 0.0, lam)
+        phi = _inv_conformal_lat(chi, self.e)
+        lon = np.degrees(self._lam0 + lam)
+        lon = (lon + 180.0) % 360.0 - 180.0
+        return lon, np.degrees(phi)
 
 
 # ---------------------------------------------------------------------------
@@ -610,31 +746,11 @@ def make_transformer(proj4: str | dict):
             raise ValueError("utm: only +ellps=WGS84 is implemented")
         tr = UTMTransformer(int(p["zone"]), south=bool(p.get("south", False)))
     elif name == "tmerc":
-        # tmerc_forward has no latitude-of-origin term: a nonzero +lat_0
-        # (e.g. OSGB) would be silently ignored -> refuse instead
-        if float(p.get("lat_0", 0.0)) != 0.0:
-            raise ValueError("tmerc: only +lat_0=0 is implemented")
-        if ellps not in ("WGS84",) and not (
-            isinstance(ellps, tuple) and ellps == ELLIPSOIDS["WGS84"]
-        ):
-            raise ValueError("tmerc: only +ellps=WGS84 is implemented")
-        lon0, k0 = float(p.get("lon_0", 0.0)), float(p.get("k", _K0))
-        fe, fn = float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0))
-
-        class _Tmerc:
-            def forward(self, lon, lat):
-                x, y = tmerc_forward(lon, lat, lon0, k0)
-                return x + fe, y + fn
-
-            def inverse(self, x, y):
-                return tmerc_inverse(
-                    np.asarray(x, dtype=np.float64) - fe,
-                    np.asarray(y, dtype=np.float64) - fn,
-                    lon0,
-                    k0,
-                )
-
-        tr = _Tmerc()
+        tr = TransverseMercatorTransformer(
+            float(p.get("lat_0", 0.0)), float(p.get("lon_0", 0.0)),
+            float(p.get("k", 1.0)),
+            float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0)), ellps,
+        )
     elif name == "lcc":
         tr = LCCTransformer(
             float(p["lat_1"]), float(p.get("lat_2", p["lat_1"])),
@@ -654,14 +770,20 @@ def make_transformer(proj4: str | dict):
         )
     elif name == "stere":
         lat0 = float(p.get("lat_0", 90.0))
-        if abs(lat0) != 90.0:
-            raise ValueError("stere: only the polar aspect (lat_0=±90) is implemented")
-        lat_ts = float(p.get("lat_ts", lat0))
-        tr = PolarStereographicTransformer(
-            lat_ts if lat0 > 0 else -abs(lat_ts),
-            float(p.get("lon_0", 0.0)),
-            float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0)), ellps,
-        )
+        if abs(lat0) == 90.0:
+            # polar aspect; without +lat_ts the pole-tangent k0 form applies
+            lat_ts = float(p.get("lat_ts", lat0))
+            tr = PolarStereographicTransformer(
+                lat_ts if lat0 > 0 else -abs(lat_ts),
+                float(p.get("lon_0", 0.0)),
+                float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0)), ellps,
+                k0=float(p.get("k", 1.0)),
+            )
+        else:
+            tr = ObliqueStereographicTransformer(
+                lat0, float(p.get("lon_0", 0.0)), float(p.get("k", 1.0)),
+                float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0)), ellps,
+            )
     elif name == "sinu":
         tr = SinusoidalTransformer(float(p.get("lon_0", 0.0)), ellps)
     elif name == "eqc":

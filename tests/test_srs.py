@@ -400,3 +400,120 @@ def test_mercator_snyder_example_and_properties():
     xt, _ = ts.forward(90.0, 0.0)
     k0 = np.cos(np.radians(30)) / np.sqrt(1 - 0.00669437999014 * np.sin(np.radians(30)) ** 2)
     assert abs(float(xt) / float(xe) - k0) < 1e-9
+
+
+# -- round 4: general tmerc, pole-tangent + oblique stereographic -----------
+
+
+def test_tmerc_snyder_example_clarke1866():
+    """Snyder PP1395 transverse-Mercator numerical example (pp. 269-270):
+    Clarke 1866, k0=0.9996, lon0=-75, point 40°30'N 73°30'W →
+    x = 127,106.5  y = 4,484,124.4."""
+    tr = srs.TransverseMercatorTransformer(0.0, -75.0, 0.9996, ellipsoid="clrk66")
+    x, y = tr.forward(np.array([-73.5]), np.array([40.5]))
+    assert abs(float(x[0]) - 127106.5) < 0.1
+    assert abs(float(y[0]) - 4484124.4) < 0.1
+
+
+def test_tmerc_osgb_worked_example():
+    """The published OSGB worked example (OS 'A guide to coordinate systems
+    in Great Britain'): Airy 1830, lat0=49, lon0=-2, k0=0.9996012717,
+    FE=400000, FN=-100000; φ=52°39'27.2531\"N λ=1°43'4.5177\"E →
+    E=651409.903 N=313177.270 — exercises BOTH the nonzero latitude of
+    origin and a non-WGS84 ellipsoid the engine previously refused."""
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    tr = srs.TransverseMercatorTransformer(
+        49.0, -2.0, 0.9996012717, 400000.0, -100000.0, "airy"
+    )
+    e, n = tr.forward(np.array([lon]), np.array([lat]))
+    assert abs(float(e[0]) - 651409.903) < 0.005
+    assert abs(float(n[0]) - 313177.270) < 0.005
+    lo, la = tr.inverse(e, n)
+    assert abs(float(lo[0]) - lon) < 1e-7 and abs(float(la[0]) - lat) < 1e-7
+    # the true origin maps to the false offsets
+    e0, n0 = tr.forward(np.array([-2.0]), np.array([49.0]))
+    assert abs(float(e0[0]) - 400000.0) < 1e-6
+    assert abs(float(n0[0]) + 100000.0) < 1e-6
+
+
+def test_tmerc_proj4_general_params():
+    """make_transformer no longer refuses +lat_0≠0 / non-WGS84 tmerc."""
+    tr = srs.make_transformer(
+        "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+        "+x_0=400000 +y_0=-100000 +ellps=airy"
+    )
+    e, n = tr.forward(np.array([0.5]), np.array([51.0]))
+    lo, la = tr.inverse(e, n)
+    assert abs(float(lo[0]) - 0.5) < 1e-8 and abs(float(la[0]) - 51.0) < 1e-8
+
+
+def test_polar_stereographic_pole_tangent():
+    """lat_ts=±90 (the pole-tangent aspect make_transformer produces when
+    +lat_ts is absent) no longer yields NaN: Snyder eq. 21-33 with k0.
+    Cross-checked against the standard-parallel form as lat_ts→90."""
+    tr = srs.make_transformer("+proj=stere +lat_0=90 +lon_0=0")
+    x, y = tr.forward(np.array([45.0, -120.0]), np.array([80.0, 70.0]))
+    assert np.isfinite(x).all() and np.isfinite(y).all()
+    lo, la = tr.inverse(x, y)
+    assert np.allclose(lo, [45.0, -120.0], atol=1e-9)
+    assert np.allclose(la, [80.0, 70.0], atol=1e-9)
+    # continuity: a standard parallel 1e-4 degrees off the pole agrees to
+    # sub-mm (closer offsets hit cos-near-π/2 cancellation in the m/t ratio
+    # — the very degeneracy the 21-33 form exists to avoid)
+    near = srs.PolarStereographicTransformer(90.0 - 1e-4, 0.0)
+    xn, yn = near.forward(np.array([45.0]), np.array([80.0]))
+    assert abs(float(xn[0]) - float(x[0])) < 1e-3
+    # south pole-tangent mirrors
+    s = srs.make_transformer("+proj=stere +lat_0=-90 +lon_0=0")
+    xs, ys = s.forward(np.array([45.0]), np.array([-80.0]))
+    lo, la = s.inverse(xs, ys)
+    assert abs(float(lo[0]) - 45.0) < 1e-9 and abs(float(la[0]) + 80.0) < 1e-9
+
+
+def test_oblique_stereographic_snyder_example():
+    """Snyder PP1395 oblique stereographic numerical example: Clarke 1866,
+    k0=0.9999, φ1=40°N, λ0=100°W, point 30°N 90°W →
+    x = 971,630.8  y = −1,063,049.3."""
+    tr = srs.ObliqueStereographicTransformer(40.0, -100.0, 0.9999, ellipsoid="clrk66")
+    x, y = tr.forward(np.array([-90.0]), np.array([30.0]))
+    assert abs(float(x[0]) - 971630.8) < 0.1
+    assert abs(float(y[0]) + 1063049.3) < 0.1
+
+
+def test_oblique_stereographic_properties():
+    """Round-trip, center scale = k0 (numerically differentiated), the
+    spherical limit equals the exact spherical oblique formula, and the
+    center maps to the false offsets."""
+    tr = srs.ObliqueStereographicTransformer(40.0, -100.0, 0.9999, 10000.0, 20000.0, "clrk66")
+    lon = np.array([-90.0, -110.0, -100.0, -95.5])
+    lat = np.array([30.0, 50.0, 40.0, 44.25])
+    x, y = tr.forward(lon, lat)
+    lo, la = tr.inverse(x, y)
+    assert np.allclose(lo, lon, atol=1e-9) and np.allclose(la, lat, atol=1e-9)
+    x0, y0 = tr.forward(np.array([-100.0]), np.array([40.0]))
+    assert abs(float(x0[0]) - 10000.0) < 1e-6 and abs(float(y0[0]) - 20000.0) < 1e-6
+    # scale along the meridian at the center = k0
+    d = 1e-6
+    x1, y1 = tr.forward(np.array([-100.0]), np.array([40.0 + d]))
+    a, e2, _ = srs._ellipsoid("clrk66")
+    phi = np.radians(40.0)
+    M = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+    scale = np.hypot(float(x1[0] - x0[0]), float(y1[0] - y0[0])) / (M * np.radians(d))
+    assert abs(scale - 0.9999) < 1e-4
+    # spherical limit: e → 0 collapses to the exact spherical form
+    R = 6370997.0
+    sph = srs.ObliqueStereographicTransformer(40.0, -100.0, 1.0, ellipsoid=(R, 1e17))
+    lam0, phi1 = np.radians(-100.0), np.radians(40.0)
+    for LO, LA in [(-90.0, 30.0), (-75.0, 55.0), (-130.0, 10.0)]:
+        lam, phi = np.radians(LO), np.radians(LA)
+        k = 2.0 / (1 + np.sin(phi1) * np.sin(phi) + np.cos(phi1) * np.cos(phi) * np.cos(lam - lam0))
+        xs = R * k * np.cos(phi) * np.sin(lam - lam0)
+        ys = R * k * (np.cos(phi1) * np.sin(phi) - np.sin(phi1) * np.cos(phi) * np.cos(lam - lam0))
+        xg, yg = sph.forward(np.array([LO]), np.array([LA]))
+        assert abs(float(xg[0]) - xs) < 1e-6 and abs(float(yg[0]) - ys) < 1e-6
+    # equatorial aspect is lat0=0
+    eq = srs.make_transformer("+proj=stere +lat_0=0 +lon_0=20")
+    xe, ye = eq.forward(np.array([25.0]), np.array([5.0]))
+    lo, la = eq.inverse(xe, ye)
+    assert abs(float(lo[0]) - 25.0) < 1e-9 and abs(float(la[0]) - 5.0) < 1e-9

@@ -58,8 +58,8 @@ def test_proj4_datum_chain_and_errors():
     assert not srs.srs_info("+proj=robin")["supported"]
     with pytest.raises(ValueError):
         srs.parse_proj4("no_plus_prefix")
-    with pytest.raises(ValueError):
-        srs.make_transformer("+proj=stere +lat_0=45")  # oblique unsupported
+    # oblique stereographic is supported now (round-4); robin still is not
+    assert srs.srs_info("+proj=stere +lat_0=45")["supported"]
 
 
 def test_proj4_matches_direct_class():
