@@ -372,6 +372,7 @@ def s2_knn_join(
     lon_col: str = "lon",
     lat_col: str = "lat",
     suffix: str = "_r",
+    right_key: str | None = None,
 ) -> DataFrame:
     """EXACT great-circle kNN via radius-doubling S2 joins — the
     sphere-native counterpart of ``engine.joins.knn_join`` (which ranks by
@@ -386,14 +387,22 @@ def s2_knn_join(
     brute-force pass — by then the pending set is the sparse tail, so the
     cross join is bounded.
 
-    Deterministic: ranking orders by (distance, right row's first column
-    after suffixing).  Output: left columns + suffixed right columns +
-    ``dist_rad`` + ``rank`` (1..k).  Driver rounds are O(max_rounds) tiny
-    jobs, mirroring knn_join's ring-doubling contract.
+    Deterministic: equidistant neighbors rank by ``right_key`` (a column of
+    ``right`` the caller asserts unique) when given, else by ALL suffixed
+    right columns in order — so ranking never depends on the accident of
+    the first right column being a unique key.  Output: left columns +
+    suffixed right columns + ``dist_rad`` + ``rank`` (1..k).  Driver
+    rounds are O(max_rounds) tiny jobs, mirroring knn_join's ring-doubling
+    contract.
     """
     from pyspark.sql import Window
 
-    tie = right.columns[0] + suffix
+    if right_key is not None:
+        if right_key not in right.columns:
+            raise ValueError(f"right_key {right_key!r} is not a column of right")
+        tie_cols = [F.col(right_key + suffix).asc()]
+    else:
+        tie_cols = [F.col(c + suffix).asc() for c in right.columns]
     results = None
     pending = left
     r = float(r0_rad)
@@ -405,7 +414,7 @@ def s2_knn_join(
             suffix=suffix, dist_col="dist_rad",
         )
         w = Window.partitionBy(query_key).orderBy(
-            F.col("dist_rad").asc(), F.col(tie).asc()
+            F.col("dist_rad").asc(), *tie_cols
         )
         ranked = cand.withColumn("rank", F.row_number().over(w)).where(
             F.col("rank") <= k
@@ -444,7 +453,7 @@ def s2_knn_join(
         )
         pairs = pairs.withColumn("dist_rad", 2 * F.asin(F.sqrt(a)))
         w = Window.partitionBy(query_key).orderBy(
-            F.col("dist_rad").asc(), F.col(tie).asc()
+            F.col("dist_rad").asc(), *tie_cols
         )
         tail = pairs.withColumn("rank", F.row_number().over(w)).where(
             F.col("rank") <= k

@@ -297,3 +297,27 @@ def test_s2_knn_join_sparse_fallback(spark):
         .sort_values("rank")
     )
     assert got["pid_r"].tolist() == [10, 11]
+
+
+def test_s2_knn_tie_break_without_unique_first_column(spark):
+    """Equidistant right rows whose FIRST column collides must still rank
+    deterministically: default ties break on ALL suffixed right columns;
+    an explicit right_key uses that column alone."""
+    from engine.s2cells import s2_knn_join
+
+    left = spark.createDataFrame([(1, 10.0, 10.0)], "qid int, lon double, lat double")
+    # two right rows at the SAME location whose first column (lon) is equal;
+    # only 'tag' distinguishes them
+    right = spark.createDataFrame(
+        [(10.2, 10.0, "b"), (10.2, 10.0, "a"), (11.0, 10.0, "c")],
+        "lon double, lat double, tag string",
+    )
+    out1 = {r.rank: r.tag_r for r in s2_knn_join(left, right, 2, "qid").collect()}
+    out2 = {r.rank: r.tag_r for r in s2_knn_join(left, right, 2, "qid").collect()}
+    assert out1 == out2 == {1: "a", 2: "b"}  # full-column tie-break: 'a' first
+    key = {r.rank: r.tag_r for r in s2_knn_join(left, right, 2, "qid", right_key="tag").collect()}
+    assert key == {1: "a", 2: "b"}
+    import pytest
+
+    with pytest.raises(ValueError):
+        s2_knn_join(left, right, 2, "qid", right_key="missing")
