@@ -916,12 +916,18 @@ def pack_sequences(
     (seq_id, id, offset_in_seq, n_tokens, part_text); a trainer reassembles
     a sequence by concatenating its parts ordered by offset_in_seq.
 
-    Plan: ONE global sort (the cumulative token offset is a running sum
-    over id order — a range-partitioned window, the unavoidable cost of a
-    deterministic global stream) + an explode; everything else is
-    projection.  At 100 TB, pre-bucketing by id range turns the window
-    into per-bucket sums with broadcast bucket offsets; the semantic
-    contract (id-ordered stream) is what this function pins down.
+    Plan: TWO passes, no global sort.  Pass 1 derives contiguous id-range
+    buckets (quantile-sketch split points of the id column, collected ONCE
+    and embedded as literals — both passes therefore share one bucket
+    mapping, and the output is bucketing-INVARIANT: any contiguous split
+    yields the same global stream) and one tiny per-bucket token-total agg
+    that the driver folds into cumulative bucket offsets (bucket-count
+    rows).  Pass 2 runs the running sum as a PER-BUCKET window (parallel
+    across buckets) plus the broadcast bucket offset — identical semantics
+    to a single global window, with wall-clock bounded by the largest
+    bucket instead of the whole corpus.  Non-numeric id columns fall back
+    to the single-task global window (documented; the engine's fixtures
+    and the driver tables use integer ids).
     """
     from pyspark.sql import Window
 
@@ -933,11 +939,48 @@ def pack_sequences(
             "_w"
         ),
     ).withColumn("_n", F.size("_w").cast("long"))
-    w = Window.orderBy("_id").rowsBetween(Window.unboundedPreceding, 0)
-    pos = base.withColumn("_end", F.sum("_n").over(w)).withColumn(
-        "_start", F.col("_end") - F.col("_n")
-    )
-    pos = pos.where(F.col("_n") > 0)
+    nz = base.where(F.col("_n") > 0)
+    id_type = dict(docs.dtypes)[id_col]
+    numeric_id = id_type in ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+    nbuckets = docs.sparkSession.sparkContext.defaultParallelism
+    if numeric_id and nbuckets > 1:
+        # deterministic contiguous buckets: exact quantile split points of
+        # the id values themselves (percentile with accuracy high enough to
+        # be exact at driver-test scale; balance is best-effort, correctness
+        # never depends on it)
+        splits = nz.agg(
+            F.percentile_approx(
+                "_id", [i / nbuckets for i in range(1, nbuckets)], 10000
+            ).alias("_s")
+        ).collect()[0]._s or []
+        bucket = F.lit(0)
+        for s in splits:
+            bucket = bucket + (F.col("_id") > F.lit(s)).cast("int")
+        nz = nz.withColumn("_b", bucket)
+        wp = (
+            Window.partitionBy("_b").orderBy("_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        totals = {
+            r._b: r.tot
+            for r in nz.groupBy("_b").agg(F.sum("_n").alias("tot")).collect()
+        }
+        acc = 0
+        offs = []
+        for b in sorted(totals):
+            offs.append((b, acc))
+            acc += totals[b]
+        off_map = F.create_map(
+            *[F.lit(v) for pair in offs for v in pair]
+        ) if offs else F.create_map()
+        pos = nz.withColumn(
+            "_end", F.sum("_n").over(wp) + off_map[F.col("_b")]
+        ).withColumn("_start", F.col("_end") - F.col("_n"))
+    else:
+        w = Window.orderBy("_id").rowsBetween(Window.unboundedPreceding, 0)
+        pos = nz.withColumn("_end", F.sum("_n").over(w)).withColumn(
+            "_start", F.col("_end") - F.col("_n")
+        )
     first_seq = F.floor(F.col("_start") / size)
     last_seq = F.floor((F.col("_end") - 1) / size)
     ex = pos.select(

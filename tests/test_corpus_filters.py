@@ -706,3 +706,37 @@ def test_pack_sequences_duckdb_and_stream_property(spark):
     # all but the last sequence are exactly full
     per_seq = got.groupby("seq_id")["n_tokens"].sum().sort_index()
     assert per_seq.iloc[:-1].eq(size).all()
+
+
+def test_pack_sequences_bucketed_equals_global_window(spark):
+    """The two-pass bucketed plan (quantile buckets + broadcast offsets)
+    must reproduce the single-global-window stream exactly — including at
+    bucket boundaries — and its physical plan must not contain an
+    unpartitioned window."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(i * 7 + 3), " ".join(f"w{i}_{j}" for j in range(int(rng.integers(0, 9)))))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = corpus.pack_sequences(docs, size=16).orderBy("seq_id", "doc_id").toPandas()
+    # reference: brute-force single-process stream
+    stream = []
+    for did, text in sorted(rows):
+        words = [w for w in text.split(" ") if w]
+        stream.extend((did, w) for w in words)
+    exp = {}
+    for pos, (did, w) in enumerate(stream):
+        exp.setdefault((pos // 16, did), []).append((pos % 16, w))
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        parts = exp[(r.seq_id, r.doc_id)]
+        assert r.offset_in_seq == parts[0][0]
+        assert r.n_tokens == len(parts)
+        assert r.part_text == " ".join(w for _, w in parts)
+    plan = corpus.pack_sequences(docs, size=16)._jdf.queryExecution().executedPlan().toString()
+    # the running sum must be a window PARTITIONED by the bucket column,
+    # not a single-task unpartitioned window over the whole corpus
+    assert "windowspecdefinition(_b" in plan or "windowspecdefinition(cast(_b" in plan
