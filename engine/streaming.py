@@ -143,6 +143,60 @@ def stateful_first_seen(
     )
 
 
+def pyramid_current(out_dir: str) -> dict | None:
+    """Read the committed snapshot pointer: {'batch_id': int, 'snapshot':
+    str} or None when nothing has committed yet.  The pointer file is the
+    single source of truth — orphan snapshot dirs without a pointer entry
+    are crash garbage and are never read."""
+    import json
+    import os
+
+    path = os.path.join(out_dir, "CURRENT")
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def read_pyramid_level(spark: SparkSession, out_dir: str, zoom: int) -> DataFrame:
+    """Committed tile table of one pyramid level (resolves the CURRENT
+    pointer to its immutable snapshot dir)."""
+    import os
+
+    cur = pyramid_current(out_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no committed pyramid snapshot in {out_dir}")
+    return spark.read.parquet(os.path.join(out_dir, cur["snapshot"], f"z={zoom}"))
+
+
+def pyramid_snapshot_commit(out_dir: str, levels: dict, batch_id: int) -> str:
+    """Write ``levels`` ({zoom: tile DataFrame}) as the immutable snapshot
+    ``snap_<batch_id>`` and commit it by ATOMICALLY renaming the CURRENT
+    pointer (write-tmp + os.replace — one filesystem operation is the
+    entire commit).  A crash anywhere before the rename leaves the
+    previous snapshot committed and this one as removable garbage; after
+    a successful commit, older snapshots and orphans are pruned.  Returns
+    the snapshot name."""
+    import json
+    import os
+    import shutil
+
+    snap = f"snap_{batch_id}"
+    snap_dir = os.path.join(out_dir, snap)
+    if os.path.isdir(snap_dir):  # leftover from a crashed earlier attempt
+        shutil.rmtree(snap_dir)
+    for z, df in levels.items():
+        df.write.mode("overwrite").parquet(os.path.join(snap_dir, f"z={z}"))
+    tmp = os.path.join(out_dir, "CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"batch_id": int(batch_id), "snapshot": snap}, fh)
+    os.replace(tmp, os.path.join(out_dir, "CURRENT"))  # THE commit point
+    for name in os.listdir(out_dir):
+        if name.startswith("snap_") and name != snap:
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+    return snap
+
+
 def run_stream_to_pyramid(
     spark: SparkSession,
     src_dir: str,
@@ -158,44 +212,33 @@ def run_stream_to_pyramid(
     the batch touched are recomputed, so steady-state cost per batch is
     O(batch log pyramid), independent of corpus size.
 
-    Levels persist under ``out_dir/z=<zoom>``; each batch writes the
-    updated levels to a scratch dir and swaps directories, then records a
-    per-batch commit marker (the plain-parquet stand-in for an Iceberg
-    snapshot commit).  Foreachbatch delivery is at-least-once and the sink
-    is ADDITIVE, so the marker is what makes replays idempotent: a batch
-    whose marker exists is skipped instead of double-added.  A crash in
-    the middle of the swap leaves a committed-marker/level-dir
-    inconsistency, which is detected and raised LOUDLY (restore from the
-    previous snapshot / rerun the pipeline) rather than silently
-    re-initializing the pyramid from one batch — full transactional
-    recovery is a table format's job, not a directory layout's.
+    Persistence is a TRANSACTIONAL SNAPSHOT layout (the plain-parquet
+    analog of an Iceberg table): every batch writes a complete new
+    immutable snapshot ``out_dir/snap_<batch_id>/z=<zoom>`` and then
+    commits it with ONE atomic rename of the ``CURRENT`` pointer file.
+    There is no multi-directory swap window — a crash at ANY point before
+    the pointer rename leaves ``CURRENT`` naming the previous snapshot, so
+    the replayed batch (foreachBatch is at-least-once, the sink is
+    additive) rebuilds from exactly the pre-batch state; a crash after the
+    rename is detected by the pointer's recorded batch id and the replay
+    is skipped.  Orphan snapshot dirs from crashes are garbage, removed on
+    the next successful commit.  Read committed levels via
+    :func:`read_pyramid_level` (which resolves the pointer), never the
+    snapshot dirs directly.
     """
     import os
-    import shutil
 
     from . import raster
 
-    def _level_dir(z: int) -> str:
-        return os.path.join(out_dir, f"z={z}")
-
-    commits_dir = os.path.join(out_dir, "_commits")
-
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(commits_dir, f"batch_{batch_id}")
-        if os.path.exists(marker):
-            return  # replayed batch (at-least-once delivery): already added
-        committed = os.path.isdir(commits_dir) and len(os.listdir(commits_dir)) > 0
-        have = all(os.path.isdir(_level_dir(z)) for z in range(min_zoom, base_zoom + 1))
-        if committed and not have:
-            raise RuntimeError(
-                "pyramid state inconsistent: commits exist but a level dir "
-                "is missing (crash mid-swap) — restore the previous snapshot"
-            )
+        cur = pyramid_current(out_dir)
+        if cur is not None and cur["batch_id"] >= batch_id:
+            return  # replayed batch (at-least-once delivery): already committed
         tagged = geotag_all(batch_df, gazetteer)
         delta = raster.burn_base_tiles(tagged, base_zoom)
-        if have:
+        if cur is not None:
             existing = {
-                z: spark.read.parquet(_level_dir(z))
+                z: read_pyramid_level(spark, out_dir, z)
                 for z in range(min_zoom, base_zoom + 1)
             }
             updated, _ = raster.pyramid_delta_update(existing, delta)
@@ -203,18 +246,7 @@ def run_stream_to_pyramid(
             updated = {base_zoom: delta}
             for z in range(base_zoom, min_zoom, -1):
                 updated[z - 1] = raster.pyramid_reduce(updated[z])
-        scratch = os.path.join(out_dir, f"_pending_{batch_id}")
-        for z, df in updated.items():
-            df.write.mode("overwrite").parquet(os.path.join(scratch, f"z={z}"))
-        # snapshot swap: new levels become visible only after ALL are written
-        for z in updated:
-            dst = _level_dir(z)
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
-            os.replace(os.path.join(scratch, f"z={z}"), dst)
-        os.makedirs(commits_dir, exist_ok=True)
-        open(marker, "w").close()
-        shutil.rmtree(scratch, ignore_errors=True)
+        pyramid_snapshot_commit(out_dir, updated, batch_id)
 
     q = (
         stream_pages(spark, src_dir, max_files_per_trigger=1)

@@ -139,10 +139,84 @@ def test_stream_pyramid_maintenance_matches_batch(spark, stream_fixture):
     for z in range(mz, bz + 1):
         got = {
             (r.tx, r.ty): r.checksum
-            for r in raster.tile_checksums(spark.read.parquet(f"{out}/z={z}")).collect()
+            for r in raster.tile_checksums(
+                streaming.read_pyramid_level(spark, out, z)
+            ).collect()
         }
         exp = {
             (r.tx, r.ty): r.checksum
             for r in raster.tile_checksums(expect[z]).collect()
         }
         assert got == exp, f"zoom {z}"
+
+
+def test_pyramid_snapshot_crash_recovery(spark, tmp_path):
+    """A crash at ANY point before the CURRENT pointer rename must leave
+    the previous snapshot committed: orphan snapshot dirs are never read,
+    the replayed stream rebuilds from the pre-crash state, and the final
+    pyramid equals the batch recompute."""
+    import os
+
+    import pandas as pd
+
+    gaz_pdf = make_gazetteer(n=100, n_countries=10)
+    gaz = spark.createDataFrame(gaz_pdf)
+    pages1 = make_pages(n=200, gazetteer=gaz_pdf, seed=5)
+    pages2 = make_pages(n=200, gazetteer=gaz_pdf, seed=6)
+    pages2["url"] = pages2["url"].str.replace("https://", "https://b.")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "pyr")
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(pages1).coalesce(1).write.mode("append").parquet(src)
+    bz, mz = 5, 4
+
+    streaming.run_stream_to_pyramid(
+        spark, src, gaz, bz, mz, str(tmp_path / "ck1"), out
+    )
+    cur = streaming.pyramid_current(out)
+    assert cur is not None
+    committed = {
+        (r.tx, r.ty): r.checksum
+        for r in raster.tile_checksums(
+            streaming.read_pyramid_level(spark, out, bz)
+        ).collect()
+    }
+
+    # simulate a crash mid-next-batch: a partially-written orphan snapshot
+    # exists, the pointer still names the committed one
+    orphan = os.path.join(out, "snap_777")
+    os.makedirs(os.path.join(orphan, f"z={bz}"), exist_ok=True)
+    open(os.path.join(orphan, f"z={bz}", "part-junk.parquet"), "wb").write(b"garbage")
+    assert streaming.pyramid_current(out) == cur  # pointer untouched
+    got = {
+        (r.tx, r.ty): r.checksum
+        for r in raster.tile_checksums(
+            streaming.read_pyramid_level(spark, out, bz)
+        ).collect()
+    }
+    assert got == committed  # reads resolve the pointer, not the orphan
+
+    # the replayed/next batch self-recovers: new file arrives, stream
+    # re-runs, commit succeeds and prunes the orphan
+    spark.createDataFrame(pages2).coalesce(1).write.mode("append").parquet(src)
+    streaming.run_stream_to_pyramid(
+        spark, src, gaz, bz, mz, str(tmp_path / "ck1"), out
+    )
+    assert not os.path.isdir(orphan)
+    allp = spark.createDataFrame(pd.concat([pages1, pages2], ignore_index=True))
+    expect = raster.burn_base_tiles(geotag_all(allp, gaz), bz)
+    exp = {(r.tx, r.ty): r.checksum for r in raster.tile_checksums(expect).collect()}
+    final = {
+        (r.tx, r.ty): r.checksum
+        for r in raster.tile_checksums(
+            streaming.read_pyramid_level(spark, out, bz)
+        ).collect()
+    }
+    assert final == exp
+
+    # replay idempotence: re-running the drained stream commits nothing new
+    before = streaming.pyramid_current(out)
+    streaming.run_stream_to_pyramid(
+        spark, src, gaz, bz, mz, str(tmp_path / "ck1"), out
+    )
+    assert streaming.pyramid_current(out) == before
