@@ -218,14 +218,19 @@ def min_label_propagate(
     Returns (k, comp) with comp = the minimum key of k's component.
     """
     key_type = edges.schema["ka"].dataType
+    # probe the RAW edge count first: the one-task union-find dedups and
+    # symmetrizes implicitly, so the sub-threshold path skips the
+    # symmetrize-union + distinct shuffle entirely (raw count >= deduped
+    # count, so the threshold decision is conservative)
+    raw = edges.localCheckpoint(eager=True)
+    n_raw = raw.count()
+    if n_raw <= small_graph_limit and nodes is None:
+        return _one_task_components(raw, key_type)
     edges = (
-        edges.unionByName(edges.select(F.col("kb").alias("ka"), F.col("ka").alias("kb")))
+        raw.unionByName(raw.select(F.col("kb").alias("ka"), F.col("ka").alias("kb")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_edges = edges.count()
-    if n_edges <= small_graph_limit and nodes is None:
-        return _one_task_components(edges, key_type)
     seed = edges.select(F.col("ka").alias("k"))
     if nodes is not None:
         seed = seed.unionByName(nodes.select(F.col(nodes.columns[0]).alias("k")))
@@ -622,41 +627,52 @@ def sieve_filter(
         F.col("lb").alias("pos"), "value", "label",
     )
     mapping = seam_component_map(src, background, strips=strips).localCheckpoint(eager=True)
-    labels = attach_component_id(
-        stats_adj.where(F.col("kind") == 0).select(
-            "tx", "ty", "label", "value", "pixel_count"
-        ),
-        mapping,
-    ).select("tx", "ty", "label", "value", "pixel_count", "component_id").localCheckpoint(eager=True)
+    # the seam mapping holds only boundary-CROSSING labels — a small
+    # fraction of all labels.  When it fits comfortably it broadcasts, so
+    # every component-id lookup below (the labels attach + four adjacency
+    # endpoint lookups) is a map-side join with ZERO exchanges of the wide
+    # frames; above the threshold the joins fall back to shuffles.
+    broadcast_map = mapping.count() <= 2_000_000
+    bmap = F.broadcast if broadcast_map else (lambda df: df)
+
+    def _with_cid(df: DataFrame, txc: str, tyc: str, labc: str, out: str) -> DataFrame:
+        """component id of (txc, tyc, labc): mapping hit, else the identity
+        ``ty_tx_label`` (attach_component_id's rule, join-side pruned)."""
+        m = mapping.select(
+            F.col("tx").alias(txc), F.col("ty").alias(tyc),
+            F.col("label").alias(labc), F.col("component_id").alias(out),
+        )
+        return df.join(bmap(m), on=[txc, tyc, labc], how="left").withColumn(
+            out,
+            F.coalesce(F.col(out), F.concat_ws("_", F.col(tyc), F.col(txc), F.col(labc))),
+        )
+
+    labels = (
+        _with_cid(
+            stats_adj.where(F.col("kind") == 0).select(
+                "tx", "ty", "label", "value", "pixel_count"
+            ),
+            "tx", "ty", "label", "component_id",
+        )
+        .select("tx", "ty", "label", "value", "pixel_count", "component_id")
+        .localCheckpoint(eager=True)
+    )
     comps = labels.groupBy("component_id", "value").agg(F.sum("pixel_count").alias("pixel_count"))
 
-    # --- component adjacency, fully distributed --------------------------
-    cid_of = labels.select("tx", "ty", "label", F.col("component_id").alias("cid"))
+    # --- component adjacency: endpoint lookups against the (broadcast)
+    # mapping only — the wide labels frame is never shuffled here ---------
     within = stats_adj.where(F.col("kind") == 1).select("tx", "ty", "la", "lb")
-    adj_a = within.join(
-        cid_of.withColumnRenamed("label", "la").withColumnRenamed("cid", "cid_a"),
-        on=["tx", "ty", "la"],
-    )
-    adj_ab = adj_a.join(
-        cid_of.withColumnRenamed("label", "lb").withColumnRenamed("cid", "cid_b"),
-        on=["tx", "ty", "lb"],
+    adj_ab = _with_cid(
+        _with_cid(within.withColumn("_la", F.col("la")).withColumn("_lb", F.col("lb")),
+                  "tx", "ty", "_la", "cid_a"),
+        "tx", "ty", "_lb", "cid_b",
     ).select("cid_a", "cid_b")
     # cross-seam differing-value pixel adjacency (same checkpointed strips
     # the seam mapping used — one edge-only scan total)
     seam_diff = _seam_pixel_pairs(strips).where(F.col("aval") != F.col("bval"))
-    sd_a = seam_diff.join(
-        cid_of.select(
-            F.col("tx").alias("atx"), F.col("ty").alias("aty"),
-            F.col("label").alias("alab"), F.col("cid").alias("cid_a"),
-        ),
-        on=["atx", "aty", "alab"],
-    )
-    sd_ab = sd_a.join(
-        cid_of.select(
-            F.col("tx").alias("btx"), F.col("ty").alias("bty"),
-            F.col("label").alias("blab"), F.col("cid").alias("cid_b"),
-        ),
-        on=["btx", "bty", "blab"],
+    sd_ab = _with_cid(
+        _with_cid(seam_diff, "atx", "aty", "alab", "cid_a"),
+        "btx", "bty", "blab", "cid_b",
     ).select("cid_a", "cid_b")
     adj_pairs = (
         adj_ab.unionByName(sd_ab)
@@ -678,14 +694,33 @@ def sieve_filter(
         .unionByName(small)
         .distinct()
     )
-    pruned_nodes = comps.join(touched, on="component_id", how="left_semi").localCheckpoint(eager=True)
-    pruned_edges = (
-        adj_pairs.join(small, adj_pairs["cid_a"] == small["component_id"], "left_semi")
-        .unionByName(
-            adj_pairs.join(small, adj_pairs["cid_b"] == small["component_id"], "left_semi")
+    # ONE materialization for the whole pruned graph: nodes and edges
+    # tag-unioned into a single checkpointed frame (separate checkpoints
+    # ran two full prune-join jobs; the mode probe and both collects below
+    # are then cheap scans of the same materialized rows)
+    pruned = (
+        comps.join(touched, on="component_id", how="left_semi")
+        .select(
+            F.lit(0).alias("_t"), "component_id", "value", "pixel_count",
+            F.lit(None).cast("string").alias("cid_b"),
         )
-        .distinct()
+        .unionByName(
+            adj_pairs.join(small, adj_pairs["cid_a"] == small["component_id"], "left_semi")
+            .unionByName(
+                adj_pairs.join(small, adj_pairs["cid_b"] == small["component_id"], "left_semi")
+            )
+            .distinct()
+            .select(
+                F.lit(1).alias("_t"), F.col("cid_a").alias("component_id"),
+                F.lit(None).cast("long").alias("value"),
+                F.lit(None).cast("long").alias("pixel_count"), "cid_b",
+            )
+        )
         .localCheckpoint(eager=True)
+    )
+    pruned_nodes = pruned.where(F.col("_t") == 0).select("component_id", "value", "pixel_count")
+    pruned_edges = pruned.where(F.col("_t") == 1).select(
+        F.col("component_id").alias("cid_a"), "cid_b"
     )
     n_pruned = pruned_nodes.count()
 
@@ -701,9 +736,13 @@ def sieve_filter(
             adj.setdefault(e.cid_b, set()).add(e.cid_a)
         final_value = merge_small_components(dict(sizes), dict(values), adj, min_pixels)
         changed = [(c, v) for c, v in final_value.items() if values.get(c) != v]
-        chdf = spark.createDataFrame(
-            pd.DataFrame(changed, columns=["component_id", "new_value"]),
-            schema="component_id string, new_value long",
+        # broadcast: the changed set is driver-bounded, so the labels join
+        # below never shuffles the wide labels frame
+        chdf = F.broadcast(
+            spark.createDataFrame(
+                pd.DataFrame(changed, columns=["component_id", "new_value"]),
+                schema="component_id string, new_value long",
+            )
         )
     else:
         _LAST_SIEVE_MODE[0] = "distributed"
