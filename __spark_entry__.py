@@ -2426,34 +2426,74 @@ def _sql_doc_fingerprint() -> str:
 # -- general SRS phase 1: Lambert conformal conic (engine/srs.py) -----------
 
 _LCC_PARAMS = dict(lat1=33.0, lat2=45.0, lat0=23.0, lon0=-96.0)
+_STERE_LAT0, _STERE_LON0, _STERE_K0 = 40.0, -100.0, 0.9999  # Snyder's oblique example
+_TMERC_LAT0, _TMERC_K0 = 49.0, 0.9996012717                 # OSGB origin/scale
 
 
 def _q_warp_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """General-SRS reprojection, LCC case (gdalwarp -t_srs <LCC>,
-    ogr/ogrct.cpp:39-68; closed form per Snyder eqs. 15-1..15-11 in
-    engine/srs.py LCCTransformer, validated against Snyder's published
-    test vectors): project every event point south of 60°S-cutoff to
-    LCC(33,45,23,-96) on WGS84; output in integer millimeters so the
+    """General-SRS reprojection, THREE closed-form projections per-point
+    value-checked (gdalwarp -t_srs, ogr/ogrct.cpp:39-68; engine/srs.py):
+
+    * ``lcc``   — LCC(33,45,23,-96)/WGS84 (Snyder 15-1..15-11), points
+      south of 60°S excluded (outside the cone's useful range);
+    * ``stere`` — OBLIQUE stereographic centered (40°N, 100°W), k0=0.9999,
+      Clarke 1866 (Snyder 21-24/25/27 over conformal latitude 3-1) on the
+      quarter-sphere lat ≥ -20 ∧ lon ≤ 0 (well away from the antipode);
+    * ``tmerc`` — general transverse Mercator, Airy 1830, lat_0=49,
+      k0=0.9996012717 (the OSGB parameter set; Snyder 8-9..8-13 with the
+      M0 term) with a PER-POINT central meridian floor(lon)+0.5 so the
+      series stays in its validity band for every event.
+
+    Output (event_id, proj, x_mm, y_mm) in integer millimeters so the
     driver hash never sees a float."""
+    import numpy as np
+
     from engine import srs
 
-    t = srs.LCCTransformer(**_LCC_PARAMS)
-    pts = _points(spark, sf_dir).where(F.col("lat") >= -60.0)
-
-    @F.pandas_udf("x_mm long, y_mm long")
-    def _proj(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
-        import numpy as np
-
-        x, y = t.forward(lon.to_numpy(np.float64), lat.to_numpy(np.float64))
-        return pd.DataFrame({"x_mm": np.round(x * 1000.0).astype("int64"),
-                             "y_mm": np.round(y * 1000.0).astype("int64")})
-
-    return pts.select("event_id", _proj("lon", "lat").alias("_p")).select(
-        "event_id", F.col("_p.x_mm").alias("x_mm"), F.col("_p.y_mm").alias("y_mm")
+    lcc = srs.LCCTransformer(**_LCC_PARAMS)
+    ob = srs.ObliqueStereographicTransformer(
+        _STERE_LAT0, _STERE_LON0, _STERE_K0, ellipsoid="clrk66"
     )
+    a_t, e2_t, _ = srs._ellipsoid("airy")
+    ep2_t = e2_t / (1.0 - e2_t)
+    m0_t = float(srs._m_arc_gen(np.radians(_TMERC_LAT0), a_t, e2_t))
+    pts = _points(spark, sf_dir)
+
+    def _mm(tag, fn):
+        @F.pandas_udf("x_mm long, y_mm long")
+        def _proj(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+            x, y = fn(lon.to_numpy(np.float64), lat.to_numpy(np.float64))
+            return pd.DataFrame({"x_mm": np.round(x * 1000.0).astype("int64"),
+                                 "y_mm": np.round(y * 1000.0).astype("int64")})
+
+        return _proj
+
+    def _tmerc_fn(lon, lat):
+        lon0 = np.floor(lon) + 0.5  # per-point central meridian
+        return srs.tmerc_forward(lon, lat, lon0, _TMERC_K0, a_t, e2_t, ep2_t, m0_t)
+
+    parts = []
+    for tag, fn, flt in (
+        ("lcc", lcc.forward, F.col("lat") >= -60.0),
+        ("stere", ob.forward, (F.col("lat") >= -20.0) & (F.col("lon") <= 0.0)),
+        ("tmerc", _tmerc_fn, F.lit(True)),
+    ):
+        p = pts.where(flt).select("event_id", _mm(tag, fn)("lon", "lat").alias("_p"))
+        parts.append(
+            p.select(
+                "event_id", F.lit(tag).alias("proj"),
+                F.col("_p.x_mm").alias("x_mm"), F.col("_p.y_mm").alias("y_mm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _sql_warp_lcc() -> str:
+    import numpy as np
+
     from engine import srs
 
     t = srs.LCCTransformer(**_LCC_PARAMS)
@@ -2464,14 +2504,73 @@ def _sql_warp_lcc() -> str:
     tt = f"(tan({PI} / 4.0 - {phi} / 2.0) / pow((1.0 - {E} * {s}) / (1.0 + {E} * {s}), {E} / 2.0))"
     rho = f"({repr(t.aF)} * pow({tt}, {repr(t.n)}))"
     th = f"({repr(t.n)} * (({DEG} * lon) - {repr(float(t._lam0))}))"
+    lcc_sel = f"""
+        SELECT event_id, 'lcc' AS proj,
+               CAST(ROUND({rho} * sin({th}) * 1000.0) AS BIGINT) AS x_mm,
+               CAST(ROUND(({repr(t.rho0)} - {rho} * cos({th})) * 1000.0) AS BIGINT) AS y_mm
+        FROM pts WHERE lat >= -60.0"""
+
+    # oblique stereographic (ObliqueStereographicTransformer.forward order)
+    ob = srs.ObliqueStereographicTransformer(
+        _STERE_LAT0, _STERE_LON0, _STERE_K0, ellipsoid="clrk66"
+    )
+    EO = repr(ob.e)
+    so = f"sin({phi})"
+    chi = f"(2.0 * atan(tan({PI} / 4.0 + {phi} / 2.0) * pow((1.0 - {EO} * {so}) / (1.0 + {EO} * {so}), {EO} / 2.0)) - {PI} / 2.0)"
+    dlam = f"(({DEG} * lon) - {repr(float(ob._lam0))})"
+    sx1, cx1 = repr(float(np.sin(ob.chi1))), repr(float(np.cos(ob.chi1)))
+    A = f"({repr(ob._akm)} / ({cx1} * (1.0 + {sx1} * sin({chi}) + {cx1} * cos({chi}) * cos({dlam}))))"
+    ob_x = f"({A} * cos({chi}) * sin({dlam}))"
+    ob_y = f"({A} * ({cx1} * sin({chi}) - {sx1} * cos({chi}) * cos({dlam})))"
+    stere_sel = f"""
+        SELECT event_id, 'stere' AS proj,
+               CAST(ROUND({ob_x} * 1000.0) AS BIGINT) AS x_mm,
+               CAST(ROUND({ob_y} * 1000.0) AS BIGINT) AS y_mm
+        FROM pts WHERE lat >= -20.0 AND lon <= 0.0"""
+
+    # general tmerc, Airy 1830, lat_0=49, per-point CM (tmerc_forward order)
+    a_t, e2_t, _ = srs._ellipsoid("airy")
+    ep2_t = e2_t / (1.0 - e2_t)
+    m0_t = float(srs._m_arc_gen(np.radians(_TMERC_LAT0), a_t, e2_t))
+    AT, E2, EP2 = repr(a_t), repr(e2_t), repr(ep2_t)
+    K0 = repr(_TMERC_K0)
+    e4, e6 = repr(e2_t ** 2), repr(e2_t ** 3)
+    sl = f"sin({phi})"
+    cl = f"cos({phi})"
+    NN = f"({AT} / sqrt(1 - {E2} * pow({sl}, 2)))"
+    TT = f"pow({sl} / {cl}, 2)"
+    CC = f"({EP2} * pow({cl}, 2))"
+    AA = f"((({DEG} * lon) - ({DEG} * (floor(lon) + 0.5))) * {cl})"
+    MM = (
+        f"({AT} * ((1 - {E2} / 4 - 3 * {e4} / 64 - 5 * {e6} / 256) * {phi}"
+        f" - (3 * {E2} / 8 + 3 * {e4} / 32 + 45 * {e6} / 1024) * sin(2 * {phi})"
+        f" + (15 * {e4} / 256 + 45 * {e6} / 1024) * sin(4 * {phi})"
+        f" - (35 * {e6} / 3072) * sin(6 * {phi})))"
+    )
+    tm_x = (
+        f"({K0} * {NN} * ({AA} + (1 - {TT} + {CC}) * pow({AA}, 3) / 6"
+        f" + (5 - 18 * {TT} + pow({TT}, 2) + 72 * {CC} - 58 * {EP2}) * pow({AA}, 5) / 120))"
+    )
+    tm_y = (
+        f"({K0} * ({MM} - {repr(m0_t)} + {NN} * ({sl} / {cl}) * ("
+        f"pow({AA}, 2) / 2 + (5 - {TT} + 9 * {CC} + 4 * pow({CC}, 2)) * pow({AA}, 4) / 24"
+        f" + (61 - 58 * {TT} + pow({TT}, 2) + 600 * {CC} - 330 * {EP2}) * pow({AA}, 6) / 720)))"
+    )
+    tmerc_sel = f"""
+        SELECT event_id, 'tmerc' AS proj,
+               CAST(ROUND({tm_x} * 1000.0) AS BIGINT) AS x_mm,
+               CAST(ROUND({tm_y} * 1000.0) AS BIGINT) AS y_mm
+        FROM pts"""
+
     return f"""
         WITH pts AS (
             SELECT event_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM events
         )
-        SELECT event_id,
-               CAST(ROUND({rho} * sin({th}) * 1000.0) AS BIGINT) AS x_mm,
-               CAST(ROUND(({repr(t.rho0)} - {rho} * cos({th})) * 1000.0) AS BIGINT) AS y_mm
-        FROM pts WHERE lat >= -60.0
+        {lcc_sel}
+        UNION ALL
+        {stere_sel}
+        UNION ALL
+        {tmerc_sel}
     """
 
 
