@@ -247,12 +247,36 @@ def _sql_pip_tile_join() -> str:
 
 
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two kNN engine paths in one row: the ring-doubling join
+    (engine/joins.knn_join, mode 'ring', k=10) and reverse geocoding over
+    the broadcast exact-kNN scan (engine/geotag.geocode_reverse →
+    joins.knn_join_broadcast, mode 'revgeo', k=1) against a disjoint
+    point-derived gazetteer — the nearest-place attribution (country_id)
+    is value-checked too."""
+    from engine.geotag import geocode_reverse
+
     pts = _points(spark, sf_dir)
     queries = pts.where(F.col("event_id") % 200 == 0).select(
         F.col("event_id").alias("qid"), "lon", "lat"
     )
     out = joins.knn_join(queries, pts, k=10, zoom=4, max_ring=6, query_id="qid", point_id="event_id")
-    return out.select("qid", F.col("neighbor").cast("long").alias("neighbor"), F.col("rank").cast("int").alias("rank"))
+    ring = out.select(
+        "qid", F.lit("ring").alias("mode"),
+        F.col("neighbor").cast("long").alias("neighbor"),
+        F.col("rank").cast("int").alias("rank"),
+        F.lit(None).cast("long").alias("country_id"),
+    )
+    gaz = pts.where(F.col("event_id") % 50 == 25).select(
+        F.col("event_id").alias("name"), "lon", "lat",
+        (F.col("event_id") % 7).cast("long").alias("country_id"),
+    )
+    rev = geocode_reverse(queries, gaz).select(
+        "qid", F.lit("revgeo").alias("mode"),
+        F.col("name").cast("long").alias("neighbor"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("country_id").cast("long").alias("country_id"),
+    )
+    return ring.unionByName(rev)
 
 
 def _sql_knn() -> str:
@@ -270,8 +294,25 @@ def _sql_knn() -> str:
             SELECT qid, neighbor,
                    row_number() OVER (PARTITION BY qid ORDER BY d2, neighbor) AS rank
             FROM pairs
+        ), gaz AS (
+            SELECT event_id AS name, lon, lat FROM pts WHERE event_id % 50 = 25
+        ), rpairs AS (
+            SELECT q.qid, g.name,
+                   (q.lon - g.lon) * (q.lon - g.lon)
+                   + (q.lat - g.lat) * (q.lat - g.lat) AS d2
+            FROM q CROSS JOIN gaz g
+        ), rranked AS (
+            SELECT qid, name,
+                   row_number() OVER (PARTITION BY qid ORDER BY d2, name) AS rank
+            FROM rpairs
         )
-        SELECT qid, neighbor, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+        SELECT qid, 'ring' AS mode, neighbor, CAST(rank AS INT) AS rank,
+               CAST(NULL AS BIGINT) AS country_id
+        FROM ranked WHERE rank <= 10
+        UNION ALL
+        SELECT qid, 'revgeo' AS mode, name AS neighbor, CAST(rank AS INT) AS rank,
+               CAST(name % 7 AS BIGINT) AS country_id
+        FROM rranked WHERE rank = 1
     """
 
 
