@@ -1372,6 +1372,11 @@ def _sql_minhash_lsh() -> str:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-ONLY row: exact all-pairs n-gram Jaccard is the brute-force
+    ground truth for the LSH paths and is registered to value-check the
+    shingle/Jaccard arithmetic — it is a cartesian product, NEVER a scale
+    path (at 100 TB use minhash_lsh_star_edges / minhash_lsh_pairs, whose
+    recall this oracle measures)."""
     docs = _read(spark, sf_dir, "documents")
     return textops.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
 

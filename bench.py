@@ -219,6 +219,43 @@ def main():
     _run("corpus_gopher", lambda: _force(_corpus.gopher_quality_df(docs)), timings)
     _run("span_dedup", lambda: _force(_corpus.dedup_spans_df(docs, k=20)), timings)
 
+    # round-4 additions: ALL_TOUCHED line rasterization, reverse geocoding
+    # (broadcast exact kNN), bucketed sequence packing
+    import pandas as pd
+
+    from engine import geom as _geom
+    from engine import raster as _raster
+    from engine.geotag import geocode_reverse as _revgeo
+
+    seg_pdf = pts.where(F.col("event_id") % 50 == 0).select("event_id", "lon", "lat").toPandas()
+    seg_rows = [
+        (int(r.event_id), _geom.wkb_linestring(
+            [(max(-179.9, r.lon - 2.0), max(-79.9, r.lat - 1.3)),
+             (min(179.9, r.lon + 2.0), min(79.9, r.lat + 1.3))]))
+        for r in seg_pdf.itertuples()
+    ]
+    seg_df = spark.createDataFrame(
+        pd.DataFrame(seg_rows, columns=["lid", "geom_wkb"])
+    ).persist()
+    seg_df.count()
+    _run(
+        "rasterize_lines_at",
+        lambda: _force(_raster.rasterize_lines(seg_df, 6, all_touched=True)),
+        timings,
+    )
+    seg_df.unpersist()
+
+    rq = pts.where(F.col("event_id") % 200 == 0).select(
+        F.col("event_id").alias("qid"), "lon", "lat"
+    )
+    gaz = pts.where(F.col("event_id") % 50 == 25).select(
+        F.col("event_id").cast("string").alias("name"), "lon", "lat",
+        (F.col("event_id") % 7).alias("country_id"),
+    )
+    _run("geocode_reverse", lambda: _force(_revgeo(rq, gaz)), timings)
+
+    _run("pack_sequences", lambda: _force(_corpus.pack_sequences(docs, size=512)), timings)
+
     total = round(sum(timings.values()), 3)
     pages_per_sec = round(n_pages / flagship_wall, 1) if flagship_wall > 0 else None
     print(
