@@ -128,3 +128,97 @@ def test_organize_polygons_ring_conservation(squares):
         assert clipmod.signed_area(p[0]) > 0          # exterior CCW
         for hole in p[1:]:
             assert clipmod.signed_area(hole) < 0      # holes CW
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.tuples(
+        st.floats(min_value=3.0, max_value=500.0, allow_nan=False),
+        st.floats(min_value=3.0, max_value=500.0, allow_nan=False),
+    ),
+    st.tuples(
+        st.floats(min_value=3.0, max_value=500.0, allow_nan=False),
+        st.floats(min_value=3.0, max_value=500.0, allow_nan=False),
+    ),
+)
+def test_all_touched_walk_equals_dense_sampling(p0, p1):
+    """GDALdllImageLineAllTouched transcription == dense-sampled floor set
+    for generic segments (degenerate boundary-aligned endpoints excluded
+    by construction: hypothesis floats land on pixel boundaries with
+    probability ~0, and we nudge exact integers off the lattice)."""
+    from engine.raster import _all_touched_segment
+
+    def nudge(v):
+        return v + 0.25 if v == np.floor(v) else v
+
+    x0, y0 = nudge(p0[0]), nudge(p0[1])
+    x1, y1 = nudge(p1[0]), nudge(p1[1])
+    if abs(x1 - x0) < 1e-6 and abs(y1 - y0) < 1e-6:
+        return
+    size = 512
+    got = {(ix, iy) for ix, iy, _ in
+           _all_touched_segment(x0, y0, x1, y1, 0.0, 0.0, size, size, False)}
+    t = np.linspace(0.0, 1.0, 60000)
+    sx = x0 + (x1 - x0) * t
+    sy = y0 + (y1 - y0) * t
+    exp = set(zip(np.floor(sx).astype(int).tolist(), np.floor(sy).astype(int).tolist()))
+    # corner-touch pixels are measure-zero crossings the sampler may catch
+    # or miss either way; require set equality up to pixels whose crossing
+    # length is below the sampling step
+    step = np.hypot(x1 - x0, y1 - y0) / 60000
+    diff = got ^ exp
+    for (ix, iy) in diff:
+        # any disputed pixel must be a grazing touch: distance from the
+        # segment to the pixel's interior is ~0 but the chord is tiny
+        inside = (sx >= ix) & (sx < ix + 1) & (sy >= iy) & (sy < iy + 1)
+        assert inside.sum() <= 2, (p0, p1, (ix, iy))
+
+
+@settings(max_examples=60, deadline=None)
+@given(_COORD, st.floats(min_value=-60.0, max_value=60.0, allow_nan=False))
+def test_oblique_stereographic_roundtrip_property(lon, lat):
+    tr = srs.ObliqueStereographicTransformer(40.0, -100.0, 0.9999, ellipsoid="clrk66")
+    # stay on the center-facing hemisphere (the projection is conformal
+    # there; near the antipode the inverse is ill-conditioned by nature)
+    import math
+
+    c = (math.sin(math.radians(40.0)) * math.sin(math.radians(lat))
+         + math.cos(math.radians(40.0)) * math.cos(math.radians(lat))
+         * math.cos(math.radians(lon + 100.0)))
+    if c < 0.0:
+        return
+    x, y = tr.forward(np.array([lon]), np.array([lat]))
+    lo, la = tr.inverse(x, y)
+    assert abs(float(lo[0]) - lon) < 1e-8
+    assert abs(float(la[0]) - lat) < 1e-8
+
+
+@settings(max_examples=60, deadline=None)
+@given(_COORD, _LAT)
+def test_general_tmerc_roundtrip_property(lon, lat):
+    tr = srs.TransverseMercatorTransformer(49.0, float(np.floor(lon)) + 0.5,
+                                           0.9996012717, ellipsoid="airy")
+    x, y = tr.forward(np.array([lon]), np.array([lat]))
+    lo, la = tr.inverse(x, y)
+    assert abs(float(lo[0]) - lon) < 1e-8
+    assert abs(float(la[0]) - lat) < 1e-8
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(_COORD, _LAT), min_size=4, max_size=8))
+def test_force_multilinestring_conserves_vertices(pts):
+    """Polygon → MultiLineString conserves every ring's (closed) vertex
+    run; forcing an already-multi geometry is the identity."""
+    from engine.geomops import force_multilinestring
+
+    poly = geom.wkb_polygon([pts])
+    kind, body = geom.wkb_loads(force_multilinestring(poly))
+    assert kind == "MultiLineString" and len(body) == 1
+    ring = body[0][1]
+    arr = np.asarray(pts, dtype=np.float64)
+    # wkb_polygon closes the ring only when first != last (degenerate
+    # all-equal inputs arrive already closed)
+    closed = arr if np.array_equal(arr[0], arr[-1]) else np.vstack([arr, arr[:1]])
+    assert np.array_equal(ring, closed)
+    mls = force_multilinestring(poly)
+    assert force_multilinestring(mls) == mls
