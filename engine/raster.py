@@ -158,6 +158,64 @@ def burn_base_tiles(points: DataFrame, zoom: int, lon_col: str = "lon", lat_col:
     return counts.repartition(nparts, "tx", "ty").groupBy("tx", "ty").applyInPandas(_assemble, TILE_SCHEMA)
 
 
+def burn_points(
+    points: DataFrame,
+    zoom: int,
+    value_col: str | None = None,
+    merge_alg: str = "add",
+    id_col: str | None = None,
+    z_col: str | None = None,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """gdal_rasterize for POINT layers with the full option surface
+    (GDALdllImagePoint, alg/llrasterize.cpp:251-271 + gvBurnPoint):
+    per-point burn value = ``value_col`` (default 1) plus ``z_col`` when
+    given (BURN_VALUE_FROM=Z for points takes the point's own Z,
+    gdalrasterize.cpp:196-209), truncated to int like the reference's
+    integer-buffer cast.  ``merge_alg='add'`` sums co-located burns;
+    ``'replace'`` keeps the LAST feature in ``id_col`` order (the
+    reference's feature-order overwrite — ``id_col`` required since a
+    distributed scan has no implicit order).
+
+    Entirely declarative: pixel-encode → ONE JVM hash aggregate
+    (sum / max_by) with map-side combine → the grouped tile assembly —
+    no per-point Python beyond the shared vectorized pixel encoder.
+    :func:`burn_base_tiles` remains the count fast path.
+    """
+    if merge_alg not in ("replace", "add"):
+        raise ValueError("merge_alg must be 'replace' or 'add'")
+    if merge_alg == "replace" and id_col is None:
+        raise ValueError("merge_alg='replace' needs id_col (feature burn order)")
+    val = F.col(value_col).cast("double") if value_col else F.lit(1.0)
+    if z_col is not None:
+        val = val + F.col(z_col).cast("double")
+    burn = val.cast("long")  # int-buffer truncation, like the Byte path
+    keep = [c for c in ((id_col,) if id_col else ()) ]
+    px = with_pixel(points.select(*( [lon_col, lat_col] + keep + ([value_col] if value_col else []) + ([z_col] if z_col else []))), zoom, lon_col, lat_col)
+    if merge_alg == "add":
+        cells = px.groupBy("tx", "ty", "ix", "iy").agg(F.sum(burn).alias("cnt"))
+    else:
+        cells = px.groupBy("tx", "ty", "ix", "iy").agg(
+            F.max_by(burn, F.col(id_col)).alias("cnt")
+        )
+
+    def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        grid = np.zeros((TILE_SIZE, TILE_SIZE), dtype=np.int64)
+        np.add.at(grid, (pdf["iy"].to_numpy(), pdf["ix"].to_numpy()), pdf["cnt"].to_numpy())
+        return pd.DataFrame(
+            {
+                "zoom": [np.int32(zoom)],
+                "tx": [pdf["tx"].iat[0]],
+                "ty": [pdf["ty"].iat[0]],
+                "data": [tile_to_bytes(grid)],
+            }
+        )
+
+    nparts = points.sparkSession.sparkContext.defaultParallelism
+    return cells.repartition(nparts, "tx", "ty").groupBy("tx", "ty").applyInPandas(_assemble, TILE_SCHEMA)
+
+
 def rasterize_polygons(
     polys: DataFrame,
     zoom: int,

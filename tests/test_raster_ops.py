@@ -765,3 +765,59 @@ def test_rasterize_all_touched_add_burns_per_visit(spark):
     vals = set(burned.values())
     assert 5 in vals           # interior: fill only
     assert max(vals) >= 10     # boundary: fill + at least one ring visit
+
+
+def test_burn_points_value_z_and_replace(spark):
+    """Point rasterization with values, Z source, and both merge
+    semantics, against a brute-force pixel dict."""
+    import pandas as pd
+
+    from engine import raster, tiles
+
+    rows = [
+        # (pid, lon, lat, v, z) — two points share a pixel
+        (1, 10.02, 10.02, 5, 100.0),
+        (2, 10.021, 10.021, 7, 200.0),
+        (3, -40.0, -12.0, 2, 50.0),
+    ]
+    pts = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["pid", "lon", "lat", "v", "z"])
+    )
+    zoom = 3
+
+    def pix(lon, lat):
+        import numpy as np
+
+        px, py = tiles.lonlat_to_pixels(np.array([lon]), np.array([lat]), zoom)
+        tx, ty = tiles.pixels_to_tile(px, py)
+        ix = int(np.floor(px[0])) - int(tx[0]) * 256
+        iy = int(np.floor(py[0])) - int(ty[0]) * 256
+        return int(tx[0]), int(ty[0]), ix, 255 - iy
+
+    assert pix(*rows[0][1:3]) == pix(*rows[1][1:3])  # really co-located
+
+    def grids(df):
+        return {(r.tx, r.ty): raster.bytes_to_tile(r.data) for r in df.collect()}
+
+    add = grids(raster.burn_points(pts, zoom, value_col="v"))
+    t, y, x, r = pix(10.02, 10.02)
+    assert add[(t, y)][r, x] == 12  # 5 + 7 summed
+    rep = grids(raster.burn_points(pts, zoom, value_col="v", merge_alg="replace", id_col="pid"))
+    assert rep[(t, y)][r, x] == 7   # last feature (pid 2) wins
+    zb = grids(raster.burn_points(pts, zoom, value_col="v", z_col="z",
+                                  merge_alg="replace", id_col="pid"))
+    assert zb[(t, y)][r, x] == 207  # 7 + z 200
+    t3, y3, x3, r3 = pix(-40.0, -12.0)
+    assert zb[(t3, y3)][r3, x3] == 52
+    # default burn value 1 == density fast path
+    dens = grids(raster.burn_points(pts, zoom))
+    base = grids(raster.burn_base_tiles(pts, zoom))
+    assert set(dens) == set(base)
+    for k in base:
+        import numpy as np
+
+        assert np.array_equal(dens[k], base[k])
+    import pytest
+
+    with pytest.raises(ValueError):
+        raster.burn_points(pts, zoom, merge_alg="replace")
