@@ -480,6 +480,58 @@ def _all_touched_segment(x0, y0, x1, y1, v0, v1, nx, ny, use_z):
             v += dvar * step_x
 
 
+def rasterize_invert(
+    polys: DataFrame,
+    zoom: int,
+    extent: tuple,
+    value_col: str | None = None,
+    merge_alg: str = "replace",
+    wkb_col: str = "geom_wkb",
+) -> DataFrame:
+    """gdal_rasterize ``-i`` (apps/gdal_rasterize.cpp InvertGeometries:75-135):
+    burn the COMPLEMENT — one "universe" ring two pixels beyond the dataset
+    extent is prepended and every input polygon's rings become additional
+    rings of one combined geometry, so the even-odd fill covers exactly the
+    extent MINUS the inputs (with the reference's even-odd quirks: a hole
+    re-burns, a 2-polygon overlap re-burns).
+
+    ``extent`` = (minlon, minlat, maxlon, maxlat) of the dataset (the
+    reference derives it from the destination raster, which this tile-table
+    engine has no implicit notion of).  The combined ring collection is
+    driver-assembled — ONE geometry, exactly as the reference builds one
+    GeometryCollection in memory; the burn itself distributes per covering
+    tile through :func:`rasterize_polygons`.  A constant burn value
+    (``value_col`` is read from the FIRST feature, else 1) matches the
+    reference's single-collection burn.
+    """
+    from . import geom as geommod
+    from . import tiles as _t
+
+    spark = polys.sparkSession
+    minlon, minlat, maxlon, maxlat = (float(v) for v in extent)
+    # two pixels beyond the extent, like the -2/+2 geotransform offsets
+    px0, py0 = _t.lonlat_to_pixels(np.array([minlon]), np.array([minlat]), zoom)
+    px1, py1 = _t.lonlat_to_pixels(np.array([maxlon]), np.array([maxlat]), zoom)
+    mx0, my0 = _t.pixels_to_meters(px0 - 2.0, py0 - 2.0, zoom)
+    mx1, my1 = _t.pixels_to_meters(px1 + 2.0, py1 + 2.0, zoom)
+    lo0, la0 = _t.meters_to_lonlat(mx0, my0)
+    lo1, la1 = _t.meters_to_lonlat(mx1, my1)
+    universe = [
+        (float(lo0[0]), float(la0[0])), (float(lo1[0]), float(la0[0])),
+        (float(lo1[0]), float(la1[0])), (float(lo0[0]), float(la1[0])),
+    ]
+    cols = [wkb_col] + ([value_col] if value_col else [])
+    rows = polys.select(*cols).collect()
+    rings = [universe]
+    for r in rows:
+        rings.extend(rg.tolist() for rg in geommod.polygon_rings(bytes(r[0])))
+    v = int(rows[0][1]) if (value_col and rows) else 1
+    one = spark.createDataFrame(
+        pd.DataFrame({"pid": [0], "geom_wkb": [geommod.wkb_polygon(rings)], "v": [v]})
+    )
+    return rasterize_polygons(one, zoom, value_col="v", merge_alg=merge_alg)
+
+
 def _bresenham(ix0: int, iy0: int, ix1: int, iy1: int):
     """Integer Bresenham pixel walk between endpoint pixels — the
     reference's line burner (alg/llrasterize.cpp GDALdllImageLine).

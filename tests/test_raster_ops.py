@@ -821,3 +821,47 @@ def test_burn_points_value_z_and_replace(spark):
 
     with pytest.raises(ValueError):
         raster.burn_points(pts, zoom, merge_alg="replace")
+
+
+def test_rasterize_invert(spark):
+    """gdal_rasterize -i: the inverted burn covers exactly extent-minus-
+    inputs (even-odd: a HOLE re-burns), verified pixel-for-pixel as the
+    complement of the forward burn within the universe cover."""
+    import pandas as pd
+
+    from engine import geom, raster
+
+    zoom = 3
+    ext = (-40.0, -20.0, 40.0, 30.0)
+    ring = [(0.3, 0.4), (30.2, 0.4), (30.2, 29.7), (0.3, 29.7)]
+    hole = [(10.2, 10.3), (19.8, 10.3), (19.8, 19.6), (10.2, 19.6)]
+    polys = spark.createDataFrame(
+        pd.DataFrame({"pid": [0], "geom_wkb": [geom.wkb_polygon([ring, hole])]})
+    )
+    inv = _collect_burned(raster.rasterize_invert(polys, zoom, ext).collect())
+    fwd = set(_collect_burned(raster.rasterize_polygons(polys, zoom).collect()))
+    # universe pixel set: the forward burn of the padded extent rectangle
+    from engine import tiles as _t
+    import numpy as np
+
+    px0, py0 = _t.lonlat_to_pixels(np.array([ext[0]]), np.array([ext[1]]), zoom)
+    px1, py1 = _t.lonlat_to_pixels(np.array([ext[2]]), np.array([ext[3]]), zoom)
+    mx0, my0 = _t.pixels_to_meters(px0 - 2.0, py0 - 2.0, zoom)
+    mx1, my1 = _t.pixels_to_meters(px1 + 2.0, py1 + 2.0, zoom)
+    lo0, la0 = _t.meters_to_lonlat(mx0, my0)
+    lo1, la1 = _t.meters_to_lonlat(mx1, my1)
+    uni_poly = spark.createDataFrame(pd.DataFrame({
+        "pid": [0],
+        "geom_wkb": [geom.wkb_polygon([[(float(lo0[0]), float(la0[0])),
+                                        (float(lo1[0]), float(la0[0])),
+                                        (float(lo1[0]), float(la1[0])),
+                                        (float(lo0[0]), float(la1[0]))]])],
+    }))
+    universe = set(_collect_burned(raster.rasterize_polygons(uni_poly, zoom).collect()))
+    assert set(inv) == universe - fwd
+    # even-odd: the hole's interior is NOT in the forward burn, so it IS in
+    # the inverted burn
+    # pick a pixel well inside the hole
+    pxh, pyh = _t.lonlat_to_pixels(np.array([15.0]), np.array([15.0]), zoom)
+    hp = (int(np.floor(pxh[0])), int(np.floor(pyh[0])))
+    assert hp in inv and hp not in fwd
