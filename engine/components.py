@@ -631,8 +631,11 @@ def sieve_filter(
     # fraction of all labels.  When it fits comfortably it broadcasts, so
     # every component-id lookup below (the labels attach + four adjacency
     # endpoint lookups) is a map-side join with ZERO exchanges of the wide
-    # frames; above the threshold the joins fall back to shuffles.
-    broadcast_map = mapping.count() <= 2_000_000
+    # frames; above the threshold the joins fall back to shuffles.  The
+    # threshold is conservative (~10 MB serialized) because each lookup
+    # builds its OWN projection → its own broadcast variable, so the
+    # driver pays up to five of them at once.
+    broadcast_map = mapping.count() <= 100_000
     bmap = F.broadcast if broadcast_map else (lambda df: df)
 
     def _with_cid(df: DataFrame, txc: str, tyc: str, labc: str, out: str) -> DataFrame:

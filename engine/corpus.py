@@ -944,19 +944,27 @@ def pack_sequences(
     numeric_id = id_type in ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
     nbuckets = docs.sparkSession.sparkContext.defaultParallelism
     if numeric_id and nbuckets > 1:
-        # deterministic contiguous buckets: exact quantile split points of
-        # the id values themselves (percentile with accuracy high enough to
-        # be exact at driver-test scale; balance is best-effort, correctness
-        # never depends on it)
+        # materialize the tokenized frame ONCE: the split-points agg, the
+        # per-bucket totals agg, and the output job would otherwise each
+        # re-run the tokenization (the dominant cost of pass 1)
+        nz = nz.localCheckpoint(eager=True)
+        # deterministic contiguous buckets: quantile split points of the id
+        # values themselves (balance is best-effort, correctness never
+        # depends on it — any contiguous split yields the same stream)
         splits = nz.agg(
             F.percentile_approx(
                 "_id", [i / nbuckets for i in range(1, nbuckets)], 10000
             ).alias("_s")
         ).collect()[0]._s or []
+        # NULL ids sort first (the global window's nulls-first order):
+        # pin them to bucket -1 rather than letting NULL > split poison
+        # the bucket expression and the driver-side cumulative fold
         bucket = F.lit(0)
         for s in splits:
             bucket = bucket + (F.col("_id") > F.lit(s)).cast("int")
-        nz = nz.withColumn("_b", bucket)
+        nz = nz.withColumn(
+            "_b", F.when(F.col("_id").isNull(), F.lit(-1)).otherwise(bucket)
+        )
         wp = (
             Window.partitionBy("_b").orderBy("_id")
             .rowsBetween(Window.unboundedPreceding, 0)

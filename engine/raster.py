@@ -343,9 +343,17 @@ def rasterize_polygons(
             if all_touched and rings:
                 # every ring (exterior and holes) walks all-touched, burning
                 # per visit on top of the fill — the reference's order
+                gx1w, gy1w = gx0 + TILE_SIZE, gy0 + TILE_SIZE
                 for ring in rings:
                     rpx, rpy = tiles.lonlat_to_pixels(ring[:, 0], ring[:, 1], zoom)
                     for s in range(rpx.shape[0] - 1):
+                        # skip segments that cannot touch this tile (same
+                        # guard as the lines path — without it a T-tile
+                        # polygon walks its whole boundary in EVERY tile)
+                        if max(rpx[s], rpx[s + 1]) < gx0 - 1 or min(rpx[s], rpx[s + 1]) > gx1w + 1:
+                            continue
+                        if max(rpy[s], rpy[s + 1]) < gy0 - 1 or min(rpy[s], rpy[s + 1]) > gy1w + 1:
+                            continue
                         for cx, cy, _var in _all_touched_segment(
                             float(rpx[s]), float(rpy[s]),
                             float(rpx[s + 1]), float(rpy[s + 1]),
@@ -423,7 +431,11 @@ def _all_touched_segment(x0, y0, x1, y1, v0, v1, nx, ny, use_z):
             ix += 1
             v += dvar
         return
-    # general left-to-right sloped case
+    # general left-to-right sloped case.  NOTE: the y-overflow clips below
+    # transcribe the reference's own arithmetic VERBATIM, including its
+    # x1 += (y1-ny)/slope overshoot for rising segments (llrasterize.cpp:539
+    # moves the endpoint the wrong way) — harmless because every overshoot
+    # pixel fails the bounds guard, exactly as in the reference
     slope = (y1 - y0) / (x1 - x0)
     if x1 > nx:
         y1 -= (x1 - nx) * slope

@@ -402,7 +402,15 @@ def s2_knn_join(
             raise ValueError(f"right_key {right_key!r} is not a column of right")
         tie_cols = [F.col(right_key + suffix).asc()]
     else:
-        tie_cols = [F.col(c + suffix).asc() for c in right.columns]
+        from pyspark.sql.types import MapType
+
+        # maps are not orderable in Spark — skip them rather than fail the
+        # whole window for a column that would rarely break a tie anyway
+        tie_cols = [
+            F.col(f.name + suffix).asc()
+            for f in right.schema.fields
+            if not isinstance(f.dataType, MapType)
+        ]
     results = None
     pending = left
     r = float(r0_rad)

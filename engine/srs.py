@@ -746,6 +746,10 @@ def make_transformer(proj4: str | dict):
             raise ValueError("utm: only +ellps=WGS84 is implemented")
         tr = UTMTransformer(int(p["zone"]), south=bool(p.get("south", False)))
     elif name == "tmerc":
+        # +k defaults to 1.0 — the PROJ tmerc default.  (Rounds 1-3 of this
+        # engine defaulted to the UTM 0.9996, which silently mis-scaled any
+        # non-UTM tmerc string without +k; the standalone tmerc_forward
+        # keeps _K0 for its UTM callers.)
         tr = TransverseMercatorTransformer(
             float(p.get("lat_0", 0.0)), float(p.get("lon_0", 0.0)),
             float(p.get("k", 1.0)),
