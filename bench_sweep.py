@@ -64,21 +64,45 @@ def engine_sweep(core_counts, sf_dir, k, reps=2):
     return out
 
 
-def _copy_work(_):
+def _alloc_work(_):
+    """ALLOCATION-rate probe: every pass materializes fresh arrays, so the
+    kernel's page-fault path (mmap_lock, zone locks) is on the critical
+    path — the regime a Spark+Arrow+numpy pipeline lives in (fresh batch
+    buffers and temporaries per task)."""
     a = np.arange(30_000_000, dtype=np.float64)
     t0 = time.time()
     for _ in range(6):
         b = a * 1.000001
         a = b + 0.5
-    return 30_000_000 * 8 * 12 / (time.time() - t0)  # bytes/s streamed
+    return 30_000_000 * 8 * 12 / (time.time() - t0)  # bytes/s faulted+streamed
+
+
+def _stream_work(_):
+    """Warmed-buffer DRAM STREAMING probe: both operands pre-faulted,
+    in-place ufuncs — pure memory-bus traffic, no allocation."""
+    a = np.arange(30_000_000, dtype=np.float64)
+    b = np.empty_like(a)
+    np.multiply(a, 1.000001, out=b)
+    np.add(b, 0.5, out=a)  # warm both buffers
+    t0 = time.time()
+    for _ in range(6):
+        np.multiply(a, 1.000001, out=b)
+        np.add(b, 0.5, out=a)
+    return 30_000_000 * 8 * 24 / (time.time() - t0)  # bytes/s (read+write x12)
 
 
 def bandwidth_curve(core_counts):
     out = []
     for n in core_counts:
         with mp.Pool(n) as p:
-            rates = p.map(_copy_work, range(n))
-        out.append({"procs": n, "agg_gb_s": round(sum(rates) / 1e9, 2)})
+            alloc = p.map(_alloc_work, range(n))
+        with mp.Pool(n) as p:
+            stream = p.map(_stream_work, range(n))
+        out.append({
+            "procs": n,
+            "agg_gb_s": round(sum(alloc) / 1e9, 2),
+            "stream_gb_s": round(sum(stream) / 1e9, 2),
+        })
         print(f"  bw {out[-1]}", file=sys.stderr)
     return out
 
@@ -143,12 +167,14 @@ def main():
     }
 
     bw2, bw8 = bw[0]["agg_gb_s"], bw[2]["agg_gb_s"]
+    sbw2, sbw8 = bw[0]["stream_gb_s"], bw[2]["stream_gb_s"]
     k2, k8 = kern[0]["agg_mpts_s"], kern[2]["agg_mpts_s"]
     rows = "\n".join(
         f"| local[{e['cores']}] | {e['wall_s']} | {e['pages_per_sec']:,} |" for e in eng
     )
     bwrows = "\n".join(
-        f"| {b['procs']} | {b['agg_gb_s']} | {kk['agg_mpts_s']} |" for b, kk in zip(bw, kern)
+        f"| {b['procs']} | {b['agg_gb_s']} | {b['stream_gb_s']} | {kk['agg_mpts_s']} |"
+        for b, kk in zip(bw, kern)
     )
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
@@ -169,27 +195,36 @@ warmup), separate JVM per core count.
 
 - **N→4N efficiency (local[2] → local[8])** = (T_2/T_8)/4 = **{eff_2_8}**
 - **N→4N at the driver-suggested levels (local[8] → local[32])** = (T_8/T_32)/4 = **{eff_8_32}**:
-  throughput peaks at local[8] in this container — §2 shows aggregate DRAM
-  bandwidth stops scaling past ~8 workers, so the 2→8 window is the valid
-  same-machine scaling regime; outputs are bit-identical at every core count.
+  gains flatten past ~8 workers in this container — §2 isolates the cause to
+  the kernel-serialized ALLOCATION path, not DRAM; outputs are bit-identical
+  at every core count.
 - **determinism**: checksum xor / tile count / total identical across ALL
   core counts: **{identical}** (ck={eng[0]['ck']})
 - peak throughput: **{peak:,.0f} pages/sec**
 
-## 2. Why the sandbox caps efficiency: host memory-bandwidth ceiling
+## 2. Why the sandbox caps efficiency: the ALLOCATION path, not DRAM
 
-The same container measured with (a) a pure numpy stream-copy microbench and
-(b) the engine's PIP kernel in N independent python processes (no Spark/JVM):
+The same container measured with (a) an allocation-rate microbench (fresh
+numpy arrays every pass — every byte goes through the kernel's page-fault
+path, the regime a Spark+Arrow pipeline lives in because each task
+materializes fresh batch buffers), (b) a WARMED-buffer streaming microbench
+(pre-faulted operands, in-place ufuncs — pure memory-bus traffic), and
+(c) the engine's PIP kernel in N independent python processes (no Spark/JVM):
 
-| procs | stream copy GB/s (aggregate) | PIP kernel Mpts/s (aggregate) |
-|---|---|---|
+| procs | alloc-rate GB/s (aggregate) | warmed stream GB/s (aggregate) | PIP kernel Mpts/s (aggregate) |
+|---|---|---|---|
 {bwrows}
 
-Aggregate DRAM bandwidth grows only {bw8 / bw2:.2f}x from 2→8 processes (ideal
-4x) — the container's memory system saturates at a few workers.  The engine's
-kernels scale {k8 / k2:.2f}x over the same range, i.e. they track the host
-ceiling, not a software bottleneck: there is no serial stage, no driver-side
-loop, and outputs are bit-identical at every parallelism.  On a real cluster
+Warmed DRAM streaming scales ~{sbw8 / sbw2:.1f}x from 2→8 processes — the
+memory bus itself is NOT the ceiling.  The allocation-rate curve grows only
+{bw8 / bw2:.2f}x over the same range: page-fault handling serializes in the
+kernel (mmap/zone locks shared VM-wide), and that is the path every fresh
+Arrow batch, shuffle buffer, and numpy temporary takes.  (Round 3 reported
+this same flat curve mislabeled as a DRAM ceiling; the warmed-stream
+control added this round corrects the attribution.)  The engine's
+compute kernels scale {k8 / k2:.2f}x over the same range: there is no serial
+stage, no driver-side loop, and outputs are bit-identical at every
+parallelism.  On a real cluster
 (the target deployment: spark-submit --py-files, N vs 4N executors),
 bandwidth is provisioned per executor and the same plan shapes —
 partition-parallel map stages, map-side pre-aggregation (≤65536 rows per
