@@ -62,19 +62,24 @@ class _UF:
             self.p[rb] = ra
 
 
-def label_tile(grid: np.ndarray, background: int = 0) -> np.ndarray:
-    """4-connected labeling of equal-valued non-background pixels.
+def label_tile(grid: np.ndarray, background: int = 0, connectedness: int = 4) -> np.ndarray:
+    """4- or 8-connected labeling of equal-valued non-background pixels
+    (the GDALRasterPolygonEnumerator connectedness option,
+    alg/polygonize.cpp:484,513; alg/gdalsievefilter.cpp:170).
 
     Vectorized run-based union-find: every row-run gets a scan-ordered id
     (one ``cumsum``), vertical same-value pixel adjacencies reduce to
     unique run-id pairs (one boolean mask + ``np.unique``), a small
     union-find merges the pairs, and pointer-jumping compresses all runs
-    to roots.  Labels are dense-ranked by root run id = first-appearance
+    to roots.  ``connectedness=8`` adds the two diagonal shift masks.
+    Labels are dense-ranked by root run id = first-appearance
     scan order — the same label assignment the original per-run python
     loop produced (pinned by test_label_vectorized_matches_reference),
     ~30× faster on dense tiles because no python executes per run.
     Returns int32 labels (0 = background).
     """
+    if connectedness not in (4, 8):
+        raise ValueError("connectedness must be 4 or 8")
     H, W = grid.shape
     run_start = np.ones((H, W), dtype=bool)
     run_start[:, 1:] = grid[:, 1:] != grid[:, :-1]
@@ -83,12 +88,25 @@ def label_tile(grid: np.ndarray, background: int = 0) -> np.ndarray:
     nonbg = grid != background
     if not nonbg.any():
         return np.zeros((H, W), dtype=np.int32)
-    vsame = (grid[1:, :] == grid[:-1, :]) & nonbg[1:, :] & nonbg[:-1, :]
+    masks = [
+        ((grid[1:, :] == grid[:-1, :]) & nonbg[1:, :] & nonbg[:-1, :],
+         run_id[:-1, :], run_id[1:, :]),
+    ]
+    if connectedness == 8:
+        masks.append((
+            (grid[1:, 1:] == grid[:-1, :-1]) & nonbg[1:, 1:] & nonbg[:-1, :-1],
+            run_id[:-1, :-1], run_id[1:, 1:],
+        ))
+        masks.append((
+            (grid[1:, :-1] == grid[:-1, 1:]) & nonbg[1:, :-1] & nonbg[:-1, 1:],
+            run_id[:-1, 1:], run_id[1:, :-1],
+        ))
+    pair_parts = [
+        np.stack([ra[m], rb[m]], axis=1) for m, ra, rb in masks if m.any()
+    ]
     parent = np.arange(R, dtype=np.int64)
-    if vsame.any():
-        pairs = np.unique(
-            np.stack([run_id[:-1, :][vsame], run_id[1:, :][vsame]], axis=1), axis=0
-        )
+    if pair_parts:
+        pairs = np.unique(np.concatenate(pair_parts, axis=0), axis=0)
 
         def find(x):
             while parent[x] != x:
@@ -119,7 +137,7 @@ def label_tile(grid: np.ndarray, background: int = 0) -> np.ndarray:
 _STRIP_SCHEMA = "tx long, ty long, side string, pos int, value long, label int"
 
 
-def _strips_factory(background: int):
+def _strips_factory(background: int, connectedness: int = 4):
     """mapInPandas UDF emitting the 4 boundary strips (value + local label
     per edge pixel) of every tile — the cross-tile merge input (~1.5% of
     tile bytes)."""
@@ -129,7 +147,7 @@ def _strips_factory(background: int):
             rows = []
             for r in pdf.itertuples():
                 g = bytes_to_tile(r.data)
-                lab = label_tile(g, background)
+                lab = label_tile(g, background, connectedness)
                 for side, vals, labs in (
                     ("top", g[0, :], lab[0, :]),        # faces tile ty+1 (its bottom row)
                     ("bottom", g[-1, :], lab[-1, :]),   # faces ty-1
@@ -144,36 +162,70 @@ def _strips_factory(background: int):
     return _strips
 
 
-def _seam_pixel_pairs(strips: DataFrame) -> DataFrame:
+def _seam_pixel_pairs(strips: DataFrame, connectedness: int = 4) -> DataFrame:
     """Touching nonbackground pixel pairs across tile seams, one row per
     pair: (atx, aty, alab, aval, btx, bty, blab, bval).  THE single
     definition of seam adjacency — shared by connected_components /
     sieve_filter / polygonize.  'top' of (tx,ty) faces 'bottom' of
-    (tx,ty+1); 'right' of (tx,ty) faces 'left' of (tx+1,ty)."""
+    (tx,ty+1); 'right' of (tx,ty) faces 'left' of (tx+1,ty).
+
+    ``connectedness=8`` additionally pairs the DIAGONAL neighbors across
+    seams: pos±1 on the facing edge, plus the four-tile corner meetings
+    (the NE corner pixel of a tile touches the SW corner pixel of its
+    (tx+1, ty+1) neighbor) — each diagonal pair emitted once from the
+    north side, like the 4-connect seams."""
     s = strips
     a_cols = [
         F.col("tx").alias("atx"), F.col("ty").alias("aty"),
-        F.col("label").alias("alab"), F.col("value").alias("aval"), "pos",
+        F.col("label").alias("alab"), F.col("value").alias("aval"),
+        F.col("pos").alias("apos"),
     ]
     b_cols = [
         F.col("tx").alias("btx"), F.col("ty").alias("bty"),
-        F.col("label").alias("blab"), F.col("value").alias("bval"), "pos",
+        F.col("label").alias("blab"), F.col("value").alias("bval"),
+        F.col("pos").alias("bpos"),
     ]
+    out_cols = ["atx", "aty", "alab", "aval", "btx", "bty", "blab", "bval"]
     top = s.where(F.col("side") == "top").select(*a_cols)
     bottom = s.where(F.col("side") == "bottom").select(*b_cols)
-    v = top.join(
-        bottom,
-        (F.col("atx") == F.col("btx")) & (F.col("aty") + 1 == F.col("bty"))
-        & (top["pos"] == bottom["pos"]),
-    ).select("atx", "aty", "alab", "aval", "btx", "bty", "blab", "bval")
     right = s.where(F.col("side") == "right").select(*a_cols)
     left = s.where(F.col("side") == "left").select(*b_cols)
-    h = right.join(
-        left,
-        (F.col("atx") + 1 == F.col("btx")) & (F.col("aty") == F.col("bty"))
-        & (right["pos"] == left["pos"]),
-    ).select("atx", "aty", "alab", "aval", "btx", "bty", "blab", "bval")
-    return v.unionByName(h)
+    shifts = (0,) if connectedness == 4 else (-1, 0, 1)
+    parts = []
+    for sh in shifts:
+        parts.append(
+            top.join(
+                bottom,
+                (F.col("atx") == F.col("btx")) & (F.col("aty") + 1 == F.col("bty"))
+                & (F.col("apos") + sh == F.col("bpos")),
+            ).select(*out_cols)
+        )
+        parts.append(
+            right.join(
+                left,
+                (F.col("atx") + 1 == F.col("btx")) & (F.col("aty") == F.col("bty"))
+                & (F.col("apos") + sh == F.col("bpos")),
+            ).select(*out_cols)
+        )
+    if connectedness == 8:
+        T1 = TILE_SIZE - 1
+        # four-tile corner meetings, from the north side: NE↔SW and NW↔SE
+        parts.append(
+            top.where(F.col("apos") == T1).join(
+                bottom.where(F.col("bpos") == 0),
+                (F.col("atx") + 1 == F.col("btx")) & (F.col("aty") + 1 == F.col("bty")),
+            ).select(*out_cols)
+        )
+        parts.append(
+            top.where(F.col("apos") == 0).join(
+                bottom.where(F.col("bpos") == T1),
+                (F.col("atx") - 1 == F.col("btx")) & (F.col("aty") + 1 == F.col("bty")),
+            ).select(*out_cols)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _key(ty, tx, label):
@@ -324,7 +376,8 @@ def _one_task_components(edges: DataFrame, key_type) -> DataFrame:
 
 
 def seam_component_map(
-    src: DataFrame, background: int = 0, max_rounds: int = 50, strips: DataFrame | None = None
+    src: DataFrame, background: int = 0, max_rounds: int = 50, strips: DataFrame | None = None,
+    connectedness: int = 4,
 ) -> DataFrame:
     """Distributed hash-to-min label propagation over the tile-seam graph.
 
@@ -344,8 +397,10 @@ def seam_component_map(
     # Callers that need the strips for other purposes pass the checkpointed
     # frame in (sieve reuses it for differing-value adjacency).
     if strips is None:
-        strips = src.mapInPandas(_strips_factory(background), _STRIP_SCHEMA).localCheckpoint(eager=True)
-    pairs = _seam_pixel_pairs(strips).where(F.col("aval") == F.col("bval"))
+        strips = src.mapInPandas(
+            _strips_factory(background, connectedness), _STRIP_SCHEMA
+        ).localCheckpoint(eager=True)
+    pairs = _seam_pixel_pairs(strips, connectedness).where(F.col("aval") == F.col("bval"))
     e = pairs.select(
         _key("aty", "atx", "alab").alias("ka"), _key("bty", "btx", "blab").alias("kb")
     )
@@ -364,7 +419,7 @@ _STATS_SCHEMA = (
 )
 
 
-def _label_stats_factory(background: int = 0):
+def _label_stats_factory(background: int = 0, connectedness: int = 4):
     """Per-tile labeling + per-(tile,label) partial stats (pass 1)."""
 
     def _label_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -372,7 +427,7 @@ def _label_stats_factory(background: int = 0):
             rows = []
             for r in pdf.itertuples():
                 g = bytes_to_tile(r.data)
-                lab = label_tile(g, background)
+                lab = label_tile(g, background, connectedness)
                 if lab.max() == 0:
                     continue
                 flat_l = lab.ravel()
@@ -418,7 +473,7 @@ def attach_component_id(per_label: DataFrame, mapping: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(tile_df: DataFrame, background: int = 0) -> DataFrame:
+def connected_components(tile_df: DataFrame, background: int = 0, connectedness: int = 4) -> DataFrame:
     """Distributed connected components over a (zoom, tx, ty, data) table.
 
     Returns (component_id string, value long, pixel_count long,
@@ -431,8 +486,8 @@ def connected_components(tile_df: DataFrame, background: int = 0) -> DataFrame:
     relabel join + one aggregate.  No driver-side structures.
     """
     src = tile_df.select("tx", "ty", "data")
-    stats = src.mapInPandas(_label_stats_factory(background), _STATS_SCHEMA)
-    mapping = seam_component_map(src, background)
+    stats = src.mapInPandas(_label_stats_factory(background, connectedness), _STATS_SCHEMA)
+    mapping = seam_component_map(src, background, connectedness=connectedness)
     return (
         attach_component_id(stats, mapping)
         .groupBy("component_id", "value")
@@ -446,12 +501,13 @@ def connected_components(tile_df: DataFrame, background: int = 0) -> DataFrame:
     )
 
 
-def sieve_components(tile_df: DataFrame, min_pixels: int, background: int = 0) -> DataFrame:
+def sieve_components(tile_df: DataFrame, min_pixels: int, background: int = 0,
+                     connectedness: int = 4) -> DataFrame:
     """Sieve filter analog (alg/gdalsievefilter.cpp): report components
     smaller than ``min_pixels`` (the ones GDAL would merge into their largest
     neighbor).  Returns the small-component table; :func:`sieve_filter`
     applies the merge to pixel data."""
-    comps = connected_components(tile_df, background)
+    comps = connected_components(tile_df, background, connectedness)
     return comps.where(F.col("pixel_count") < min_pixels)
 
 
@@ -514,11 +570,15 @@ def sieve_filter(
     min_pixels: int,
     background: int = 0,
     driver_graph_limit: int = 100_000,
+    connectedness: int = 4,
 ) -> DataFrame:
     """GDALSieveFilter (alg/gdalsievefilter.cpp:133-185), full pixel rewrite:
     connected components below ``min_pixels`` take the value of their largest
-    neighboring component (4-connect); background pixels are never rewritten
-    and never absorb.  Returns a new (tx, ty, data) tile table.
+    neighboring component; background pixels are never rewritten and never
+    absorb.  ``connectedness`` ∈ {4, 8} selects the reference's
+    nConnectedness (:170) for BOTH component formation and neighbor
+    detection (within-tile diagonals + cross-seam pos±1 and four-tile
+    corner adjacency).  Returns a new (tx, ty, data) tile table.
 
     Plan (all heavy stages distributed):
     1. per-(tile,label) stats + seam mapping (label propagation) → component
@@ -578,7 +638,7 @@ def sieve_filter(
             parts = []
             for r in pdf.itertuples():
                 g = bytes_to_tile(r.data)
-                lab = label_tile(g, background)
+                lab = label_tile(g, background, connectedness)
                 if lab.max() == 0:
                     continue
                 flat_l = lab.ravel()
@@ -593,7 +653,10 @@ def sieve_filter(
                           label=uls, value=vals[first], pixel_count=counts)
                 )
                 ps = []
-                for a, b in ((lab[:, :-1], lab[:, 1:]), (lab[:-1, :], lab[1:, :])):
+                shifted = [(lab[:, :-1], lab[:, 1:]), (lab[:-1, :], lab[1:, :])]
+                if connectedness == 8:
+                    shifted += [(lab[:-1, :-1], lab[1:, 1:]), (lab[:-1, 1:], lab[1:, :-1])]
+                for a, b in shifted:
                     m = (a != b) & (a != 0) & (b != 0)
                     if m.any():
                         ps.append(np.stack([np.minimum(a[m], b[m]), np.maximum(a[m], b[m])], axis=1))
@@ -626,7 +689,9 @@ def sieve_filter(
         ).alias("side"),
         F.col("lb").alias("pos"), "value", "label",
     )
-    mapping = seam_component_map(src, background, strips=strips).localCheckpoint(eager=True)
+    mapping = seam_component_map(
+        src, background, strips=strips, connectedness=connectedness
+    ).localCheckpoint(eager=True)
     # the seam mapping holds only boundary-CROSSING labels — a small
     # fraction of all labels.  When it fits comfortably it broadcasts, so
     # every component-id lookup below (the labels attach + four adjacency
@@ -672,7 +737,7 @@ def sieve_filter(
     ).select("cid_a", "cid_b")
     # cross-seam differing-value pixel adjacency (same checkpointed strips
     # the seam mapping used — one edge-only scan total)
-    seam_diff = _seam_pixel_pairs(strips).where(F.col("aval") != F.col("bval"))
+    seam_diff = _seam_pixel_pairs(strips, connectedness).where(F.col("aval") != F.col("bval"))
     sd_ab = _with_cid(
         _with_cid(seam_diff, "atx", "aty", "alab", "cid_a"),
         "btx", "bty", "blab", "cid_b",
@@ -792,7 +857,7 @@ def sieve_filter(
         for r in tiles_pdf.itertuples():
             g = bytes_to_tile(r.data).copy()
             if remap:
-                lab = label_tile(g, background)
+                lab = label_tile(g, background, connectedness)
                 kmax = int(lab.max())
                 has = np.zeros(kmax + 1, dtype=bool)
                 val = np.zeros(kmax + 1, dtype=np.int64)

@@ -342,3 +342,116 @@ def test_sieve_modes_agree(spark):
             for r in components.sieve_filter(tiles, 25, driver_graph_limit=0).collect()}
     assert components._LAST_SIEVE_MODE[0] == "distributed"
     assert drv == dist
+
+
+def _brute_components(big, connectedness):
+    """Single-process flood fill over a mosaicked grid (the oracle)."""
+    H, W = big.shape
+    lab = np.zeros((H, W), dtype=np.int64)
+    nxt = 0
+    if connectedness == 4:
+        nbrs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    else:
+        nbrs = [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1) if (dr, dc) != (0, 0)]
+    for r in range(H):
+        for c in range(W):
+            if big[r, c] == 0 or lab[r, c]:
+                continue
+            nxt += 1
+            stack = [(r, c)]
+            lab[r, c] = nxt
+            while stack:
+                y, x = stack.pop()
+                for dr, dc in nbrs:
+                    yy, xx = y + dr, x + dc
+                    if 0 <= yy < H and 0 <= xx < W and big[yy, xx] == big[y, x] and not lab[yy, xx]:
+                        lab[yy, xx] = nxt
+                        stack.append((yy, xx))
+    return lab
+
+
+def _partition(lab):
+    out = {}
+    for r, c in zip(*np.nonzero(lab)):
+        out.setdefault(lab[r, c], set()).add((int(r), int(c)))
+    return frozenset(frozenset(v) for v in out.values())
+
+
+def test_label_tile_8connect_matches_bruteforce():
+    from engine.components import label_tile
+
+    rng = np.random.default_rng(3)
+    for trial in range(6):
+        g = (rng.random((40, 40)) < 0.35).astype(np.int64) * rng.integers(1, 3)
+        for conn in (4, 8):
+            got = label_tile(g, 0, conn)
+            exp = _brute_components(g, conn)
+            assert _partition(got) == _partition(exp), (trial, conn)
+    # 8-connect merges a pure diagonal chain that 4-connect splits
+    g = np.zeros((6, 6), dtype=np.int64)
+    for i in range(5):
+        g[i, i] = 1
+    assert label_tile(g, 0, 4).max() == 5
+    assert label_tile(g, 0, 8).max() == 1
+
+
+def test_connected_components_8connect_across_seams(spark):
+    """Diagonal connections crossing tile seams — including a FOUR-TILE
+    corner meeting — merge under connectedness=8 and stay separate under
+    4, matching a single-process flood fill of the mosaicked grid."""
+    import pandas as pd
+
+    from engine import raster
+    from engine.components import connected_components
+
+    T = raster.TILE_SIZE
+    tiles_arr = {(tx, ty): np.zeros((T, T), dtype=np.int64) for tx in (0, 1) for ty in (0, 1)}
+    # four-tile corner meeting at the center: NE pixel of SW tile (0,0)
+    # diagonally touches SW pixel of NE tile (1,1) — remember array row 0
+    # is the TOP (north) of a tile and ty+1 is the NORTH neighbor
+    tiles_arr[(0, 0)][0, T - 1] = 7        # (tile 0,0) north-east corner
+    tiles_arr[(1, 1)][T - 1, 0] = 7        # (tile 1,1) south-west corner
+    # a diagonal pair across the vertical (east-west) seam, offset rows
+    tiles_arr[(0, 1)][10, T - 1] = 7
+    tiles_arr[(1, 1)][11, 0] = 7           # row+1 => diagonal, not 4-adjacent
+    rows = [
+        (5, tx, ty, raster.tile_to_bytes(g)) for (tx, ty), g in tiles_arr.items()
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["zoom", "tx", "ty", "data"]))
+    cc4 = connected_components(df, 0).collect()
+    cc8 = connected_components(df, 0, connectedness=8).collect()
+    assert len(cc4) == 4   # all four pixels isolated under 4-connect
+    assert len(cc8) == 2   # corner pair + seam-diagonal pair merged
+    assert sorted(r.pixel_count for r in cc8) == [2, 2]
+    # oracle: mosaic and flood fill (global row 0 = top of the NORTH tiles)
+    big = np.zeros((2 * T, 2 * T), dtype=np.int64)
+    for (tx, ty), g in tiles_arr.items():
+        big[(1 - ty) * T : (2 - ty) * T, tx * T : (tx + 1) * T] = g
+    assert len(_partition(_brute_components(big, 8))) == 2
+    assert len(_partition(_brute_components(big, 4))) == 4
+
+
+def test_sieve_filter_8connect(spark):
+    """A small speck diagonal-touching a large region: 4-connect sieve
+    keeps it (no neighbor), 8-connect merges it into the region."""
+    import pandas as pd
+
+    from engine import raster
+    from engine.components import sieve_filter
+
+    T = raster.TILE_SIZE
+    g = np.zeros((T, T), dtype=np.int64)
+    g[10:20, 10:20] = 5          # big region (100 px)
+    g[21, 21] = 9                # speck touching (20,20)... diagonally at (20,20)?
+    g[20, 20] = 9                # speck of 2 px, diagonal to the block's corner (19,19)
+    g[21, 21] = 9
+    df = spark.createDataFrame(
+        pd.DataFrame({"zoom": [5], "tx": [3], "ty": [3], "data": [raster.tile_to_bytes(g)]})
+    )
+    out4 = raster.bytes_to_tile(sieve_filter(df, 4).collect()[0].data)
+    assert out4[20, 20] == 9 and out4[21, 21] == 9  # no 4-neighbor: kept
+    out8 = raster.bytes_to_tile(
+        sieve_filter(df, 4, connectedness=8).collect()[0].data
+    )
+    assert out8[20, 20] == 5 and out8[21, 21] == 5  # merged into the block
+    assert np.array_equal(out8[10:20, 10:20], np.full((10, 10), 5))
