@@ -248,7 +248,11 @@ def minhash_lsh_pairs(
     exact for clustering and linear in bucket size without any cap.
     """
     banded = _minhash_banded(docs, id_col, text_col, n_hashes, n_bands, shingle_words, seed)
-    banded = cap_lsh_buckets(banded, max_bucket)
+    if max_bucket is not None:
+        # materialize the capped frame once: the self-join below references
+        # it from BOTH sides, and Spark plans the shared subtree (signature
+        # agg + cap window) twice — measured 2x the exchanges without this
+        banded = cap_lsh_buckets(banded, max_bucket).localCheckpoint(eager=True)
     left = banded.select(
         F.col("_id").alias("a"), F.col("_sig").alias("sig_a"), "band", "key"
     )

@@ -144,3 +144,30 @@ def test_clustered_layout_prunes(spark, tmp_path):
     back = spark.read.parquet(path).where(F.col("quadkey").startswith("121"))
     plan = _plan(back)
     assert "StartsWith" in plan and "PushedFilters" in plan
+
+
+def test_star_edges_plan_has_no_join(spark):
+    """The 100-TB dedup edge generator must be a window over the band
+    exchange — NO self-join anywhere in the plan (the all-pairs join is
+    the quadratic formulation star edges exist to replace)."""
+    from engine.textops import minhash_lsh_star_edges
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    plan = _plan(minhash_lsh_star_edges(docs))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_pair_cap_materializes_once(spark):
+    """The capped banded frame is checkpointed before the self-join: both
+    join sides must read the materialized rows, not re-run the signature
+    agg + cap window per side (which doubles the exchanges — measured)."""
+    from engine.textops import minhash_lsh_pairs
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    plan_uncapped = _plan(minhash_lsh_pairs(docs))
+    plan_capped = _plan(minhash_lsh_pairs(docs, max_bucket=32))
+    # checkpoint collapses the per-side subtrees: strictly fewer exchanges
+    # than the uncapped self-join's duplicated signature pipelines
+    assert plan_capped.count("Exchange") < plan_uncapped.count("Exchange")
+    assert "CartesianProduct" not in plan_capped
