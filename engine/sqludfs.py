@@ -123,6 +123,14 @@ def register_sql_udfs(spark: SparkSession) -> None:
         return pd.Series([one(b, t) for b, t in zip(wkb, tol)])
 
     @F.pandas_udf("binary")
+    def st_force_polygon(wkb: pd.Series) -> pd.Series:
+        return wkb.map(lambda b: None if b is None else geomops.force_polygon(b))
+
+    @F.pandas_udf("binary")
+    def st_force_multipolygon(wkb: pd.Series) -> pd.Series:
+        return wkb.map(lambda b: None if b is None else geomops.force_multipolygon(b))
+
+    @F.pandas_udf("binary")
     def st_multi_point(wkb: pd.Series) -> pd.Series:
         return wkb.map(lambda b: None if b is None else geomops.force_multipoint(b))
 
@@ -146,5 +154,7 @@ def register_sql_udfs(spark: SparkSession) -> None:
     spark.udf.register("ST_Boundary", st_boundary)  # :2227
     spark.udf.register("ST_SimplifyPreserveTopology", st_simplify_preserve_topology)  # :3833
     # forceToMultiPoint / forceToMultiLineString (ogrgeometryfactory.cpp:678,783)
+    spark.udf.register("ST_ForceToPolygon", st_force_polygon)
+    spark.udf.register("ST_ForceToMultiPolygon", st_force_multipolygon)
     spark.udf.register("ST_ForceToMultiPoint", st_multi_point)
     spark.udf.register("ST_ForceToMultiLineString", st_multi_linestring)

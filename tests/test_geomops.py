@@ -436,3 +436,19 @@ def test_force_multi_sql_surfaces(spark):
         "SELECT CAST(geom_wkb AS MULTILINESTRING) AS g FROM t_force",
     ).collect()[0]
     assert geom.wkb_loads(bytes(out.g))[0] == "MultiLineString"
+
+
+def test_force_polygon_udfs_registered(spark):
+    import pandas as pd
+
+    from engine.sqludfs import register_sql_udfs
+
+    register_sql_udfs(spark)
+    poly = geom.wkb_polygon([[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]])
+    spark.createDataFrame(pd.DataFrame({"g": [poly]})).createOrReplaceTempView("t_fp")
+    r = spark.sql(
+        "SELECT ST_ForceToMultiPolygon(g) AS mp, "
+        "ST_ForceToPolygon(ST_ForceToMultiPolygon(g)) AS back FROM t_fp"
+    ).collect()[0]
+    assert geom.wkb_loads(bytes(r.mp))[0] == "MultiPolygon"
+    assert geom.wkb_loads(bytes(r.back))[0] == "Polygon"
