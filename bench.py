@@ -30,10 +30,52 @@ def _force(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+# plan-metric context, configured in main(): wall time on this host has 2-3x
+# run-to-run noise, so each query also records DETERMINISTIC plan metrics
+# (shuffle bytes/rows, task and stage counts) from the AppStatusStore — a
+# perf claim is falsifiable by diffing these across rounds, not the weather
+_CTX: dict = {}
+
+
+def _stage_rows(spark):
+    """Snapshot all stages the AppStatusStore currently retains, keyed by
+    (stageId, attemptId) — the same store that backs the UI/REST API, live
+    even with spark.ui.enabled=false."""
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    gw = sc._gateway
+    quant = gw.new_array(gw.jvm.double, 0)
+    out = {}
+    stages = store.stageList(
+        gw.jvm.java.util.ArrayList(), False, False, quant, gw.jvm.java.util.ArrayList()
+    )
+    for i in range(stages.size()):
+        s = stages.apply(i)
+        out[(s.stageId(), s.attemptId())] = (
+            int(s.numCompleteTasks()),
+            int(s.shuffleReadBytes()),
+            int(s.shuffleWriteBytes()),
+            int(s.shuffleWriteRecords()),
+        )
+    return out
+
+
 def _run(name, fn, timings):
     t0 = time.time()
     fn()
     timings[name] = round(time.time() - t0, 3)
+    if _CTX:
+        rows = _stage_rows(_CTX["spark"])
+        seen = _CTX["seen"]
+        new = [v for k, v in rows.items() if k not in seen]
+        seen.update(rows.keys())
+        _CTX["plan"][name] = {
+            "stages": len(new),
+            "tasks": sum(v[0] for v in new),
+            "shuffle_read_bytes": sum(v[1] for v in new),
+            "shuffle_write_bytes": sum(v[2] for v in new),
+            "shuffle_write_rows": sum(v[3] for v in new),
+        }
     print(f"  {name}: {timings[name]}s", file=sys.stderr)
     # drop dangling python refs (kNN localCheckpoints, grouped-UDF buffers)
     # so the JVM context cleaner can release block-manager memory before the
@@ -64,6 +106,9 @@ def main():
             entrymod._read(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
+
+    # plan metrics start AFTER the warm-up stages (seed `seen` with them)
+    _CTX.update({"spark": spark, "seen": set(_stage_rows(spark)), "plan": {}})
 
     t0 = time.time()
     _run("pip_tile_join", lambda: _force(q["pip_tile_join"](spark, sf_dir)), timings)
@@ -265,6 +310,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "plan": _CTX["plan"],
                 "sf": sf,
                 "n_pages": n_pages,
                 "pages_per_sec": pages_per_sec,

@@ -509,16 +509,25 @@ def rasterize_invert(
 
     ``extent`` = (minlon, minlat, maxlon, maxlat) of the dataset (the
     reference derives it from the destination raster, which this tile-table
-    engine has no implicit notion of).  The combined ring collection is
-    driver-assembled — ONE geometry, exactly as the reference builds one
-    GeometryCollection in memory; the burn itself distributes per covering
-    tile through :func:`rasterize_polygons`.  A constant burn value
-    (``value_col`` is read from the FIRST feature, else 1) matches the
-    reference's single-collection burn.
+    engine has no implicit notion of).  A constant burn value (``value_col``
+    is read from the FIRST feature, else 1) matches the reference's
+    single-collection burn.
+
+    DISTRIBUTED even-odd (no driver geometry): the reference builds the
+    combined ring collection in memory on one machine; here each input
+    polygon is exploded into its rings executor-side and every ring ships
+    ONLY to the mercator tiles its bbox covers.  This is exact because
+    even-odd parity is additive per ring and a closed ring contributes even
+    parity (i.e. nothing) to any point outside its own bbox — so per tile,
+    parity over {universe ring} ∪ {bbox-intersecting rings} equals parity
+    over the full collection, pixel for pixel (same PreparedPolygon
+    crossing/boundary primitive as the forward burn).
     """
     from . import geom as geommod
     from . import tiles as _t
 
+    if merge_alg not in ("replace", "add"):
+        raise ValueError("merge_alg must be 'replace' or 'add'")
     spark = polys.sparkSession
     minlon, minlat, maxlon, maxlat = (float(v) for v in extent)
     # two pixels beyond the extent, like the -2/+2 geotransform offsets
@@ -532,16 +541,99 @@ def rasterize_invert(
         (float(lo0[0]), float(la0[0])), (float(lo1[0]), float(la0[0])),
         (float(lo1[0]), float(la1[0])), (float(lo0[0]), float(la1[0])),
     ]
-    cols = [wkb_col] + ([value_col] if value_col else [])
-    rows = polys.select(*cols).collect()
-    rings = [universe]
-    for r in rows:
-        rings.extend(rg.tolist() for rg in geommod.polygon_rings(bytes(r[0])))
-    v = int(rows[0][1]) if (value_col and rows) else 1
-    one = spark.createDataFrame(
-        pd.DataFrame({"pid": [0], "geom_wkb": [geommod.wkb_polygon(rings)], "v": [v]})
+    universe_wkb = geommod.wkb_polygon([universe])
+    if value_col:
+        first = polys.select(value_col).limit(1).collect()  # ONE row: burn constant
+        v = int(first[0][0]) if first else 1
+    else:
+        v = 1
+
+    @F.pandas_udf("array<binary>")
+    def _rings_udf(wkb: pd.Series) -> pd.Series:
+        from . import geom as geommod
+
+        return pd.Series(
+            [
+                [geommod.wkb_polygon([rg.tolist()]) for rg in geommod.polygon_rings(bytes(b))]
+                for b in wkb
+            ]
+        )
+
+    rings = polys.select(F.explode(_rings_udf(F.col(wkb_col))).alias("_rwkb"))
+    uni = spark.createDataFrame(pd.DataFrame({"_rwkb": [universe_wkb]}))
+    allr = rings.unionByName(uni)
+
+    lat_lim = tiles.MERCATOR_LAT_MAX - 1e-9
+
+    @F.pandas_udf("minx double, miny double, maxx double, maxy double")
+    def _env(wkb: pd.Series) -> pd.DataFrame:
+        from . import geom as geommod
+
+        rows = [geommod.envelope(bytes(b)) for b in wkb]
+        return pd.DataFrame(rows, columns=["minx", "miny", "maxx", "maxy"])
+
+    @F.pandas_udf("tx0 long, ty0 long, tx1 long, ty1 long")
+    def _trange(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.DataFrame:
+        tx0, ty0 = tiles.lonlat_to_tile(minx.to_numpy(np.float64), miny.to_numpy(np.float64), zoom)
+        tx1, ty1 = tiles.lonlat_to_tile(maxx.to_numpy(np.float64), maxy.to_numpy(np.float64), zoom)
+        n = 2 ** zoom
+        return pd.DataFrame({
+            "tx0": np.clip(tx0, 0, n - 1), "ty0": np.clip(ty0, 0, n - 1),
+            "tx1": np.clip(tx1, 0, n - 1), "ty1": np.clip(ty1, 0, n - 1),
+        })
+
+    cover = (
+        allr.withColumn("_e", _env("_rwkb"))
+        .withColumn(
+            "_t",
+            _trange(
+                F.col("_e.minx"),
+                F.greatest(F.col("_e.miny"), F.lit(-lat_lim)),
+                F.col("_e.maxx"),
+                F.least(F.col("_e.maxy"), F.lit(lat_lim)),
+            ),
+        )
+        .withColumn("tx", F.explode(F.sequence("_t.tx0", "_t.tx1")))
+        .withColumn("ty", F.explode(F.sequence("_t.ty0", "_t.ty1")))
+        .select("tx", "ty", "_rwkb")
     )
-    return rasterize_polygons(one, zoom, value_col="v", merge_alg=merge_alg)
+
+    def _burn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from . import geom as geommod
+
+        tx = int(pdf["tx"].iat[0])
+        ty = int(pdf["ty"].iat[0])
+        cols = np.arange(TILE_SIZE)
+        px = tx * TILE_SIZE + cols + 0.5
+        py = (ty + 1) * TILE_SIZE - np.arange(TILE_SIZE) - 0.5  # row 0 = top
+        mx, _ = tiles.pixels_to_meters(px, np.zeros_like(px), zoom)
+        _, my = tiles.pixels_to_meters(np.zeros_like(py), py, zoom)
+        lon, _ = tiles.meters_to_lonlat(mx, np.zeros_like(mx))
+        _, lat = tiles.meters_to_lonlat(np.zeros_like(my), my)
+        combined = []
+        for b in pdf["_rwkb"]:
+            combined.extend(rg.tolist() for rg in geommod.polygon_rings(bytes(b)))
+        prep = geommod.PreparedPolygon(geommod.wkb_polygon(combined))
+        grid = np.zeros((TILE_SIZE, TILE_SIZE), dtype=np.int64)
+        ci = np.nonzero((lon >= prep.minx) & (lon <= prep.maxx))[0]
+        ri = np.nonzero((lat >= prep.miny) & (lat <= prep.maxy))[0]
+        if ci.size > 0 and ri.size > 0:
+            lg, tg = np.meshgrid(lon[ci], lat[ri])
+            inside = prep.contains(lg.ravel(), tg.ravel()).reshape(ri.size, ci.size)
+            grid[np.ix_(ri, ci)] = np.where(inside, v, 0)
+        if not grid.any():
+            return pd.DataFrame({"zoom": [], "tx": [], "ty": [], "data": []})
+        return pd.DataFrame(
+            {
+                "zoom": [np.int32(zoom)],
+                "tx": [tx],
+                "ty": [ty],
+                "data": [tile_to_bytes(grid)],
+            }
+        )
+
+    nparts = spark.sparkContext.defaultParallelism
+    return cover.repartition(nparts, "tx", "ty").groupBy("tx", "ty").applyInPandas(_burn, TILE_SCHEMA)
 
 
 def _bresenham(ix0: int, iy0: int, ix1: int, iy1: int):

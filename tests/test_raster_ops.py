@@ -865,3 +865,78 @@ def test_rasterize_invert(spark):
     pxh, pyh = _t.lonlat_to_pixels(np.array([15.0]), np.array([15.0]), zoom)
     hp = (int(np.floor(pxh[0])), int(np.floor(pyh[0])))
     assert hp in inv and hp not in fwd
+
+
+def test_rasterize_invert_distributed_no_driver_collect(spark):
+    """-i at scale: 10k polygons through the DISTRIBUTED invert — the burn
+    must not collect the inputs to the driver (at most ONE 1-row collect for
+    the burn constant), and the result must be the exact per-pixel complement
+    of the forward burn within the universe cover."""
+    import pandas as pd
+
+    from engine import geom, raster
+    from engine import tiles as _t
+
+    zoom = 6
+    ext = (-40.05, -20.05, 40.05, 30.05)
+    # 10k small squares scattered inside the extent, deterministic layout
+    n = 10_000
+    ii = np.arange(n)
+    lon0 = -39.0 + (ii % 125) * 0.62
+    lat0 = -19.0 + (ii // 125) * 0.59
+    rows = [
+        (int(i), 7, geom.wkb_polygon([[(x, y), (x + 0.25, y), (x + 0.25, y + 0.25), (x, y + 0.25)]]))
+        for i, x, y in zip(ii.tolist(), lon0.tolist(), lat0.tolist())
+    ]
+    polys = spark.createDataFrame(pd.DataFrame(rows, columns=["pid", "val", "geom_wkb"]))
+
+    import pyspark.sql.classic.dataframe as _cdf
+
+    calls = []
+    orig = _cdf.DataFrame.collect
+
+    def spy(self):
+        out = orig(self)
+        calls.append(len(out))
+        return out
+
+    _cdf.DataFrame.collect = spy
+    try:
+        inv_rows = raster.rasterize_invert(polys, zoom, ext, value_col="val").collect()
+        fwd_rows = raster.rasterize_polygons(polys, zoom).collect()
+    finally:
+        _cdf.DataFrame.collect = orig
+    # collects: the 1-row burn-constant lookup + the two result collects —
+    # NEVER the 10k input polygons
+    assert len(calls) == 3, calls
+    assert calls[0] <= 1, f"driver-side input collect detected: {calls}"
+
+    # exact complement per tile, vectorized: inv == universe & ~fwd
+    px0, py0 = _t.lonlat_to_pixels(np.array([ext[0]]), np.array([ext[1]]), zoom)
+    px1, py1 = _t.lonlat_to_pixels(np.array([ext[2]]), np.array([ext[3]]), zoom)
+    mx0, my0 = _t.pixels_to_meters(px0 - 2.0, py0 - 2.0, zoom)
+    mx1, my1 = _t.pixels_to_meters(px1 + 2.0, py1 + 2.0, zoom)
+    lo0, la0 = _t.meters_to_lonlat(mx0, my0)
+    lo1, la1 = _t.meters_to_lonlat(mx1, my1)
+
+    fwd = {(r.tx, r.ty): raster.bytes_to_tile(r.data) for r in fwd_rows}
+    inv = {(r.tx, r.ty): raster.bytes_to_tile(r.data) for r in inv_rows}
+    seen_any = False
+    keys = set(inv) | set(fwd)
+    for (tx, ty) in keys:
+        cols = np.arange(256)
+        px = tx * 256 + cols + 0.5
+        py = (ty + 1) * 256 - np.arange(256) - 0.5
+        mx, _ = _t.pixels_to_meters(px, np.zeros_like(px), zoom)
+        _, my = _t.pixels_to_meters(np.zeros_like(py), py, zoom)
+        lon, _ = _t.meters_to_lonlat(mx, np.zeros_like(mx))
+        _, lat = _t.meters_to_lonlat(np.zeros_like(my), my)
+        uni = (
+            (lon[None, :] >= lo0[0]) & (lon[None, :] <= lo1[0])
+            & (lat[:, None] >= la0[0]) & (lat[:, None] <= la1[0])
+        )
+        f = fwd.get((tx, ty), np.zeros((256, 256), dtype=np.int64)) != 0
+        i = inv.get((tx, ty), np.zeros((256, 256), dtype=np.int64)) != 0
+        assert np.array_equal(i, uni & ~f), (tx, ty)
+        seen_any = seen_any or i.any()
+    assert seen_any
