@@ -2268,7 +2268,26 @@ def _q_polygonize_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = pz.polygonize(tiles_df)
-    return out.select(F.col("value").cast("int").alias("value"), "n_rings", F.round("area", 6).alias("area"))
+    # 8CONNECTED variant (alg/polygonize.cpp:484,513): an 8-pixel diagonal
+    # staircase value 200 crossing the vertical tile seam — one polygon,
+    # one pinched exterior ring, area 8 (4-connect would emit 8 unit rows)
+    c = np.zeros((T, T), dtype=np.int64)
+    d = np.zeros((T, T), dtype=np.int64)
+    for k in range(4):
+        c[60 + k, T - 4 + k] = 200
+    for k in range(4):
+        d[64 + k, k] = 200
+    tiles8 = spark.createDataFrame(
+        pd.DataFrame(
+            {"zoom": [0, 0], "tx": [0, 1], "ty": [0, 0],
+             "data": [raster.tile_to_bytes(c), raster.tile_to_bytes(d)]}
+        )
+    )
+    out8 = pz.polygonize(tiles8, connectedness=8)
+    cols = lambda df: df.select(  # noqa: E731
+        F.col("value").cast("int").alias("value"), "n_rings", F.round("area", 6).alias("area")
+    )
+    return cols(out).unionAll(cols(out8))
 
 
 def _sql_polygonize_shapes() -> str:
@@ -2278,6 +2297,8 @@ def _sql_polygonize_shapes() -> str:
         FROM (SELECT UNNEST(range(12)) AS i)
         UNION ALL
         SELECT 99, 2, 112.0
+        UNION ALL
+        SELECT 200, 1, 8.0
     """
 
 

@@ -46,13 +46,25 @@ from .focal import _emit_halo_slivers
 from .raster import TILE_SIZE, bytes_to_tile
 
 
-def trace_rings(edges: list) -> list:
+def trace_rings(edges: list, connectedness: int = 4) -> list:
     """Directed unit edges [((x1,y1),(x2,y2))] → list of rings
     [np.ndarray (N,2)], collinear-compressed, walk deterministic (smallest
-    unused edge first; rightmost turn at junctions).  Single-process form,
-    kept as the unit-level oracle for the distributed chaining path."""
+    unused edge first; rightmost turn at junctions for 4-connect, LEFTMOST
+    for 8-connect).  Single-process form, kept as the unit-level oracle for
+    the distributed chaining path.
+
+    The turn rule IS the connectedness rule at a self-touch corner (two
+    diagonal pixels of one region, interior on the right, y-down): the
+    rightmost turn hugs the current pixel and keeps the two diagonal
+    boundaries as separate loops (4-connect); the leftmost turn crosses the
+    corner onto the diagonal pixel so one ring traces the whole 8-connected
+    region (the reference's 8CONNECTED ring assembly, alg/polygonize.cpp:484
+    — its insertion-order Coalesce pairs corner strings within one RPolygon;
+    this walk is the deterministic canonical form with the same component
+    structure and signed-area sum)."""
     from collections import defaultdict
 
+    sign = -1 if connectedness == 4 else 1
     succ = defaultdict(list)
     for a, b in edges:
         succ[a].append(b)
@@ -76,9 +88,10 @@ def trace_rings(edges: list) -> list:
             cands = [c for c in succ[b] if c in unused[b]]
             if not cands:  # malformed input; bail to avoid infinite loop
                 break
-            # rightmost turn first: max cross(d, c-b); ties impossible for
-            # distinct axis directions except straight/reverse
-            cands.sort(key=lambda c: -(d[0] * (c[1] - b[1]) - d[1] * (c[0] - b[0])))
+            # rightmost (4) / leftmost (8) turn first: extreme of
+            # cross(d, c-b); ties impossible for distinct axis directions
+            # except straight/reverse
+            cands.sort(key=lambda c: sign * (d[0] * (c[1] - b[1]) - d[1] * (c[0] - b[0])))
             a, b = b, cands[0]
         if ring[0] == ring[-1] and len(ring) >= 5:
             r = np.asarray(ring[:-1], dtype=np.float64)
@@ -119,7 +132,7 @@ def _compress_ring(pts: list) -> np.ndarray:
     return r[keep]
 
 
-def _chain_tile(pv: np.ndarray, lab: np.ndarray, background: int):
+def _chain_tile(pv: np.ndarray, lab: np.ndarray, background: int, connectedness: int = 4):
     """Per-tile boundary chaining (stage 1).
 
     ``pv``: (T+2, T+2) halo'd value array; ``lab``: (T, T) local labels.
@@ -159,10 +172,13 @@ def _chain_tile(pv: np.ndarray, lab: np.ndarray, background: int):
 
     corner_pts = {(0, 0), (0, T), (T, 0), (T, T)}
 
+    sign = 1 if connectedness == 4 else -1
+
     def nxt(b, d, v):
         """Successor edge of an edge ending at corner b with direction d for
         region value v → ((b2, d2) local) or None (stop: neighbor-owned
-        successor, unknown tile-corner, or malformed)."""
+        successor, unknown tile-corner, or malformed).  Rightmost turn for
+        4-connect, leftmost for 8-connect (see trace_rings)."""
         x, y = b
         if (x, y) in corner_pts:
             return None  # diagonal halo pixel unknown
@@ -173,7 +189,7 @@ def _chain_tile(pv: np.ndarray, lab: np.ndarray, background: int):
                 continue
             if not edge_exists(x, y, dname, v):
                 continue
-            cr = d[0] * ey - d[1] * ex
+            cr = sign * (d[0] * ey - d[1] * ex)
             if best_cross is None or cr > best_cross:
                 best_cross = cr
                 best = dname
@@ -262,11 +278,13 @@ _PIECE_SCHEMA = "tx long, ty long, label int, value long, kind string, pts binar
 _POLY_SCHEMA = "component_id string, value long, n_rings int, area double, geom_wkb binary"
 
 
-def _stitch_chains(chains: list) -> list:
+def _stitch_chains(chains: list, connectedness: int = 4) -> list:
     """Stitch open chains (each an (N,2) int64 array in global corner
-    coords) into closed rings with the rightmost-turn rule applied at chain
-    endpoints — the chain-granularity form of the trace_rings walk.
-    Returns list of (N,2) arrays (no repeated last vertex)."""
+    coords) into closed rings with the rightmost-turn (4) / leftmost-turn
+    (8) rule applied at chain endpoints — the chain-granularity form of the
+    trace_rings walk.  Returns list of (N,2) arrays (no repeated last
+    vertex)."""
+    sign = 1 if connectedness == 4 else -1
     recs = []
     for arr in chains:
         start = (int(arr[0, 0]), int(arr[0, 1]))
@@ -299,7 +317,8 @@ def _stitch_chains(chains: list) -> list:
             if not cands:
                 break  # malformed; drop
             best = max(
-                cands, key=lambda j: (d[0] * recs[j]["fd"][1] - d[1] * recs[j]["fd"][0], -j)
+                cands,
+                key=lambda j: (sign * (d[0] * recs[j]["fd"][1] - d[1] * recs[j]["fd"][0]), -j),
             )
             if best == i0:
                 closed = True
@@ -317,12 +336,20 @@ def _stitch_chains(chains: list) -> list:
     return rings
 
 
-def polygonize(tile_df: DataFrame, background: int = 0) -> DataFrame:
+def polygonize(tile_df: DataFrame, background: int = 0, connectedness: int = 4) -> DataFrame:
     """GDALPolygonize over the tile table → (component_id, value, n_rings,
     area, geom_wkb) with geometry in global pixel-corner coordinates
-    (x = tx·T + col, y = −ty·T + row, y downward)."""
+    (x = tx·T + col, y = −ty·T + row, y downward).
+
+    ``connectedness=8`` (the reference's 8CONNECTED option,
+    alg/polygonize.cpp:484,513) labels diagonal same-value pixels as one
+    region AND threads the leftmost-turn rule through local chaining and
+    the seam stitch, so a diagonal self-touch corner is crossed and the
+    whole 8-connected region traces as one polygon."""
+    if connectedness not in (4, 8):
+        raise ValueError("connectedness must be 4 or 8")
     src = tile_df.select("tx", "ty", "data")
-    mapping = seam_component_map(src, background)
+    mapping = seam_component_map(src, background, connectedness=connectedness)
     sliver_schema = "zoom int, tx long, ty long, dx int, dy int, data binary"
 
     def _emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -359,9 +386,9 @@ def polygonize(tile_df: DataFrame, background: int = 0) -> DataFrame:
         bot = slivers.get((0, 1))
         if bot is not None:
             pv[-1, 1:-1] = bot
-        lab = label_tile(center, background)
+        lab = label_tile(center, background, connectedness)
         rows = []
-        for l, v, kind, pts in _chain_tile(pv, lab, background):
+        for l, v, kind, pts in _chain_tile(pv, lab, background, connectedness):
             gpts = pts.copy()
             gpts[:, 0] += tx * T
             gpts[:, 1] += -(ty * T)
@@ -408,7 +435,7 @@ def polygonize(tile_df: DataFrame, background: int = 0) -> DataFrame:
                 else:
                     chains.append(arr)
             if chains:
-                rings.extend(_stitch_chains(chains))
+                rings.extend(_stitch_chains(chains, connectedness))
             if not rings:
                 continue
             ringf = [r.astype(np.float64) for r in rings]
@@ -437,7 +464,7 @@ def polygonize(tile_df: DataFrame, background: int = 0) -> DataFrame:
     return keyed.repartition(nparts, F.col("component_id")).mapInPandas(_assemble_part, _POLY_SCHEMA)
 
 
-def fpolygonize(tile_df: DataFrame, background: float = 0.0) -> DataFrame:
+def fpolygonize(tile_df: DataFrame, background: float = 0.0, connectedness: int = 4) -> DataFrame:
     """GDALFPolygonize analog (alg/fpolygonize.cpp, the float-templated
     twin of polygonize.cpp via gdalrasterfpolygonenumerator.cpp): connected
     components of EXACTLY-equal float32 pixel values.
@@ -475,7 +502,7 @@ def fpolygonize(tile_df: DataFrame, background: float = 0.0) -> DataFrame:
 
     cols = ["zoom", "tx", "ty", "data"] if "zoom" in tile_df.columns else ["tx", "ty", "data"]
     norm = tile_df.select(*cols).mapInPandas(_norm, TILE_SCHEMA)
-    polys = polygonize(norm, background=bg_bits)
+    polys = polygonize(norm, background=bg_bits, connectedness=connectedness)
 
     @pandas_udf("double")
     def _bits_to_float(v: pd.Series) -> pd.Series:

@@ -167,3 +167,91 @@ def test_fpolygonize_float_equality_and_parity(spark):
         for r in polygonize.polygonize(ipdf).collect()
     )
     assert fout == iout
+
+
+def test_trace_rings_8_connect_diagonal_pair():
+    """Two diagonal pixels: 4-connect traces two unit rings; 8-connect's
+    leftmost-turn rule crosses the shared corner and traces ONE ring of
+    area 2 (alg/polygonize.cpp 8CONNECTED ring assembly)."""
+    px = [(0, 0), (1, 1)]
+    occ = set(px)
+    edges = []
+    for x, y in px:
+        if (x, y - 1) not in occ:
+            edges.append(((x, y), (x + 1, y)))
+        if (x + 1, y) not in occ:
+            edges.append(((x + 1, y), (x + 1, y + 1)))
+        if (x, y + 1) not in occ:
+            edges.append(((x + 1, y + 1), (x, y + 1)))
+        if (x - 1, y) not in occ:
+            edges.append(((x, y + 1), (x, y)))
+    r4 = polygonize.trace_rings(edges, connectedness=4)
+    assert len(r4) == 2
+    assert sorted(polygonize.ring_signed_area(r) for r in r4) == [1.0, 1.0]
+    r8 = polygonize.trace_rings(edges, connectedness=8)
+    assert len(r8) == 1
+    assert polygonize.ring_signed_area(r8[0]) == 2.0
+
+
+def test_polygonize_8_connect_diagonal_staircase(spark):
+    """A 6-step diagonal staircase inside one tile: 4-connect → 6 unit
+    polygons; 8-connect → ONE polygon, area 6, exterior ring pinching
+    through each shared corner."""
+    g = np.zeros((T, T), dtype=np.int64)
+    for i in range(6):
+        g[10 + i, 20 + i] = 3
+    df = _tile_table(spark, {(0, 0): g})
+    out4 = polygonize.polygonize(df).collect()
+    assert len(out4) == 6 and all(r.area == 1.0 for r in out4)
+    out8 = polygonize.polygonize(df, connectedness=8).collect()
+    assert len(out8) == 1
+    r = out8[0]
+    assert r.value == 3 and r.area == 6.0 and r.n_rings == 1
+    kind, rings = geom.wkb_loads(r.geom_wkb)
+    assert polygonize.ring_signed_area(rings[0][:-1]) == 6.0
+
+
+def test_polygonize_8_connect_seam_and_corner_crossing(spark):
+    """Diagonal connectivity across a vertical tile seam AND across a
+    four-tile corner point: one 8-connected component, one polygon, exact
+    area; 4-connect splits it."""
+    grids = {k: np.zeros((T, T), dtype=np.int64) for k in [(0, 0), (1, 0), (0, 1), (1, 1)]}
+    # tiles laid out with ty increasing upward (engine convention): tile
+    # (0,1) is ABOVE (0,0).  Global pixel row within a tile: row T-1 = south.
+    # seam-diagonal: last col of (0,0) row 40, first col of (1,0) row 41
+    grids[(0, 0)][40, T - 1] = 5
+    grids[(1, 0)][41, 0] = 5
+    # corner-diagonal: NE corner pixel of tile (0,0) is grid row 0, col T-1;
+    # SW corner pixel of tile (1,1) is its row T-1, col 0
+    grids[(0, 0)][0, T - 1] = 7
+    grids[(1, 1)][T - 1, 0] = 7
+    df = _tile_table(spark, grids)
+    out4 = {}
+    for r in polygonize.polygonize(df).collect():
+        out4.setdefault(r.value, []).append(r)
+    assert len(out4[5]) == 2 and len(out4[7]) == 2
+    out8 = {}
+    for r in polygonize.polygonize(df, connectedness=8).collect():
+        out8.setdefault(r.value, []).append(r)
+    assert len(out8[5]) == 1 and out8[5][0].area == 2.0 and out8[5][0].n_rings == 1
+    assert len(out8[7]) == 1 and out8[7][0].area == 2.0 and out8[7][0].n_rings == 1
+
+
+def test_polygonize_8_connect_area_equals_pixel_count(spark):
+    """Random speckle across two tiles: every 8-connected component's
+    polygon area equals its pixel count (the flood-fill oracle), mirroring
+    the 4-connect invariant test."""
+    rng = np.random.default_rng(88)
+    grids = {}
+    for tx in (0, 1):
+        g = np.zeros((T, T), dtype=np.int64)
+        # speckle noise: isolated + diagonal-touching pixels
+        m = rng.random((T, T)) < 0.08
+        g[m] = rng.integers(1, 4, size=int(m.sum()))
+        grids[(tx, 0)] = g
+    tiles_df = _tile_table(spark, grids)
+    polys = polygonize.polygonize(tiles_df, connectedness=8).collect()
+    comps = components.connected_components(tiles_df, 0, connectedness=8).collect()
+    a = sorted((r.component_id, r.value, r.area) for r in polys)
+    c = sorted((r.component_id, r.value, float(r.pixel_count)) for r in comps)
+    assert a == c
