@@ -1372,30 +1372,28 @@ def _sql_minhash_lsh() -> str:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORACLE-ONLY row: exact all-pairs n-gram Jaccard is the brute-force
-    ground truth for the LSH paths and is registered to value-check the
-    shingle/Jaccard arithmetic — it is a cartesian product, NEVER a scale
-    path (at 100 TB use minhash_lsh_star_edges / minhash_lsh_pairs, whose
-    recall this oracle measures)."""
+    """EXACT n-gram Jaccard on LSH-banded candidates (the scale path —
+    banding equi-join, shingle joins by id, NO cartesian product; see
+    tests/test_plan_quality.py).  The brute-force all-pairs form
+    (textops.ngram_jaccard_pairs) remains the pytest oracle measuring this
+    row's recall; the DuckDB oracle here reproduces the banding so values
+    check exactly."""
     docs = _read(spark, sf_dir, "documents")
-    return textops.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return textops.ngram_jaccard_banded(docs, n=3, threshold=0.2)
 
 
 def _sql_ngram_jaccard() -> str:
-    return """
-        WITH sh AS (
-            SELECT doc_id,
-                   list_distinct([array_to_string(ts[i+1:i+3], ' ')
-                                  for i in range(0, greatest(len(ts) - 3, 0) + 1)]) AS s
-            FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents)
-        )
-        SELECT a.doc_id AS a, b.doc_id AS b,
-               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                   / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
-        FROM sh a, sh b
-        WHERE a.doc_id < b.doc_id
-          AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                  / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.2
+    return f"""
+        WITH {_minhash_pairs_ctes()}
+        SELECT * FROM (
+            SELECT p.a AS a, p.b AS b,
+                   CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                       / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
+                       AS jaccard
+            FROM pairs p
+            JOIN sh sa ON sa.doc_id = p.a
+            JOIN sh sb ON sb.doc_id = p.b
+        ) WHERE jaccard >= 0.2
     """
 
 

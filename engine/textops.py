@@ -300,6 +300,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_banded(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard computed only on LSH-banded candidate pairs —
+    the scale path that replaces :func:`ngram_jaccard_pairs`' cartesian
+    product: banding equi-joins on (band, key) (quadratic only within a
+    bucket; cap with ``max_bucket``), then each candidate pair joins back
+    its two shingle sets by id and the exact Jaccard gates at ``threshold``.
+    Same output schema as the brute-force oracle restricted to pairs the
+    banding catches; recall vs the oracle is what minhash banding trades
+    for linearity."""
+    banded = _minhash_banded(docs, id_col, text_col, n_hashes, n_bands, n, seed)
+    if max_bucket is not None:
+        banded = cap_lsh_buckets(banded, max_bucket).localCheckpoint(eager=True)
+    cand = (
+        banded.select(F.col("_id").alias("a"), "band", "key")
+        .join(banded.select(F.col("_id").alias("b"), "band", "key"), on=["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sh = docs.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("_sh")
+    )
+    out = (
+        cand.join(sh.select(F.col("_id").alias("a"), F.col("_sh").alias("sha")), on="a")
+        .join(sh.select(F.col("_id").alias("b"), F.col("_sh").alias("shb")), on="b")
+    )
+    jac = (
+        F.size(F.array_intersect("sha", "shb")).cast("double")
+        / F.size(F.array_union("sha", "shb")).cast("double")
+    )
+    return out.select("a", "b", jac.alias("jaccard")).where(F.col("jaccard") >= threshold)
+
+
 def simhash16(text_col: Column, seed: int = 42) -> Column:
     """16-bit SimHash over whitespace tokens: bit_i = 1 iff
     sum over tokens of (±1 by bit i of H(token)) > 0.  Small width keeps the

@@ -171,3 +171,16 @@ def test_pair_cap_materializes_once(spark):
     # than the uncapped self-join's duplicated signature pipelines
     assert plan_capped.count("Exchange") < plan_uncapped.count("Exchange")
     assert "CartesianProduct" not in plan_capped
+
+
+def test_ngram_jaccard_row_has_no_cartesian_product(spark):
+    """The registered ngram_jaccard row must run the banded scale path:
+    equi-joins only — no CartesianProduct / nested-loop join anywhere in
+    the plan (the brute-force crossJoin survives only as the pytest
+    oracle)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod._q_ngram_jaccard(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
