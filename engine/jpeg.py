@@ -217,14 +217,10 @@ def _encode_block(bw, zz, pred, dc_tab, ac_tab):
     return int(zz[0])
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90, subsample: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """uint8 (h, w) / (h, w, 1) grey or (h, w, 3) RGB → baseline JFIF.
-
-    ``subsample``: '444' (no chroma subsampling) or '420' (2×2 box-averaged
-    chroma, the common camera layout).  ``restart_interval``: emit DRI +
-    RSTn markers every N MCUs (0 = none).
-    """
+def _frame_setup(arr: np.ndarray, quality: int, subsample: str):
+    """Shared encoder front end: color transform, subsampling, FDCT,
+    quantization → (grey, h, w, samp, ql, qc, comp_coefs, mcux, mcuy) with
+    comp_coefs[i] a (bh, bw, 64) int64 zigzag plane on the MCU grid."""
     arr = np.asarray(arr)
     if arr.ndim == 3 and arr.shape[2] == 1:
         arr = arr[:, :, 0]
@@ -250,17 +246,12 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, subsample: str = "444",
                 p = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
                 planes[ci] = p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
     qtabs = [ql] if grey else [ql, qc, qc]
-    dc_tabs = [_huff_codes(*_HT_DC_L)] if grey else [_huff_codes(*_HT_DC_L)] + [_huff_codes(*_HT_DC_C)] * 2
-    ac_tabs = [_huff_codes(*_HT_AC_L)] if grey else [_huff_codes(*_HT_AC_L)] + [_huff_codes(*_HT_AC_C)] * 2
     samp = [(1, 1)] if grey else ([(2, 2), (1, 1), (1, 1)] if sub else [(1, 1), (1, 1), (1, 1)])
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-
-    # quantized zigzag coefficients per component, padded to the MCU grid
     comp_coefs = []
-    comp_bw = []
     for (sh, sv), plane, qtab in zip(samp, planes, qtabs):
         need_h = mcuy * sv * 8
         need_w = mcux * sh * 8
@@ -273,10 +264,47 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, subsample: str = "444",
         coefs = _fdct_blocks(blocks)
         quant = np.round(coefs / qtab[None, :, :]).astype(np.int64)
         comp_coefs.append(quant.reshape(-1, 64)[:, _ZZ].reshape(bh, bwid, 64))
-        comp_bw.append(bwid)
+    return grey, h, w, samp, ql, qc, comp_coefs, mcux, mcuy
+
+
+def _header_segments(grey, h, w, samp, ql, qc, sof_marker: int) -> bytearray:
+    """SOI + JFIF + DQT + SOFn + DHT marker segments shared by the baseline
+    and progressive encoders."""
+    out = bytearray()
+    out += b"\xFF\xD8"
+    out += b"\xFF\xE0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qtab in enumerate([ql] if grey else [ql, qc]):
+        out += b"\xFF\xDB" + (67).to_bytes(2, "big") + bytes([tid])
+        out += bytes(int(v) for v in qtab.reshape(-1)[_ZZ])
+    nc = 1 if grey else 3
+    out += bytes([0xFF, sof_marker]) + (8 + 3 * nc).to_bytes(2, "big") + bytes([8])
+    out += h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for ci in range(nc):
+        sh, sv = samp[ci]
+        out += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    for cls, tid, ht in ([(0, 0, _HT_DC_L), (1, 0, _HT_AC_L)] if grey else
+                         [(0, 0, _HT_DC_L), (1, 0, _HT_AC_L), (0, 1, _HT_DC_C), (1, 1, _HT_AC_C)]):
+        bits, vals = ht
+        out += b"\xFF\xC4" + (19 + len(vals)).to_bytes(2, "big")
+        out += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+    return out
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90, subsample: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """uint8 (h, w) / (h, w, 1) grey or (h, w, 3) RGB → baseline JFIF.
+
+    ``subsample``: '444' (no chroma subsampling) or '420' (2×2 box-averaged
+    chroma, the common camera layout).  ``restart_interval``: emit DRI +
+    RSTn markers every N MCUs (0 = none).
+    """
+    grey, h, w, samp, ql, qc, comp_coefs, mcux, mcuy = _frame_setup(arr, quality, subsample)
+    nplanes = 1 if grey else 3
+    dc_tabs = [_huff_codes(*_HT_DC_L)] if grey else [_huff_codes(*_HT_DC_L)] + [_huff_codes(*_HT_DC_C)] * 2
+    ac_tabs = [_huff_codes(*_HT_AC_L)] if grey else [_huff_codes(*_HT_AC_L)] + [_huff_codes(*_HT_AC_C)] * 2
 
     bw = _BitWriter()
-    pred = [0] * len(planes)
+    pred = [0] * nplanes
     out_ecs = bytearray()
     mcu_count = 0
     rst = 0
@@ -288,7 +316,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, subsample: str = "444",
                 out_ecs += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) & 7
                 bw = _BitWriter()
-                pred = [0] * len(planes)
+                pred = [0] * nplanes
             for ci, (sh, sv) in enumerate(samp):
                 for by in range(sv):
                     for bx in range(sh):
@@ -298,23 +326,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, subsample: str = "444",
     bw.flush()
     out_ecs += bw.buf
 
-    out = bytearray()
-    out += b"\xFF\xD8"  # SOI
-    out += b"\xFF\xE0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    for tid, qtab in enumerate([ql] if grey else [ql, qc]):
-        out += b"\xFF\xDB" + (67).to_bytes(2, "big") + bytes([tid])
-        out += bytes(int(v) for v in qtab.reshape(-1)[_ZZ])
-    nc = 1 if grey else 3
-    out += b"\xFF\xC0" + (8 + 3 * nc).to_bytes(2, "big") + bytes([8])
-    out += h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
-    for ci in range(nc):
-        sh, sv = samp[ci]
-        out += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
-    for cls, tid, ht in ([(0, 0, _HT_DC_L), (1, 0, _HT_AC_L)] if grey else
-                         [(0, 0, _HT_DC_L), (1, 0, _HT_AC_L), (0, 1, _HT_DC_C), (1, 1, _HT_AC_C)]):
-        bits, vals = ht
-        out += b"\xFF\xC4" + (19 + len(vals)).to_bytes(2, "big")
-        out += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+    nc = nplanes
+    out = _header_segments(grey, h, w, samp, ql, qc, 0xC0)
     if restart_interval:
         out += b"\xFF\xDD" + (4).to_bytes(2, "big") + restart_interval.to_bytes(2, "big")
     out += b"\xFF\xDA" + (6 + 2 * nc).to_bytes(2, "big") + bytes([nc])
@@ -324,6 +337,161 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, subsample: str = "444",
     out += bytes([0, 63, 0])
     out += out_ecs
     out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90,
+                            subsample: str = "444") -> bytes:
+    """uint8 grey/RGB → PROGRESSIVE JFIF (SOF2, ITU T.81 §G).
+
+    Scan script (successive approximation Al=1→0 on every band, so all four
+    decoder paths — DC first/refine, AC first/refine — are exercised):
+      1. DC, all components interleaved, Ah=0 Al=1
+      2. DC refinement, Ah=1 Al=0 (one raw bit per block)
+      3. per component: AC 1..63, Ah=0 Al=1 (EOB-run coded)
+      4. per component: AC 1..63 refinement, Ah=1 Al=0 (correction bits)
+    The coefficients are identical to :func:`encode_jpeg`'s at the same
+    quality, so decode_jpeg() of both streams is pixel-identical."""
+    grey, h, w, samp, ql, qc, comp_coefs, mcux, mcuy = _frame_setup(arr, quality, subsample)
+    nc = 1 if grey else 3
+    dc_tabs = [_huff_codes(*_HT_DC_L)] if grey else [_huff_codes(*_HT_DC_L)] + [_huff_codes(*_HT_DC_C)] * 2
+    ac_tabs = [_huff_codes(*_HT_AC_L)] if grey else [_huff_codes(*_HT_AC_L)] + [_huff_codes(*_HT_AC_C)] * 2
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    # data-bearing block grid per component (non-interleaved scan order)
+    used = []
+    for sh, sv in samp:
+        cw = (w * sh + hmax - 1) // hmax
+        ch = (h * sv + vmax - 1) // vmax
+        used.append(((ch + 7) // 8, (cw + 7) // 8))
+
+    def sos(comp_ids, tabsel, ss, se, ah, al, ecs: bytes) -> bytes:
+        head = bytearray()
+        head += b"\xFF\xDA" + (6 + 2 * len(comp_ids)).to_bytes(2, "big") + bytes([len(comp_ids)])
+        for cid, t in zip(comp_ids, tabsel):
+            head += bytes([cid, t])
+        head += bytes([ss, se, (ah << 4) | al])
+        return bytes(head) + ecs
+
+    out = _header_segments(grey, h, w, samp, ql, qc, 0xC2)
+
+    # --- scan 1: DC first, interleaved, Al=1 (diffs of v >> 1, arithmetic)
+    bw = _BitWriter()
+    pred = [0] * nc
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        v = int(comp_coefs[ci][my * sv + by, mx * sh + bx, 0]) >> 1
+                        size, bits = _magnitude(v - pred[ci])
+                        code, length = dc_tabs[ci][size]
+                        bw.write(code, length)
+                        if size:
+                            bw.write(bits, size)
+                        pred[ci] = v
+    bw.flush()
+    out += sos([ci + 1 for ci in range(nc)],
+               [0 if ci == 0 else 0x10 for ci in range(nc)], 0, 0, 0, 1, bytes(bw.buf))
+
+    # --- scan 2: DC refinement, Al=0 (bit 0 of v, two's complement)
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        bw.write(int(comp_coefs[ci][my * sv + by, mx * sh + bx, 0]) & 1, 1)
+    bw.flush()
+    out += sos([ci + 1 for ci in range(nc)], [0] * nc, 0, 0, 1, 0, bytes(bw.buf))
+
+    # --- per component: AC first (Al=1) then AC refinement (Al=0) ---
+    for ci in range(nc):
+        nby, nbx = used[ci]
+        tab = ac_tabs[ci]
+        tsel = 0 if ci == 0 else 0x01
+
+        # AC first, Ss=1 Se=63, Al=1: magnitude shift (truncate toward 0)
+        bw = _BitWriter()
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = comp_coefs[ci][by, bx]
+                r = 0
+                for k in range(1, 64):
+                    v = int(blk[k])
+                    t = abs(v) >> 1
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        code, length = tab[0xF0]
+                        bw.write(code, length)
+                        r -= 16
+                    size = t.bit_length()
+                    code, length = tab[(r << 4) | size]
+                    bw.write(code, length)
+                    sv_ = t if v > 0 else -t
+                    _, bits = _magnitude(sv_)
+                    bw.write(bits, size)
+                    r = 0
+                if r > 0:
+                    code, length = tab[0x00]  # EOB (run of 1)
+                    bw.write(code, length)
+        bw.flush()
+        out += sos([ci + 1], [tsel], 1, 63, 0, 1, bytes(bw.buf))
+
+        # AC refinement, Ah=1 Al=0 (§G.1.2.3): newly-significant coefs are
+        # run-length coded over ZERO-HISTORY positions with a sign bit;
+        # already-nonzero coefs contribute buffered correction bits
+        bw = _BitWriter()
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = comp_coefs[ci][by, bx]
+                # last newly-significant position: runs beyond it fold into
+                # the EOB (emitting a ZRL there would desync the decoder's
+                # 16-zero advance from the buffered correction bits)
+                last_new = 0
+                for k in range(1, 64):
+                    if abs(int(blk[k])) == 1:
+                        last_new = k
+                r = 0
+                pending = []  # correction bits awaiting the next symbol
+                for k in range(1, 64):
+                    v = int(blk[k])
+                    a = abs(v)
+                    if a == 0:             # zero history, still zero
+                        r += 1
+                        continue
+                    # any nonzero position: first retire pending ZRLs so the
+                    # buffered bits stay scoped to the span the decoder
+                    # consumes with each symbol
+                    while r > 15 and k <= last_new:
+                        code, length = tab[0xF0]
+                        bw.write(code, length)
+                        r -= 16
+                        for b_ in pending:
+                            bw.write(b_, 1)
+                        pending = []
+                    if a >> 1 != 0:        # history nonzero → correction bit
+                        pending.append(a & 1)
+                        continue
+                    # newly significant (|v| == 1)
+                    code, length = tab[(r << 4) | 1]
+                    bw.write(code, length)
+                    bw.write(1 if v > 0 else 0, 1)
+                    for b_ in pending:
+                        bw.write(b_, 1)
+                    pending = []
+                    r = 0
+                if r > 0 or pending:
+                    code, length = tab[0x00]  # EOB run of 1
+                    bw.write(code, length)
+                    for b_ in pending:
+                        bw.write(b_, 1)
+        bw.flush()
+        out += sos([ci + 1], [tsel], 1, 63, 1, 0, bytes(bw.buf))
+
+    out += b"\xFF\xD9"
     return bytes(out)
 
 
@@ -389,8 +557,30 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
+def _skip_entropy(data: bytes, j: int) -> int:
+    """Position of the first real marker (not stuffed FF00, not RSTn) at or
+    after ``j`` in the entropy-coded stream."""
+    while j < len(data) - 1:
+        if data[j] != 0xFF:
+            j += 1
+            continue
+        nxt = data[j + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            j += 2
+            continue
+        return j
+    return len(data)
+
+
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → uint8 (h, w, channels) array (grey → c=1)."""
+    """JFIF bytes → uint8 (h, w, channels) array (grey → c=1).
+
+    Baseline (SOF0/SOF1) and PROGRESSIVE (SOF2, ITU T.81 §G: spectral
+    selection + successive approximation) Huffman decoding.  Progressive
+    scans accumulate into per-component coefficient planes; reconstruction
+    (dequantize → IDCT → upsample → color) runs once after the last scan,
+    so the result is bit-identical to decoding the same coefficients from
+    a baseline stream."""
     data = bytes(buf)
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -398,7 +588,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     huff_dc = {}
     huff_ac = {}
     frame = None
+    progressive = False
     restart_interval = 0
+    scans = []  # progressive: (scan_comps, Ss, Se, Ah, Al, dc_snap, ac_snap, rst, start, end)
     i = 2
     while i < len(data):
         if data[i] != 0xFF:
@@ -433,7 +625,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 vals = list(seg[p + 17:p + 17 + n])
                 (huff_dc if cls == 0 else huff_ac)[tid] = _huff_decoder(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):
+        elif marker in (0xC0, 0xC1, 0xC2):
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
@@ -442,8 +634,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 cid, samp, tq = seg[6 + 3 * ci:9 + 3 * ci]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 15, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG not supported")
+            progressive = marker == 0xC2
         elif marker == 0xDD:
             restart_interval = int.from_bytes(seg[:2], "big")
         elif marker == 0xDA:
@@ -451,15 +642,215 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
             scan = {}
+            order = []
             for si in range(ns):
                 cid, tabs = seg[1 + 2 * si], seg[2 + 2 * si]
                 scan[cid] = (tabs >> 4, tabs & 15)
-            # entropy-coded segment runs to the next non-RST marker
+                order.append(cid)
             j = i + 2 + seglen
-            return _decode_scan(data, j, frame, scan, qt, huff_dc, huff_ac,
-                                restart_interval)
+            if not progressive:
+                return _decode_scan(data, j, frame, scan, qt, huff_dc, huff_ac,
+                                    restart_interval)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            jend = _skip_entropy(data, j)
+            # tables/DRI snapshot: later DHT/DRI segments may redefine them
+            scans.append((order, scan, ss, se, ahal >> 4, ahal & 15,
+                          dict(huff_dc), dict(huff_ac), restart_interval, j, jend))
+            i = jend
+            continue
         i += 2 + seglen
+    if progressive and scans:
+        return _decode_progressive(data, frame, qt, scans)
     raise ValueError("no SOS marker found")
+
+
+def _entropy_segments(data: bytes, start: int, end: int) -> list:
+    """Destuffed entropy-coded intervals split on RSTn, within [start, end)."""
+    segments = []
+    cur = bytearray()
+    j = start
+    while j < end:
+        b = data[j]
+        if b == 0xFF and j + 1 < end:
+            nxt = data[j + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                j += 2
+                continue
+            break
+        cur.append(b)
+        j += 1
+    segments.append(bytes(cur))
+    return segments
+
+
+def _decode_progressive(data, frame, qt, scans):
+    """T.81 §G progressive decoding: every scan refines per-component
+    DCT-coefficient planes (zigzag order); one reconstruction at the end.
+
+    DC first scans decode diffs of the point-transformed value (coef =
+    pred << Al); DC refinement appends bit Al (two's-complement OR).  AC
+    scans are single-component: first scans (Ah=0) place coefficients at
+    magnitude-shifted precision with EOB-run skipping (§G.1.2.2); refinement
+    scans (Ah>0) add one bit per already-nonzero coefficient and insert
+    newly-significant ±(1<<Al) coefficients with zero-history run lengths
+    (§G.1.2.3)."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    coef = {}   # comp id → (bh, bw, 64) int64, zigzag order
+    used = {}   # comp id → (nby, nbx) data-bearing block grid
+    for c in comps:
+        bw_ = mcux * c["h"]
+        bh_ = mcuy * c["v"]
+        coef[c["id"]] = np.zeros((bh_, bw_, 64), dtype=np.int64)
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        used[c["id"]] = ((ch + 7) // 8, (cw + 7) // 8)
+    byid = {c["id"]: c for c in comps}
+
+    for order, scan, ss, se, ah, al, hdc, hac, rst, j0, j1 in scans:
+        segments = _entropy_segments(data, j0, j1)
+        seg_idx = 0
+        br = _BitReader(segments[0])
+        if ss == 0:
+            # DC scan (interleaved or single-component)
+            pred = {cid: 0 for cid in order}
+            if len(order) > 1:
+                units = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+            else:
+                c = byid[order[0]]
+                nby, nbx = used[order[0]]
+                units = [(by, bx) for by in range(nby) for bx in range(nbx)]
+            n = 0
+            for uy, ux in units:
+                if rst and n and n % rst == 0:
+                    seg_idx += 1
+                    br = _BitReader(segments[seg_idx])
+                    pred = {cid: 0 for cid in order}
+                n += 1
+                for cid in order:
+                    c = byid[cid]
+                    blocks = (
+                        [(uy * c["v"] + by, ux * c["h"] + bx)
+                         for by in range(c["v"]) for bx in range(c["h"])]
+                        if len(order) > 1 else [(uy, ux)]
+                    )
+                    for by_, bx_ in blocks:
+                        if ah == 0:
+                            size = _read_symbol(br, hdc[scan[cid][0]])
+                            diff = _extend(br.read_bits(size), size)
+                            pred[cid] += diff
+                            coef[cid][by_, bx_, 0] = pred[cid] << al
+                        else:
+                            if br.read_bit():
+                                coef[cid][by_, bx_, 0] |= 1 << al
+        else:
+            # AC scan: always single-component (T.81 §G.1.1.1.1)
+            cid = order[0]
+            table = hac[scan[cid][1]]
+            nby, nbx = used[cid]
+            plane = coef[cid]
+            eobrun = 0
+            n = 0
+            for by_ in range(nby):
+                for bx_ in range(nbx):
+                    if rst and n and n % rst == 0:
+                        seg_idx += 1
+                        br = _BitReader(segments[seg_idx])
+                        eobrun = 0
+                    n += 1
+                    blk = plane[by_, bx_]
+                    if ah == 0:
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = _read_symbol(br, table)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.read_bits(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError("AC index overflow")
+                            blk[k] = _extend(br.read_bits(s), s) << al
+                            k += 1
+                    else:
+                        p1 = 1 << al
+                        m1 = -p1
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = _read_symbol(br, table)
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r < 15:
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += br.read_bits(r)
+                                        break
+                                    val = 0
+                                else:
+                                    val = p1 if br.read_bit() else m1
+                                # advance past r zero-history coefficients,
+                                # emitting correction bits over nonzero ones
+                                while k <= se:
+                                    if blk[k] != 0:
+                                        if br.read_bit() and (blk[k] & p1) == 0:
+                                            blk[k] += p1 if blk[k] >= 0 else m1
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if val and k <= se:
+                                    blk[k] = val
+                                k += 1
+                        if eobrun > 0:
+                            while k <= se:
+                                if blk[k] != 0:
+                                    if br.read_bit() and (blk[k] & p1) == 0:
+                                        blk[k] += p1 if blk[k] >= 0 else m1
+                                k += 1
+                            eobrun -= 1
+
+    # reconstruction — identical math to the baseline path
+    planes = []
+    for c in comps:
+        q = qt[c["tq"]]
+        arr = coef[c["id"]]
+        bh_, bw_ = arr.shape[:2]
+        nat = (arr.reshape(-1, 64)[:, _UNZZ].reshape(-1, 8, 8) * q[None]).astype(np.float64)
+        blocks = _idct_blocks(nat) + 128.0
+        plane = (
+            blocks.reshape(bh_, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8)
+        )
+        planes.append(plane)
+    full = []
+    for c, p in zip(comps, planes):
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(full[0].round(), 0, 255).astype(np.uint8)[:, :, None]
+    ycc = np.stack(full, axis=-1)
+    return _ycbcr_to_rgb(ycc)
 
 
 def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac, rst_int):

@@ -405,3 +405,60 @@ def test_pipeline_on_encoded_jpeg(spark):
     assert all(len(r.features) == 4 * 4 * 3 for r in feats)
     resized = multimodal.resize_images(sdf, 4, 4, decoder=multimodal.decode_image).collect()
     assert len(resized) == 8
+
+
+def test_jpeg_progressive_matches_baseline_pixels():
+    """T.81 §G: the progressive stream (DC Al=1→0, per-component AC Al=1→0)
+    carries the SAME quantized coefficients as baseline at equal quality —
+    decode of both must be pixel-identical, for RGB/grey, 444/420, and a
+    noise image that stresses EOB runs, ZRL, and refinement bits."""
+    from engine import jpeg
+
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:41, 0:67]
+    img = np.stack([(xx * 3 + yy) % 256, (255 - xx) % 256, (xx * yy) % 256], axis=-1).astype(np.uint8)
+    for q in (90, 40):
+        for sub in ("444", "420"):
+            base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q, subsample=sub))
+            prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, quality=q, subsample=sub))
+            assert np.array_equal(base, prog), (q, sub)
+    g = ((xx + 2 * yy) % 256).astype(np.uint8)
+    assert np.array_equal(
+        jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=85)),
+        jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(g, quality=85)),
+    )
+    noise = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    assert np.array_equal(
+        jpeg.decode_jpeg(jpeg.encode_jpeg(noise, quality=25)),
+        jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(noise, quality=25)),
+    )
+
+
+def test_jpeg_progressive_is_sof2():
+    from engine import jpeg
+
+    img = _smooth_rgb(20, 20, seed=4)
+    buf = jpeg.encode_jpeg_progressive(img)
+    assert b"\xFF\xC2" in buf and b"\xFF\xC0" not in buf
+    # multiple SOS scans: 2 DC + 3 AC first + 3 AC refine
+    assert buf.count(b"\xFF\xDA") == 8
+
+
+def test_pipeline_on_encoded_progressive_jpeg(spark):
+    """The multimodal pipeline decodes PROGRESSIVE JPEG bytes end-to-end —
+    web-crawl corpora contain them, so decode_image must not stub."""
+    from engine import jpeg
+
+    rows = []
+    for i in range(6):
+        h, w = 16 + i % 5, 16 + (3 * i) % 7
+        img = _smooth_rgb(h, w, seed=100 + i)
+        rows.append(
+            (i, jpeg.encode_jpeg_progressive(img, quality=90), "image/jpeg",
+             {"width": w, "height": h, "channels": 3, "sample_rate": None})
+        )
+    pdf = pd.DataFrame(rows, columns=["media_id", "media", "media_type", "meta"])
+    sdf = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_image_features(sdf, decoder=multimodal.decode_image).collect()
+    assert len(feats) == 6
+    assert all(len(r.features) == 4 * 4 * 3 for r in feats)
