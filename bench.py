@@ -301,6 +301,36 @@ def main():
 
     _run("pack_sequences", lambda: _force(_corpus.pack_sequences(docs, size=512)), timings)
 
+    # hot-bucket dedup: 10^6 docs with a 10^5-doc boilerplate cluster — the
+    # star-edge path must stay LINEAR in bucket size (10^5-1 edges, not
+    # 5·10^9 pairs).  The plan metrics record the shuffle rows as evidence;
+    # the asserts pin the exact cluster structure.
+    def _hot_bucket():
+        n_total, n_hot = 1_000_000, 100_000
+        hot_docs = spark.range(n_total).select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.col("id") < n_hot,
+                F.lit("the same boilerplate page text repeated across the crawl corpus"),
+            ).otherwise(
+                F.concat_ws(
+                    " ",
+                    *[F.md5(F.concat(F.lit(str(i)), F.col("id").cast("string"))) for i in range(6)],
+                )
+            ).alias("text"),
+        )
+        out = _textops.dedup_clusters_df(hot_docs)
+        agg = out.agg(
+            F.max("n_members").alias("mx"), F.countDistinct("cluster_id").alias("nc")
+        ).collect()[0]
+        assert agg.mx == n_hot, f"hot cluster size {agg.mx} != {n_hot}"
+        # LSH is approximate: a handful of the 900k unique docs false-merge
+        # (measured ~2e-5 rate from 32-bit shingle-hash birthday collisions)
+        exp = n_total - n_hot + 1
+        assert exp - 100 <= agg.nc <= exp, f"cluster count {agg.nc} vs {exp}"
+
+    _run("dedup_hot_bucket", _hot_bucket, timings)
+
     total = round(sum(timings.values()), 3)
     pages_per_sec = round(n_pages / flagship_wall, 1) if flagship_wall > 0 else None
     print(

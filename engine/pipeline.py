@@ -57,7 +57,9 @@ def _append_manifest(spark: SparkSession, base: str, record: dict) -> None:
     # AFTER the level's parquet commit, so a crash between the two re-runs
     # the level (idempotent overwrite) rather than trusting a torn write
     key = f"zoom_{record['zoom']}" if "zoom" in record else f"stage_{record['stage']}"
-    fname = os.path.join(path, f"{key}_{int(record['ts'])}.json")
+    # microsecond resolution: two commits in the same wall second (e.g.
+    # consecutive metadata edits) must not collapse into one log file
+    fname = os.path.join(path, f"{key}_{int(record['ts'] * 1e6)}.json")
     with open(fname, "w") as f:
         f.write(json.dumps(record) + "\n")
 
@@ -160,6 +162,44 @@ def run_tiling(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select("zoom", "tx", "ty", "data")
+
+
+def edit_metadata(spark: SparkSession, base: str, **updates) -> dict:
+    """gdal_edit.py analog (swig/python/scripts/gdal_edit.py: -a_srs,
+    -a_nodata, -a_ullr, -mo KEY=VALUE in-place header edits).
+
+    The engine's datasets are IMMUTABLE parquet tile tables, so "in-place
+    edit" becomes an append-only metadata record in the same manifest
+    commit log the tiling stages write: each call appends one
+    ``stage="_edit"`` record carrying the updated fields (srs, nodata,
+    extent, arbitrary metadata keys); :func:`dataset_metadata` folds all
+    edit records latest-wins over any level records.  Nothing rewrites
+    data bytes — exactly the reference's contract (headers only).
+
+    Returns the merged metadata after the edit."""
+    import time as _time
+
+    rec = {"stage": "_edit", "ts": _time.time()}
+    rec.update(updates)
+    _append_manifest(spark, base, rec)
+    return dataset_metadata(spark, base)
+
+
+def dataset_metadata(spark: SparkSession, base: str) -> dict:
+    """Merged dataset metadata from the manifest commit log: all
+    ``_edit`` records folded in timestamp order (latest wins per key)."""
+    mf = read_manifest(spark, base)
+    out: dict = {}
+    if mf is None:
+        return out
+    if "stage" not in mf.columns:
+        return out
+    rows = [r.asDict() for r in mf.where(F.col("stage") == "_edit").collect()]
+    for r in sorted(rows, key=lambda d: d.get("ts") or 0):
+        for k, v in r.items():
+            if k not in ("stage", "ts") and v is not None:
+                out[k] = v
+    return out
 
 
 def completed_stages(spark: SparkSession, base: str) -> set:

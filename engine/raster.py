@@ -1245,6 +1245,68 @@ def equalize(tile_df: DataFrame, hist_bins: int = 256, lut_bins: int = 256) -> D
     return tile_df.mapInPandas(_apply, tile_df.schema)
 
 
+def flatten_mask(
+    data_tiles: DataFrame,
+    mask_tiles: DataFrame,
+    set_alpha: bool = False,
+    nodata: int = 0,
+) -> DataFrame:
+    """gdalflattenmask analog (apps/gdalflattenmask.c): merge a dataset's
+    mask band into its data band for consumers without mask support.
+
+    ``set_alpha=False`` (the default mode): data pixels where the mask is
+    zero become ``nodata`` (the -a_nodata value).  ``set_alpha=True``: the
+    data passes through untouched and an ``alpha`` tile column is added with
+    mask 0 → 0, nonzero → 255 (the utility's 8-bit alpha band).
+
+    One co-partitioned equi-join on (tx, ty) + a vectorized per-tile numpy
+    map; tiles missing a mask row keep their data (all-valid mask, the
+    reference's GMF_ALL_VALID default).
+    """
+    a = data_tiles.select("tx", "ty", F.col("data").alias("dat"))
+    b = mask_tiles.select("tx", "ty", F.col("data").alias("msk"))
+    joined = a.join(b, on=["tx", "ty"], how="left")
+    out_schema = "tx long, ty long, data binary" + (", alpha binary" if set_alpha else "")
+
+    def _flat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                g = bytes_to_tile(r.dat)
+                m = bytes_to_tile(r.msk) if r.msk is not None else None
+                if set_alpha:
+                    if m is None:
+                        alpha = np.full_like(g, 255)
+                    else:
+                        alpha = np.where(m != 0, 255, 0)
+                    rows.append((int(r.tx), int(r.ty), bytes(r.dat),
+                                 alpha.astype("<i4").tobytes()))
+                else:
+                    if m is not None:
+                        g = np.where(m != 0, g, nodata)
+                    rows.append((int(r.tx), int(r.ty), g.astype("<i4").tobytes()))
+            cols = ["tx", "ty", "data"] + (["alpha"] if set_alpha else [])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return joined.mapInPandas(_flat, out_schema)
+
+
+def to_ogr_points(tile_df: DataFrame, skip_zero: bool = False) -> DataFrame:
+    """gdal2ogr analog (apps/gdal2ogr.c): band samples → point FEATURES —
+    :func:`to_xyz`'s (lon, lat, value) rows plus a point geometry column,
+    ready for any vector sink.  Multi-band sources are multiple tile
+    tables joined on (tx, ty) upstream, one value column each."""
+    from . import geom as geommod
+
+    @F.pandas_udf("binary")
+    def _pt(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(
+            [geommod.wkb_point(float(x), float(y)) for x, y in zip(lon, lat)]
+        )
+
+    return to_xyz(tile_df, skip_zero).withColumn("geom_wkb", _pt("lon", "lat"))
+
+
 def to_xyz(tile_df: DataFrame, skip_zero: bool = False) -> DataFrame:
     """gdal2xyz analog (swig/python/scripts/gdal2xyz.py): explode a
     mercator tile table to one (lon, lat, value) row per pixel center —

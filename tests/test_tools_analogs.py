@@ -115,3 +115,64 @@ def test_layer_tile_index(spark):
     assert idx.loc["layer_a", "minx"] == 0.0 and idx.loc["layer_a", "maxy"] == 3.0
     name = geom.wkb_geometry_name(bytes(idx.loc["layer_b", "geom_wkb"]))
     assert name == "POLYGON"
+
+
+# ------------------------------------------------- gdalflattenmask / gdal2ogr
+
+
+def test_flatten_mask_modes(spark):
+    """gdalflattenmask (apps/gdalflattenmask.c): mask-zero pixels become
+    nodata, or an alpha band is added; tiles without a mask row stay
+    all-valid."""
+    from engine import raster
+
+    rng = np.random.default_rng(21)
+    g = rng.integers(1, 50, (256, 256))
+    m = (rng.random((256, 256)) < 0.6).astype(np.int64)
+    data = spark.createDataFrame(pd.DataFrame(
+        {"zoom": [0, 0], "tx": [0, 1], "ty": [0, 0],
+         "data": [raster.tile_to_bytes(g), raster.tile_to_bytes(g + 1)]}))
+    mask = spark.createDataFrame(pd.DataFrame(
+        {"zoom": [0], "tx": [0], "ty": [0], "data": [raster.tile_to_bytes(m)]}))
+    out = {(r.tx, r.ty): raster.bytes_to_tile(r.data)
+           for r in raster.flatten_mask(data, mask, nodata=-1).collect()}
+    assert np.array_equal(out[(0, 0)], np.where(m != 0, g, -1))
+    assert np.array_equal(out[(1, 0)], g + 1)  # no mask row → all valid
+    al = {(r.tx, r.ty): (raster.bytes_to_tile(r.data), raster.bytes_to_tile(r.alpha))
+          for r in raster.flatten_mask(data, mask, set_alpha=True).collect()}
+    assert np.array_equal(al[(0, 0)][0], g)
+    assert np.array_equal(al[(0, 0)][1], np.where(m != 0, 255, 0))
+    assert np.array_equal(al[(1, 0)][1], np.full_like(g, 255))
+
+
+def test_to_ogr_points_matches_xyz(spark):
+    """gdal2ogr (apps/gdal2ogr.c): point features carry exactly to_xyz's
+    coordinates as WKB point geometry."""
+    from engine import geom, raster
+
+    g = np.zeros((256, 256), dtype=np.int64)
+    g[3, 7] = 9
+    df = spark.createDataFrame(pd.DataFrame(
+        {"zoom": [2], "tx": [1], "ty": [1], "data": [raster.tile_to_bytes(g)]}))
+    rows = raster.to_ogr_points(df, skip_zero=True).collect()
+    assert len(rows) == 1
+    kind, pts = geom.wkb_loads(rows[0].geom_wkb)
+    assert kind == "Point"
+    assert pts == (rows[0].lon, rows[0].lat)
+    assert rows[0].value == 9
+
+
+# --------------------------------------------------------------- gdal_edit
+
+
+def test_edit_metadata_latest_wins(spark, tmp_path):
+    """gdal_edit.py: header edits are append-only manifest records; the
+    merged view folds them latest-wins without touching data bytes."""
+    from engine import pipeline
+
+    base = str(tmp_path / "ds")
+    os.makedirs(base, exist_ok=True)
+    md = pipeline.edit_metadata(spark, base, srs="+proj=merc", nodata=0)
+    assert md == {"srs": "+proj=merc", "nodata": 0}
+    md = pipeline.edit_metadata(spark, base, nodata=-9999, title="density v2")
+    assert md["srs"] == "+proj=merc" and md["nodata"] == -9999 and md["title"] == "density v2"
