@@ -2550,6 +2550,54 @@ def _q_warp_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("_p.x_mm").alias("x_mm"), F.col("_p.y_mm").alias("y_mm"),
             )
         )
+    # 'approx' tag — the -et approximate transformer
+    # (alg/gdaltransformer.cpp:2584 GDALApproxTransform): one regular
+    # 257-pixel LCC scanline per integer-latitude band in [-60, 60), the
+    # warp-grid shape the reference applies -et to.  The CONTRACT is the
+    # error bound, so the row value-checks the bound itself: x_mm = points
+    # within max_error of the exact transform (must equal y_mm = all
+    # points), and the exact-call count must show real savings (asserted,
+    # not hashed — it is adaptive).
+    from engine.transformer import approx_transform
+
+    bands = spark.range(120).select((F.col("id") - 60 + F.lit(0.5)).alias("lat0"))
+
+    def _band(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        rows = []
+        for lat0 in pdf["lat0"]:
+            # 0.125°-wide 257-px scanline (~54 m/px, a z11-ish warp row) —
+            # the pixel-scale span -et is designed for; the band index
+            # varies the lon origin so the check sweeps the cone
+            lon_start = -120.0 + (int(lat0 + 60.0) % 40)
+            lons = lon_start + np.arange(257) * (0.125 / 256.0)
+            lats = np.full(257, float(lat0))
+            calls = [0]
+
+            def _exact(xx, yy):
+                calls[0] += xx.shape[0]
+                return lcc.forward(xx, yy)
+
+            ax, ay = approx_transform(_exact, lons, lats, max_error=0.125)
+            ex, ey = lcc.forward(lons, lats)
+            within = int(
+                ((np.abs(ax - ex) <= 0.125) & (np.abs(ay - ey) <= 0.125)).sum()
+            )
+            assert calls[0] < 257, "approx transformer made no savings"
+            rows.append((int(within), 257))
+        return pd.DataFrame(rows, columns=["within", "total"])
+
+    ap = (
+        bands.repartition(8)
+        .mapInPandas(lambda it: (_band(pdf) for pdf in it), "within long, total long")
+        .agg(F.sum("within").alias("x_mm"), F.sum("total").alias("y_mm"))
+        .select(
+            F.lit(-1).cast("long").alias("event_id"), F.lit("approx").alias("proj"),
+            "x_mm", "y_mm",
+        )
+    )
+    parts.append(ap)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -2636,6 +2684,9 @@ def _sql_warp_lcc() -> str:
         {stere_sel}
         UNION ALL
         {tmerc_sel}
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT) AS event_id, 'approx' AS proj,
+               CAST(120 * 257 AS BIGINT) AS x_mm, CAST(120 * 257 AS BIGINT) AS y_mm
     """
 
 
