@@ -373,7 +373,7 @@ def _one_task_components(edges: DataFrame, key_type) -> DataFrame:
 
 def seam_component_map(
     src: DataFrame, background: int = 0, max_rounds: int = 50, strips: DataFrame | None = None,
-    connectedness: int = 4,
+    connectedness: int = 4, pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed hash-to-min label propagation over the tile-seam graph.
 
@@ -391,12 +391,16 @@ def seam_component_map(
     # checkpoint: _seam_pixel_pairs self-joins the strips 4 ways — without
     # materialization each branch would re-run the tile labeling scan.
     # Callers that need the strips for other purposes pass the checkpointed
-    # frame in (sieve reuses it for differing-value adjacency).
-    if strips is None:
-        strips = src.mapInPandas(
-            _strips_factory(background, connectedness), _STRIP_SCHEMA
-        ).localCheckpoint(eager=True)
-    pairs = _seam_pixel_pairs(strips, connectedness).where(F.col("aval") == F.col("bval"))
+    # frame in (sieve reuses it for differing-value adjacency), and callers
+    # that already materialized the full pixel-pair set pass ``pairs`` so
+    # the strip self-join runs exactly once per operator.
+    if pairs is None:
+        if strips is None:
+            strips = src.mapInPandas(
+                _strips_factory(background, connectedness), _STRIP_SCHEMA
+            ).localCheckpoint(eager=True)
+        pairs = _seam_pixel_pairs(strips, connectedness)
+    pairs = pairs.where(F.col("aval") == F.col("bval"))
     e = pairs.select(
         _key("aty", "atx", "alab").alias("ka"), _key("bty", "btx", "blab").alias("kb")
     )
@@ -685,8 +689,14 @@ def sieve_filter(
         ).alias("side"),
         F.col("lb").alias("pos"), "value", "label",
     )
+    # ONE strip self-join for the whole operator: the pixel-pair set is
+    # split by value equality into the seam-merge edges (equal values, feeds
+    # the component mapping) and the component-adjacency edges (differing
+    # values, feeds the merge graph below) — formerly two separate
+    # _seam_pixel_pairs executions
+    seam_pairs = _seam_pixel_pairs(strips, connectedness).localCheckpoint(eager=True)
     mapping = seam_component_map(
-        src, background, strips=strips, connectedness=connectedness
+        src, background, connectedness=connectedness, pairs=seam_pairs
     ).localCheckpoint(eager=True)
     # the seam mapping holds only boundary-CROSSING labels — a small
     # fraction of all labels.  When it fits comfortably it broadcasts, so
@@ -731,9 +741,9 @@ def sieve_filter(
                   "tx", "ty", "_la", "cid_a"),
         "tx", "ty", "_lb", "cid_b",
     ).select("cid_a", "cid_b")
-    # cross-seam differing-value pixel adjacency (same checkpointed strips
-    # the seam mapping used — one edge-only scan total)
-    seam_diff = _seam_pixel_pairs(strips, connectedness).where(F.col("aval") != F.col("bval"))
+    # cross-seam differing-value pixel adjacency (same checkpointed pair
+    # set the seam mapping used — one strip self-join total)
+    seam_diff = seam_pairs.where(F.col("aval") != F.col("bval"))
     sd_ab = _with_cid(
         _with_cid(seam_diff, "atx", "aty", "alab", "cid_a"),
         "btx", "bty", "blab", "cid_b",
