@@ -857,6 +857,49 @@ def sieve_filter(
         chdf, on="component_id"
     ).select("tx", "ty", "label", "new_value")
 
+    # --- map-side rewrite (driver mode): only SMALL components ever change
+    # value (merge_small_components absorbs small into large, never the
+    # reverse), and a component with < min_pixels pixels touches
+    # < min_pixels tiles — so the changed (tile, label) set is bounded by
+    # len(changed) * min_pixels rows.  When that bound fits, aggregate the
+    # remap per tile and BROADCAST it onto the tile table: the rewrite
+    # becomes one map scan and the tile payload bytes never shuffle.  The
+    # distributed mode (and oversized changed sets) keep the cogroup below.
+    if (
+        _LAST_SIEVE_MODE[0] == "driver"
+        and len(changed) * max(min_pixels, 1) <= 2_000_000
+    ):
+        remaps = ch_labels.groupBy("tx", "ty").agg(
+            F.collect_list(F.struct("label", "new_value")).alias("_remap")
+        )
+
+        def _rewrite_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                datas = []
+                for data, rm in zip(pdf["data"], pdf["_remap"]):
+                    if rm is None or (isinstance(rm, float) and pd.isna(rm)) or len(rm) == 0:
+                        datas.append(data)
+                        continue
+                    g = bytes_to_tile(data).copy()
+                    lab = label_tile(g, background, connectedness)
+                    kmax = int(lab.max())
+                    has = np.zeros(kmax + 1, dtype=bool)
+                    val = np.zeros(kmax + 1, dtype=np.int64)
+                    for item in rm:
+                        ll = int(item["label"])
+                        if 0 < ll <= kmax:
+                            has[ll] = True
+                            val[ll] = int(item["new_value"])
+                    datas.append(np.where(has[lab], val[lab], g).astype("<i4").tobytes())
+                yield pd.DataFrame(
+                    {"tx": pdf["tx"].astype("int64"), "ty": pdf["ty"].astype("int64"), "data": datas}
+                )
+
+        return (
+            src.join(F.broadcast(remaps), on=["tx", "ty"], how="left")
+            .mapInPandas(_rewrite_map, "tx long, ty long, data binary")
+        )
+
     def _rewrite(key, tiles_pdf: pd.DataFrame, ch_pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
         remap = dict(zip(ch_pdf["label"].astype(int), ch_pdf["new_value"].astype(int)))
