@@ -56,6 +56,8 @@ def _stage_rows(spark):
             int(s.shuffleReadBytes()),
             int(s.shuffleWriteBytes()),
             int(s.shuffleWriteRecords()),
+            int(s.executorRunTime()),
+            int(s.jvmGcTime()),
         )
     return out
 
@@ -75,6 +77,10 @@ def _run(name, fn, timings):
             "shuffle_read_bytes": sum(v[1] for v in new),
             "shuffle_write_bytes": sum(v[2] for v in new),
             "shuffle_write_rows": sum(v[3] for v in new),
+            # wall time on this host is weather; executor CPU-seconds and the
+            # GC share of them separate engine cost from JVM memory pressure
+            "executor_run_ms": sum(v[4] for v in new),
+            "jvm_gc_ms": sum(v[5] for v in new),
         }
     print(f"  {name}: {timings[name]}s", file=sys.stderr)
     # drop dangling python refs (kNN localCheckpoints, grouped-UDF buffers)
