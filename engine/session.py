@@ -43,6 +43,23 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Bound the reusable python-worker pool to ~one worker per core.
+        # Without a cap, every multi-UDF-stage job can grow the daemon's
+        # worker set and the freed workers are never reaped: measured here,
+        # a 40-query run grew 67 -> 130 workers / 6.8 -> 15 GB aggregate RSS,
+        # and identical sieve plans then burned 2-3.7x more executor CPU
+        # (70 -> 264 core-seconds, same stage count) from allocator/page-
+        # fault contention across the bloated pool.  With the cap the same
+        # sequence stays at 67 workers / 7 GB and per-query CPU is flat.
+        # On a cluster this bounds per-executor python memory the same way.
+        .config(
+            "spark.python.factory.idleWorkerMaxPoolSize",
+            str(
+                int(master[6:-1])
+                if master.startswith("local[") and master[6:-1].isdigit()
+                else (os.cpu_count() or 8)
+            ),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
