@@ -177,6 +177,16 @@ def main():
         for b, kk in zip(bw, kern)
     )
     os.makedirs("BENCH", exist_ok=True)
+    # Preserve the per-query medians / measurement-notes sections (## 5
+    # onward) that live below the sweep evidence in BASELINE.md.
+    tail = ""
+    try:
+        prev = open("BENCH/BASELINE.md").read()
+        i = prev.find("\n## 5")
+        if i >= 0:
+            tail = prev[i:]
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH — scaling evidence (north rule)
 
@@ -236,7 +246,7 @@ cache-resident per-edge-slot PIP kernel, column pruning across the
 Arrow boundary.
 
 Raw: `{json.dumps(result)}`
-""")
+{tail}""")
     print(json.dumps(result))
 
 
