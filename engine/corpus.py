@@ -129,19 +129,40 @@ def _rep_prepared(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
         )
 
-    def _gram_strings(n: int) -> Column:
+    def _gram_hashed(n: int) -> Column:
+        """Sorted (h, c) structs for word n-grams WITHOUT materializing the
+        gram strings.  Each word is hashed once (`_wh`) and measured once
+        (`_wl`); a gram's identity is xxhash64 over the n-word hash slice
+        (equal ⇔ string-equal modulo the same 64-bit collision bound the
+        docstring already carries) and its chars are the word-length slice
+        sum + (n-1) separators — bit-identical to length(concat_ws(' ', …)).
+        Skipping the concat avoids building Σn≈54× the text bytes of
+        throwaway gram strings per document."""
         cnt = F.size(F.col("_w")) - (n - 1)
-        return F.when(
-            cnt >= 1,
+        idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.array_sort(
             F.transform(
-                F.sequence(F.lit(1), cnt),
-                lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+                idx,
+                lambda i: F.struct(
+                    F.xxhash64(F.slice(F.col("_wh"), i, n)).alias("h"),
+                    (
+                        F.aggregate(
+                            F.slice(F.col("_wl"), i, n),
+                            F.lit(0).cast("long"),
+                            lambda a, x: a + x,
+                        )
+                        + F.lit(n - 1).cast("long")
+                    ).alias("c"),
+                ),
+            )
+        )
 
-    # stage 2: gram STRING arrays as columns (each built once), stage 3:
-    # flat hash+length pass + sort.  Higher-order functions run on Spark's
-    # interpreted path, so two flat passes beat one nested fold-per-gram.
+    # stage 2: per-word hash + length arrays (each word touched once),
+    # stage 3: gram (h, c) structs from slices + sort.  Higher-order
+    # functions run on Spark's interpreted path, so flat passes over
+    # primitive arrays beat rebuilding concatenated gram strings.
     mid = base.select(
         "_id",
         "_t",
@@ -149,11 +170,12 @@ def _rep_prepared(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "_lines",
         "_paras",
         "_chars",
-        *[_gram_strings(n).alias(f"_gs{n}") for n in range(2, 11)],
+        F.transform(F.col("_w"), lambda w: F.xxhash64(w)).alias("_wh"),
+        F.transform(F.col("_w"), lambda w: F.length(w).cast("long")).alias("_wl"),
     )
     fams = [_hashed(F.col("_lines")).alias("_f_line"), _hashed(F.col("_paras")).alias("_f_para")]
     for n in range(2, 11):
-        fams.append(_hashed(F.col(f"_gs{n}")).alias(f"_f_g{n}"))
+        fams.append(_gram_hashed(n).alias(f"_f_g{n}"))
     return mid.select(
         "_id",
         "_t",
