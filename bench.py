@@ -104,30 +104,47 @@ def _split_input_dir(sf_dir: str, n: int) -> str:
     other table symlinked.  Built once, reused across runs."""
     import pyarrow.parquet as _pq
 
-    out = os.path.join(
-        tempfile.gettempdir(), f"bench_split{n}_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    marker = os.path.join(out, "_SPLIT_OK")
-    if os.path.exists(marker):
+    try:
+        # fingerprint the source tables so a cached split copy from an older
+        # fixture generation can never be silently measured
+        fp = ";".join(
+            f"{fn}:{os.stat(os.path.join(sf_dir, fn)).st_size}"
+            f":{int(os.stat(os.path.join(sf_dir, fn)).st_mtime)}"
+            for fn in sorted(os.listdir(sf_dir))
+            if fn.endswith(".parquet")
+        )
+        out = os.path.join(
+            tempfile.gettempdir(),
+            f"bench_split{n}_{os.path.basename(sf_dir.rstrip('/'))}",
+        )
+        marker = os.path.join(out, "_SPLIT_OK")
+        if os.path.exists(marker) and open(marker).read() == fp:
+            return out
+        import shutil
+
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        os.makedirs(out)
+        for fn in sorted(os.listdir(sf_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            src, dst = os.path.join(sf_dir, fn), os.path.join(out, fn)
+            if fn[: -len(".parquet")] in ("documents", "embeddings"):
+                t = _pq.read_table(src)
+                os.makedirs(dst)
+                step = max(1, (t.num_rows + n - 1) // n)
+                for i in range(n):
+                    sl = t.slice(i * step, step)
+                    if sl.num_rows:
+                        _pq.write_table(sl, os.path.join(dst, f"part-{i:05d}.parquet"))
+            else:
+                os.symlink(src, dst)
+        with open(marker, "w") as f:
+            f.write(fp)
         return out
-    os.makedirs(out, exist_ok=True)
-    for fn in sorted(os.listdir(sf_dir)):
-        if not fn.endswith(".parquet"):
-            continue
-        src, dst = os.path.join(sf_dir, fn), os.path.join(out, fn)
-        if fn[: -len(".parquet")] in ("documents", "embeddings"):
-            t = _pq.read_table(src)
-            os.makedirs(dst, exist_ok=True)
-            step = max(1, (t.num_rows + n - 1) // n)
-            for i in range(n):
-                sl = t.slice(i * step, step)
-                if sl.num_rows:
-                    _pq.write_table(sl, os.path.join(dst, f"part-{i:05d}.parquet"))
-        elif not os.path.exists(dst):
-            os.symlink(src, dst)
-    with open(marker, "w") as f:
-        f.write("ok")
-    return out
+    except Exception as exc:  # never lose the bench to the split copy
+        print(f"  split-input copy unavailable ({exc}); using {sf_dir}", file=sys.stderr)
+        return sf_dir
 
 
 def main():
