@@ -102,14 +102,14 @@ def _split_input_dir(sf_dir: str, n: int) -> str:
     copy of the fixture dir whose text/embedding tables are split into n
     files (identical rows, identical order across file index) with every
     other table symlinked.  Built once, reused across runs."""
-    import pyarrow.parquet as _pq
-
     try:
+        import pyarrow.parquet as _pq
+
         # fingerprint the source tables so a cached split copy from an older
         # fixture generation can never be silently measured
         fp = ";".join(
             f"{fn}:{os.stat(os.path.join(sf_dir, fn)).st_size}"
-            f":{int(os.stat(os.path.join(sf_dir, fn)).st_mtime)}"
+            f":{os.stat(os.path.join(sf_dir, fn)).st_mtime_ns}"
             for fn in sorted(os.listdir(sf_dir))
             if fn.endswith(".parquet")
         )
@@ -135,7 +135,9 @@ def _split_input_dir(sf_dir: str, n: int) -> str:
                 step = max(1, (t.num_rows + n - 1) // n)
                 for i in range(n):
                     sl = t.slice(i * step, step)
-                    if sl.num_rows:
+                    # always write part 0 so an empty table still yields a
+                    # readable directory (schema present, 0 rows)
+                    if sl.num_rows or i == 0:
                         _pq.write_table(sl, os.path.join(dst, f"part-{i:05d}.parquet"))
             else:
                 os.symlink(src, dst)

@@ -147,6 +147,14 @@ def _rep_prepared(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 idx,
                 lambda i: F.struct(
                     F.xxhash64(F.slice(F.col("_wh"), i, n)).alias("h"),
+                    # O(n) primitive-long adds per gram (<=54 per word
+                    # position across n=2..10) — same order as the hash's
+                    # own slice walk.  A per-doc prefix-sum column would be
+                    # O(1) per gram but Spark has no linear scan primitive:
+                    # a window is a shuffle (breaking the operator's
+                    # shuffle-free plan) and chained dependent projections
+                    # risk CollapseProject inlining each level into the
+                    # next (re-derivation blowup — see _rep_prepared note).
                     (
                         F.aggregate(
                             F.slice(F.col("_wl"), i, n),
