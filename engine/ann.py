@@ -376,9 +376,12 @@ def pq_train(
     for Nearest Neighbor Search", TPAMI 2011 — public method): the vector
     space splits into ``m`` contiguous subspaces and each learns its own
     ``ksub``-centroid codebook.  All m subspace k-means run JOINTLY in one
-    Lloyd loop: a single broadcast-join assignment over the exploded
-    (id, sub, svec) table and one O(m·ksub·dsub) mean shuffle per
-    iteration — m-fold fewer Spark jobs than m separate kmeans_fit runs.
+    Lloyd loop, and one iteration is ONE map + ONE tiny shuffle: the
+    codebook broadcasts as one centroid-array row per subspace, the
+    nearest-code argmin is a pure projection (array_min over (d, code)
+    structs), and the means partially aggregate to m·ksub keys with
+    per-position sums — no N×ksub exploded intermediate and no O(N)
+    re-join of the input anywhere in the loop.
 
     Deterministic: seeds are the ksub subvectors with the smallest
     md5(id) per subspace (ties impossible — md5 of distinct ids).
@@ -426,25 +429,48 @@ def pq_train(
             schema="sub int, code int, cvec array<double>",
         )
 
-    dist2 = F.aggregate(
-        F.zip_with("svec", "cvec", lambda x, y: (x - y) * (x - y)),
+    # One Lloyd iteration = ONE map + ONE tiny shuffle.  The per-subspace
+    # codebook broadcasts as a single array row, the nearest-code argmin is
+    # a pure projection (array_min over (d, code) structs — struct ordering
+    # IS the (distance, code) tie-break min_by used), and the new means are
+    # a partially-aggregated groupBy over m·ksub keys with per-position
+    # sums — no N×ksub exploded intermediate, no re-join of the input, no
+    # O(N) shuffle anywhere in the loop.
+    dsub = len(next(iter(cents.values())))
+
+    def _cb_arr():
+        return _cdf().groupBy("sub").agg(
+            F.array_sort(F.collect_list(F.struct("code", "cvec"))).alias("cents")
+        )
+
+    d2 = lambda cv: F.aggregate(  # noqa: E731
+        F.zip_with("svec", cv, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda acc, x: acc + x,
     )
+    best_code = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda s: F.struct(d2(s["cvec"]).alias("d"), s["code"].alias("code")),
+        )
+    )["code"]
     for _ in range(max_iters):
         assigned = (
-            sub.join(F.broadcast(_cdf()), on="sub")
-            .select(id_col, "sub", "svec", "code", dist2.alias("_d"))
-            .groupBy(id_col, "sub")
-            .agg(F.min_by("code", F.struct("_d", "code")).alias("code"))
+            sub.join(F.broadcast(_cb_arr()), on="sub")
+            .select("sub", "svec", best_code.alias("code"))
         )
         means = (
-            sub.join(assigned, on=[id_col, "sub"])
-            .select("sub", "code", F.posexplode("svec").alias("pos", "val"))
-            .groupBy("sub", "code", "pos")
-            .agg(F.avg("val").alias("mv"))
-            .groupBy("sub", "code")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pm"))
-            .select("sub", "code", F.transform("pm", lambda s: s["mv"]).alias("mean"))
+            assigned.groupBy("sub", "code")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.sum(F.col("svec")[i]).alias(f"_s{i}") for i in range(dsub)],
+            )
+            .select(
+                "sub",
+                "code",
+                F.array(*[F.col(f"_s{i}") / F.col("_n") for i in range(dsub)]).alias(
+                    "mean"
+                ),
+            )
             .collect()
         )
         moved = 0.0
