@@ -84,7 +84,9 @@ def gopher_repetition_df(
     hash to (xxhash64, chars) structs, the array is sorted in-row, and one
     sequential fold over adjacent elements yields excess counts, excess
     chars, and the max run cover.  The whole operator is a projection —
-    at 100 TB it runs entirely map-side in whole-stage codegen.  A 64-bit
+    at 100 TB it runs entirely map-side (the fold expressions evaluate on
+    Spark's interpreted higher-order-function path, not whole-stage
+    codegen, but there is no shuffle and no Python anywhere).  A 64-bit
     hash collision within one (doc, family) would merge two items; at
     ~1e6 items/doc the probability is < 1e-7 corpus-wide, and the DuckDB
     oracle (corpus_curation) groups by the exact strings, so driver
