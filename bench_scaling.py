@@ -6,7 +6,9 @@ runs produce identical tile checksums (determinism across parallelism).
 
 Input is the driver events table deterministically replicated ×K in-Spark
 (no external data) so the N-core run exceeds ~60 s (amortizes startup,
-BASELINE.md §4.1).  Writes BENCH/BASELINE.md and prints one JSON line.
+BASELINE.md §4.1).  Writes BENCH/SCALING_2LEVEL.md and prints one JSON
+line.  (bench_sweep.py owns BENCH/BASELINE.md — the full-curve sweep plus
+microbenches; this two-level variant must not clobber it.)
 
 Usage: python bench_scaling.py [--small-n 8] [--big-n 32] [--k 40]
 """
@@ -133,7 +135,7 @@ def main():
     }
 
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    with open("BENCH/SCALING_2LEVEL.md", "w") as f:
         f.write(f"""# BENCH — scaling evidence (north rule)
 
 Protocol (BASELINE.md §3-4): identical flagship job (z8 tile assign → 10°
