@@ -128,7 +128,10 @@ def _split_input_dir(sf_dir: str, n: int) -> str:
         for fn in sorted(os.listdir(sf_dir)):
             if not fn.endswith(".parquet"):
                 continue
-            src, dst = os.path.join(sf_dir, fn), os.path.join(out, fn)
+            # abspath: a relative SPARK_GRAFT_SF_DIR would otherwise store a
+            # relative symlink target that dangles from inside the tempdir
+            src = os.path.abspath(os.path.join(sf_dir, fn))
+            dst = os.path.join(out, fn)
             if fn[: -len(".parquet")] in ("documents", "embeddings"):
                 t = _pq.read_table(src)
                 os.makedirs(dst)

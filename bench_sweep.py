@@ -177,14 +177,23 @@ def main():
         for b, kk in zip(bw, kern)
     )
     os.makedirs("BENCH", exist_ok=True)
-    # Preserve the per-query medians / measurement-notes sections (## 5
-    # onward) that live below the sweep evidence in BASELINE.md.
+    # Preserve every section this script does not regenerate (it owns ONLY
+    # "## 1" and "## 2"): keep from the first heading that is neither, so
+    # §1b (webtext sweep), §5x (medians), and §6x (notes) all survive a
+    # re-run.
+    import re as _re
+
     tail = ""
     try:
         prev = open("BENCH/BASELINE.md").read()
-        i = prev.find("\n## 5")
-        if i >= 0:
-            tail = prev[i:]
+        heads = list(_re.finditer(r"\n## (\S+)", prev))
+        kept = []
+        for j, m_ in enumerate(heads):
+            if m_.group(1) in ("1.", "2."):
+                continue  # regenerated below
+            end = heads[j + 1].start() if j + 1 < len(heads) else len(prev)
+            kept.append(prev[m_.start():end])
+        tail = "".join(kept)
     except FileNotFoundError:
         pass
     with open("BENCH/BASELINE.md", "w") as f:

@@ -429,6 +429,9 @@ def pq_train(
             schema="sub int, code int, cvec array<double>",
         )
 
+    if not cents:  # empty input: empty (sub, code, cvec) codebook, no loop
+        return _cdf()
+
     # One Lloyd iteration = ONE map + ONE tiny shuffle.  The per-subspace
     # codebook broadcasts as a single array row, the nearest-code argmin is
     # a pure projection (array_min over (d, code) structs — struct ordering

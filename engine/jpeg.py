@@ -596,6 +596,11 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         if data[i] != 0xFF:
             i += 1
             continue
+        if i + 1 < len(data) and data[i + 1] == 0xFF:
+            # optional 0xFF fill byte before a marker (T.81 B.1.1.2) —
+            # conformant encoders may pad with any number of these
+            i += 1
+            continue
         marker = data[i + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2

@@ -47,7 +47,15 @@ def completed_levels(spark: SparkSession, base: str) -> set:
     mf = read_manifest(spark, base)
     if mf is None or "zoom" not in mf.columns:
         return set()
-    return {r.zoom for r in mf.select("zoom").distinct().collect()}
+    # only level-commit records count toward resume: metadata-edit records
+    # (stage="_edit") must never mark a pyramid level as built
+    if "stage" in mf.columns:
+        mf = mf.where((F.col("stage").isNull()) | (F.col("stage") != "_edit"))
+    return {
+        r.zoom
+        for r in mf.select("zoom").distinct().collect()
+        if r.zoom is not None
+    }
 
 
 def _append_manifest(spark: SparkSession, base: str, record: dict) -> None:
@@ -179,6 +187,17 @@ def edit_metadata(spark: SparkSession, base: str, **updates) -> dict:
     Returns the merged metadata after the edit."""
     import time as _time
 
+    # gdal_edit takes arbitrary -mo KEY=VALUE pairs, but the manifest's own
+    # bookkeeping fields must not be forgeable: a user 'zoom' would make
+    # completed_levels() treat the edit as a finished pyramid level (resume
+    # then SKIPS computing it), and 'stage'/'ts' would corrupt the record
+    # itself (a string ts crashes the commit-log filename).
+    reserved = {"zoom", "stage", "ts"} & set(updates)
+    if reserved:
+        raise ValueError(
+            f"metadata keys {sorted(reserved)} are reserved manifest fields; "
+            "store them under different names"
+        )
     rec = {"stage": "_edit", "ts": _time.time()}
     rec.update(updates)
     _append_manifest(spark, base, rec)

@@ -1259,14 +1259,31 @@ def flatten_mask(
     data passes through untouched and an ``alpha`` tile column is added with
     mask 0 → 0, nonzero → 255 (the utility's 8-bit alpha band).
 
-    One co-partitioned equi-join on (tx, ty) + a vectorized per-tile numpy
-    map; tiles missing a mask row keep their data (all-valid mask, the
-    reference's GMF_ALL_VALID default).
+    One co-partitioned equi-join on the tile key + a vectorized per-tile
+    numpy map; tiles missing a mask row keep their data (all-valid mask, the
+    reference's GMF_ALL_VALID default).  Multi-level pyramid tables join on
+    (zoom, tx, ty) when both sides carry a ``zoom`` column — the same
+    (tx, ty) exists at EVERY level, so a key without zoom would cross-match
+    levels and emit duplicate tiles.
     """
-    a = data_tiles.select("tx", "ty", F.col("data").alias("dat"))
-    b = mask_tiles.select("tx", "ty", F.col("data").alias("msk"))
-    joined = a.join(b, on=["tx", "ty"], how="left")
-    out_schema = "tx long, ty long, data binary" + (", alpha binary" if set_alpha else "")
+    keys = ["tx", "ty"]
+    if "zoom" in data_tiles.columns and "zoom" in mask_tiles.columns:
+        keys = ["zoom", "tx", "ty"]
+    elif "zoom" in data_tiles.columns or "zoom" in mask_tiles.columns:
+        raise ValueError(
+            "flatten_mask: one side has a 'zoom' column and the other does "
+            "not — joining multi-level tiles against single-level masks is "
+            "ambiguous; align the schemas first"
+        )
+    a = data_tiles.select(*keys, F.col("data").alias("dat"))
+    b = mask_tiles.select(*keys, F.col("data").alias("msk"))
+    joined = a.join(b, on=keys, how="left")
+    zoom_sql = "zoom int, " if "zoom" in keys else ""
+    out_schema = f"{zoom_sql}tx long, ty long, data binary" + (
+        ", alpha binary" if set_alpha else ""
+    )
+
+    with_zoom = "zoom" in keys
 
     def _flat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1274,18 +1291,19 @@ def flatten_mask(
             for r in pdf.itertuples():
                 g = bytes_to_tile(r.dat)
                 m = bytes_to_tile(r.msk) if r.msk is not None else None
+                key = (int(r.zoom), int(r.tx), int(r.ty)) if with_zoom else (
+                    int(r.tx), int(r.ty))
                 if set_alpha:
                     if m is None:
                         alpha = np.full_like(g, 255)
                     else:
                         alpha = np.where(m != 0, 255, 0)
-                    rows.append((int(r.tx), int(r.ty), bytes(r.dat),
-                                 alpha.astype("<i4").tobytes()))
+                    rows.append((*key, bytes(r.dat), alpha.astype("<i4").tobytes()))
                 else:
                     if m is not None:
                         g = np.where(m != 0, g, nodata)
-                    rows.append((int(r.tx), int(r.ty), g.astype("<i4").tobytes()))
-            cols = ["tx", "ty", "data"] + (["alpha"] if set_alpha else [])
+                    rows.append((*key, g.astype("<i4").tobytes()))
+            cols = list(keys) + ["data"] + (["alpha"] if set_alpha else [])
             yield pd.DataFrame(rows, columns=cols)
 
     return joined.mapInPandas(_flat, out_schema)

@@ -101,3 +101,16 @@ def test_empty_quantize(spark, empty_tiles):
     assert quantize.color_histogram(rgb).count() == 0
     pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
     assert quantize.apply_palette(rgb, pal).count() == 0
+
+
+def test_empty_pq_train(spark):
+    """pq_train on zero rows returns an empty codebook, not StopIteration
+    (the r5 fused Lloyd loop derives dsub from the seed set)."""
+    from engine import ann
+
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1], "embedding": [[0.0] * 16]})
+    ).limit(0)
+    cb = ann.pq_train(emb, m=4, ksub=4, max_iters=2)
+    assert cb.count() == 0
+    assert [f.name for f in cb.schema.fields] == ["sub", "code", "cvec"]

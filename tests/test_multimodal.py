@@ -462,3 +462,25 @@ def test_pipeline_on_encoded_progressive_jpeg(spark):
     feats = multimodal.extract_image_features(sdf, decoder=multimodal.decode_image).collect()
     assert len(feats) == 6
     assert all(len(r.features) == 4 * 4 * 3 for r in feats)
+
+
+def test_decode_jpeg_tolerates_fill_bytes():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+    Foreign encoders emit them; the parser must skip, not desync."""
+    import numpy as np
+
+    from engine import jpeg
+
+    rng = np.random.default_rng(77)
+    img = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    for enc in (
+        jpeg.encode_jpeg(img, quality=90),
+        jpeg.encode_jpeg_progressive(img, quality=90),
+    ):
+        want = jpeg.decode_jpeg(enc)
+        assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+        # fill bytes after SOI (before the first table marker) AND between
+        # the end of entropy data and EOI
+        padded = enc[:2] + b"\xff" * 3 + enc[2:-2] + b"\xff" * 2 + enc[-2:]
+        got = jpeg.decode_jpeg(padded)
+        assert np.array_equal(got, want)

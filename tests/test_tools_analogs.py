@@ -176,3 +176,67 @@ def test_edit_metadata_latest_wins(spark, tmp_path):
     assert md == {"srs": "+proj=merc", "nodata": 0}
     md = pipeline.edit_metadata(spark, base, nodata=-9999, title="density v2")
     assert md["srs"] == "+proj=merc" and md["nodata"] == -9999 and md["title"] == "density v2"
+
+
+def test_flatten_mask_multizoom_joins_per_level(spark):
+    """A 2-level pyramid has the SAME (tx, ty) at every level: the mask
+    join must key on (zoom, tx, ty) or it cross-matches levels and emits
+    duplicate tiles."""
+    from engine import raster
+
+    g4 = np.full((256, 256), 7, dtype=np.int64)
+    g5 = np.full((256, 256), 9, dtype=np.int64)
+    m4 = np.zeros((256, 256), dtype=np.int64)   # level-4 mask: all invalid
+    m5 = np.ones((256, 256), dtype=np.int64)    # level-5 mask: all valid
+    data = spark.createDataFrame(pd.DataFrame(
+        {"zoom": [4, 5], "tx": [0, 0], "ty": [0, 0],
+         "data": [raster.tile_to_bytes(g4), raster.tile_to_bytes(g5)]}))
+    mask = spark.createDataFrame(pd.DataFrame(
+        {"zoom": [4, 5], "tx": [0, 0], "ty": [0, 0],
+         "data": [raster.tile_to_bytes(m4), raster.tile_to_bytes(m5)]}))
+    rows = raster.flatten_mask(data, mask, nodata=-1).collect()
+    assert len(rows) == 2  # one output tile per input tile, no cross-match
+    out = {r.zoom: raster.bytes_to_tile(r.data) for r in rows}
+    assert np.all(out[4] == -1)   # level-4 mask applied to level 4 only
+    assert np.all(out[5] == 9)
+
+
+def test_flatten_mask_mismatched_zoom_schema_rejected(spark):
+    from engine import raster
+
+    g = np.ones((256, 256), dtype=np.int64)
+    with_zoom = spark.createDataFrame(pd.DataFrame(
+        {"zoom": [4], "tx": [0], "ty": [0], "data": [raster.tile_to_bytes(g)]}))
+    without = spark.createDataFrame(pd.DataFrame(
+        {"tx": [0], "ty": [0], "data": [raster.tile_to_bytes(g)]}))
+    with pytest.raises(ValueError, match="zoom"):
+        raster.flatten_mask(with_zoom, without)
+
+
+def test_edit_metadata_reserved_keys_rejected(spark, tmp_path):
+    """A user -mo zoom=7 must not forge a level-commit record: resume would
+    then SKIP building pyramid level 7."""
+    from engine import pipeline
+
+    base = str(tmp_path / "ds")
+    os.makedirs(base, exist_ok=True)
+    for key in ("zoom", "stage", "ts"):
+        with pytest.raises(ValueError, match="reserved"):
+            pipeline.edit_metadata(spark, base, **{key: 7})
+
+
+def test_completed_levels_ignore_edit_records(spark, tmp_path):
+    """Metadata edits share the manifest commit log with level commits but
+    must never mark a level as built."""
+    import json as _json
+    import time as _time
+
+    from engine import pipeline
+
+    base = str(tmp_path / "ds")
+    man = os.path.join(base, "_manifest")
+    os.makedirs(man, exist_ok=True)
+    with open(os.path.join(man, "zoom_5_1.json"), "w") as f:
+        f.write(_json.dumps({"zoom": 5, "ts": _time.time()}) + "\n")
+    pipeline.edit_metadata(spark, base, srs="+proj=merc")
+    assert pipeline.completed_levels(spark, base) == {5}
