@@ -833,3 +833,320 @@ def srs_info(proj4: str) -> dict:
         "supported": supported,
         "reason": reason,
     }
+
+
+# ---------------------------------------------------------------------------
+# WKT1 dialect translation — the epsg_tr.py / esri2wkt.py analog
+# (swig/python/scripts/epsg_tr.py, esri2wkt.py).  No PROJ/EPSG data files
+# exist in this runtime, so the exchange surface is the engine's own
+# PROJ.4-string registry: a WKT1 writer/parser over exactly the projections
+# make_transformer supports (OGC 01-009 grammar, GDAL naming conventions —
+# all public), an ESRI-dialect morph (morphFromESRI semantics: D_ datum
+# prefixes, parameter/projection aliases), and a small table of well-known
+# EPSG codes transcribed from public definitions.
+# ---------------------------------------------------------------------------
+
+_WKT_ELLPS = {
+    # proj4 +ellps -> (SPHEROID name, DATUM name, GEOGCS name)
+    "WGS84": ("WGS 84", "WGS_1984", "WGS 84"),
+    "GRS80": ("GRS 1980", "North_American_Datum_1983", "NAD83"),
+    "clrk66": ("Clarke 1866", "North_American_Datum_1927", "NAD27"),
+    "intl": ("International 1924", "European_Datum_1950", "ED50"),
+    "bessel": ("Bessel 1841", "Deutsches_Hauptdreiecksnetz", "DHDN"),
+    "airy": ("Airy 1830", "OSGB_1936", "OSGB 1936"),
+}
+
+#: Well-known EPSG codes, transcribed from their public definitions.  The
+#: reference's epsg_tr walks the full EPSG database (absent here); this
+#: covers the codes the engine's closed-form projection set can represent.
+EPSG_PROJ4 = {
+    4326: "+proj=longlat +ellps=WGS84",
+    4269: "+proj=longlat +ellps=GRS80",
+    4267: "+proj=longlat +ellps=clrk66",
+    4277: "+proj=longlat +ellps=airy",
+    2154: ("+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 "
+           "+x_0=700000 +y_0=6600000 +ellps=GRS80"),
+    5070: ("+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 "
+           "+x_0=0 +y_0=0 +ellps=GRS80"),
+    3031: ("+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 "
+           "+x_0=0 +y_0=0 +ellps=WGS84"),
+    3413: ("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 "
+           "+x_0=0 +y_0=0 +ellps=WGS84"),
+}
+# UTM north 326xx / south 327xx, zones 1-60 (WGS84)
+EPSG_PROJ4.update({
+    32600 + z: f"+proj=utm +zone={z} +ellps=WGS84" for z in range(1, 61)
+})
+EPSG_PROJ4.update({
+    32700 + z: f"+proj=utm +zone={z} +south +ellps=WGS84" for z in range(1, 61)
+})
+
+
+def _q(s: str) -> str:
+    return '"' + s + '"'
+
+
+def _num(v: float) -> str:
+    f = float(v)
+    return repr(int(f)) if f == int(f) else repr(f)
+
+
+def _geogcs_wkt(p: dict) -> str:
+    ellps = p.get("ellps", "WGS84")
+    if "a" in p and "rf" in p:
+        a, rf = float(p["a"]), float(p["rf"])
+        sph, datum, gname = (f"Custom ({_num(a)},{_num(rf)})", "Custom_Datum", "Custom")
+    else:
+        a, rf = ELLIPSOIDS[str(ellps)]
+        sph, datum, gname = _WKT_ELLPS[str(ellps)]
+    tw = p.get("towgs84")
+    tw_node = ""
+    if tw:
+        vals = [float(v) for v in str(tw).split(",")]
+        if len(vals) == 3:
+            vals += [0.0, 0.0, 0.0, 0.0]
+        tw_node = ",TOWGS84[" + ",".join(_num(v) for v in vals) + "]"
+    return (
+        f"GEOGCS[{_q(gname)},DATUM[{_q(datum)},"
+        f"SPHEROID[{_q(sph)},{_num(a)},{_num(rf)}]{tw_node}],"
+        f'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]'
+    )
+
+
+def proj4_to_wkt1(proj4: str | dict) -> str:
+    """PROJ.4 string -> OGC WKT1 for the engine's closed-form projection
+    set (the gdalsrsinfo -o wkt1 / epsg_tr -wkt output shape).  Round-trip
+    safe: wkt1_to_proj4(proj4_to_wkt1(s)) re-parses to the same canonical
+    parameter dict."""
+    p = parse_proj4(proj4) if isinstance(proj4, str) else dict(proj4)
+    name = p["proj"]
+    geogcs = _geogcs_wkt(p)
+    if name == "longlat":
+        return geogcs
+
+    def g(k, d=0.0):
+        return float(p.get(k, d))
+
+    if name == "utm":
+        zone = int(p["zone"])
+        south = bool(p.get("south", False))
+        proj_name, title = "Transverse_Mercator", (
+            f"UTM Zone {zone}, {'Southern' if south else 'Northern'} Hemisphere")
+        params = [("latitude_of_origin", 0.0),
+                  ("central_meridian", zone * 6 - 183),
+                  ("scale_factor", 0.9996), ("false_easting", 500000.0),
+                  ("false_northing", 10000000.0 if south else 0.0)]
+    elif name == "tmerc":
+        proj_name, title = "Transverse_Mercator", "unnamed"
+        params = [("latitude_of_origin", g("lat_0")),
+                  ("central_meridian", g("lon_0")),
+                  ("scale_factor", g("k", 1.0)),
+                  ("false_easting", g("x_0")), ("false_northing", g("y_0"))]
+    elif name == "lcc":
+        proj_name, title = "Lambert_Conformal_Conic_2SP", "unnamed"
+        params = [("standard_parallel_1", g("lat_1")),
+                  ("standard_parallel_2", g("lat_2", g("lat_1"))),
+                  ("latitude_of_origin", g("lat_0")),
+                  ("central_meridian", g("lon_0")),
+                  ("false_easting", g("x_0")), ("false_northing", g("y_0"))]
+    elif name == "aea":
+        proj_name, title = "Albers_Conic_Equal_Area", "unnamed"
+        params = [("standard_parallel_1", g("lat_1")),
+                  ("standard_parallel_2", g("lat_2", g("lat_1"))),
+                  ("latitude_of_center", g("lat_0")),
+                  ("longitude_of_center", g("lon_0")),
+                  ("false_easting", g("x_0")), ("false_northing", g("y_0"))]
+    elif name == "merc":
+        if g("lat_ts") != 0.0:
+            proj_name, title = "Mercator_2SP", "unnamed"
+            params = [("standard_parallel_1", g("lat_ts")),
+                      ("central_meridian", g("lon_0")),
+                      ("false_easting", g("x_0")), ("false_northing", g("y_0"))]
+        else:
+            proj_name, title = "Mercator_1SP", "unnamed"
+            params = [("central_meridian", g("lon_0")), ("scale_factor", 1.0),
+                      ("false_easting", g("x_0")), ("false_northing", g("y_0"))]
+    elif name == "stere":
+        lat0 = g("lat_0", 90.0)
+        if abs(lat0) == 90.0:
+            # GDAL convention: Polar_Stereographic latitude_of_origin carries
+            # +lat_ts (the true-scale parallel); its sign selects the pole
+            proj_name, title = "Polar_Stereographic", "unnamed"
+            lat_ts = g("lat_ts", lat0)
+            params = [("latitude_of_origin",
+                       lat_ts if lat0 > 0 else -abs(lat_ts)),
+                      ("central_meridian", g("lon_0")),
+                      ("scale_factor", g("k", 1.0)),
+                      ("false_easting", g("x_0")), ("false_northing", g("y_0"))]
+        else:
+            proj_name, title = "Oblique_Stereographic", "unnamed"
+            params = [("latitude_of_origin", lat0),
+                      ("central_meridian", g("lon_0")),
+                      ("scale_factor", g("k", 1.0)),
+                      ("false_easting", g("x_0")), ("false_northing", g("y_0"))]
+    elif name == "sinu":
+        proj_name, title = "Sinusoidal", "unnamed"
+        params = [("longitude_of_center", g("lon_0")),
+                  ("false_easting", g("x_0")), ("false_northing", g("y_0"))]
+    elif name == "eqc":
+        proj_name, title = "Equirectangular", "unnamed"
+        params = [("standard_parallel_1", g("lat_ts")),
+                  ("central_meridian", g("lon_0")),
+                  ("false_easting", g("x_0")), ("false_northing", g("y_0"))]
+    else:
+        raise ValueError(f"proj4_to_wkt1: unsupported +proj={name!r}")
+    body = ",".join(f"PARAMETER[{_q(k)},{_num(v)}]" for k, v in params)
+    return (f"PROJCS[{_q(title)},{geogcs},PROJECTION[{_q(proj_name)}],"
+            f'{body},UNIT["metre",1]]')
+
+
+def _wkt_tokenize(s: str):
+    """WKT1 -> nested (name, [args]) tree.  Args are strings, floats, or
+    child tuples.  Accepts both OGC and ESRI punctuation (brackets or
+    parentheses, optional whitespace)."""
+    import re as _re
+
+    toks = _re.findall(r'"[^"]*"|[A-Za-z_][A-Za-z0-9_]*|-?\d+\.?\d*(?:[eE][-+]?\d+)?|[\[\](),]', s)
+    pos = 0
+
+    def parse():
+        nonlocal pos
+        name = toks[pos]; pos += 1
+        if pos >= len(toks) or toks[pos] not in "[(":
+            raise ValueError(f"WKT: expected '[' after {name}")
+        pos += 1
+        args = []
+        while True:
+            t = toks[pos]
+            if t in "])":
+                pos += 1
+                return (name, args)
+            if t == ",":
+                pos += 1
+                continue
+            if t.startswith('"'):
+                args.append(t[1:-1]); pos += 1
+            elif _re.fullmatch(r'-?\d+\.?\d*(?:[eE][-+]?\d+)?', t):
+                args.append(float(t)); pos += 1
+            else:
+                args.append(parse())
+    node = parse()
+    if pos != len(toks):
+        raise ValueError("WKT: trailing tokens")
+    return node
+
+
+def _wkt_children(node, name):
+    return [a for a in node[1] if isinstance(a, tuple) and a[0].upper() == name]
+
+
+# ESRI -> OGC morphs (morphFromESRI semantics, public GDAL behavior)
+_ESRI_PROJ_ALIASES = {
+    "LAMBERT_CONFORMAL_CONIC": "Lambert_Conformal_Conic_2SP",
+    "ALBERS": "Albers_Conic_Equal_Area",
+    "EQUIDISTANT_CYLINDRICAL": "Equirectangular",
+    "MERCATOR": "Mercator_2SP",
+    "STEREOGRAPHIC": "Oblique_Stereographic",
+    "DOUBLE_STEREOGRAPHIC": "Oblique_Stereographic",
+}
+_ESRI_PARAM_ALIASES = {
+    "LONGITUDE_OF_ORIGIN": "central_meridian",
+    "LATITUDE_OF_ORIGIN": "latitude_of_origin",
+    "CENTRAL_PARALLEL": "latitude_of_center",
+}
+
+
+def wkt1_to_proj4(wkt: str) -> str:
+    """OGC or ESRI WKT1 -> PROJ.4 string for the engine's projection set
+    (the esri2wkt.py direction plus the registry's native exchange form).
+    ESRI dialect is morphed: D_-prefixed datums, projection/parameter
+    aliases, GCS_ geogcs names."""
+    node = _wkt_tokenize(wkt.strip())
+    kind = node[0].upper()
+    if kind == "GEOGCS":
+        return _geogcs_to_proj4(node, projected=False)
+    if kind != "PROJCS":
+        raise ValueError(f"wkt1_to_proj4: expected PROJCS/GEOGCS, got {node[0]}")
+    geogcs = _wkt_children(node, "GEOGCS")[0]
+    base = _geogcs_to_proj4(geogcs, projected=True)
+    proj_name = _wkt_children(node, "PROJECTION")[0][1][0]
+    canon = _ESRI_PROJ_ALIASES.get(proj_name.upper(), proj_name)
+    prm = {}
+    for pn in _wkt_children(node, "PARAMETER"):
+        key = str(pn[1][0])
+        key = _ESRI_PARAM_ALIASES.get(key.upper(), key).lower()
+        prm[key] = float(pn[1][1])
+
+    def v(k, d=0.0):
+        return prm.get(k, d)
+
+    cu = canon.upper()
+    if cu == "TRANSVERSE_MERCATOR":
+        out = (f"+proj=tmerc +lat_0={_num(v('latitude_of_origin'))} "
+               f"+lon_0={_num(v('central_meridian'))} +k={_num(v('scale_factor', 1.0))} "
+               f"+x_0={_num(v('false_easting'))} +y_0={_num(v('false_northing'))}")
+    elif cu == "LAMBERT_CONFORMAL_CONIC_2SP":
+        out = (f"+proj=lcc +lat_1={_num(v('standard_parallel_1'))} "
+               f"+lat_2={_num(v('standard_parallel_2', v('standard_parallel_1')))} "
+               f"+lat_0={_num(v('latitude_of_origin'))} +lon_0={_num(v('central_meridian'))} "
+               f"+x_0={_num(v('false_easting'))} +y_0={_num(v('false_northing'))}")
+    elif cu == "ALBERS_CONIC_EQUAL_AREA":
+        out = (f"+proj=aea +lat_1={_num(v('standard_parallel_1'))} "
+               f"+lat_2={_num(v('standard_parallel_2', v('standard_parallel_1')))} "
+               f"+lat_0={_num(v('latitude_of_center'))} "
+               f"+lon_0={_num(v('longitude_of_center', v('central_meridian')))} "
+               f"+x_0={_num(v('false_easting'))} +y_0={_num(v('false_northing'))}")
+    elif cu in ("MERCATOR_1SP", "MERCATOR_2SP"):
+        lat_ts = v("standard_parallel_1") if cu == "MERCATOR_2SP" else 0.0
+        out = (f"+proj=merc +lat_ts={_num(lat_ts)} +lon_0={_num(v('central_meridian'))} "
+               f"+x_0={_num(v('false_easting'))} +y_0={_num(v('false_northing'))}")
+    elif cu == "POLAR_STEREOGRAPHIC":
+        lat_ts = v("latitude_of_origin", 90.0)
+        pole = 90.0 if lat_ts >= 0 else -90.0
+        out = (f"+proj=stere +lat_0={_num(pole)} +lat_ts={_num(lat_ts)} "
+               f"+lon_0={_num(v('central_meridian'))} +k={_num(v('scale_factor', 1.0))} "
+               f"+x_0={_num(v('false_easting'))} +y_0={_num(v('false_northing'))}")
+    elif cu == "OBLIQUE_STEREOGRAPHIC":
+        out = (f"+proj=stere +lat_0={_num(v('latitude_of_origin'))} "
+               f"+lon_0={_num(v('central_meridian'))} +k={_num(v('scale_factor', 1.0))} "
+               f"+x_0={_num(v('false_easting'))} +y_0={_num(v('false_northing'))}")
+    elif cu == "SINUSOIDAL":
+        out = (f"+proj=sinu +lon_0={_num(v('longitude_of_center', v('central_meridian')))} "
+               f"+x_0={_num(v('false_easting'))} +y_0={_num(v('false_northing'))}")
+    elif cu == "EQUIRECTANGULAR":
+        out = (f"+proj=eqc +lat_ts={_num(v('standard_parallel_1'))} "
+               f"+lon_0={_num(v('central_meridian'))} "
+               f"+x_0={_num(v('false_easting'))} +y_0={_num(v('false_northing'))}")
+    else:
+        raise ValueError(f"wkt1_to_proj4: unsupported PROJECTION {proj_name!r}")
+    return out + " " + base.split(" ", 1)[1]  # append ellipsoid/datum tail
+
+
+def _geogcs_to_proj4(node, projected: bool) -> str:
+    datum = _wkt_children(node, "DATUM")[0]
+    sph = _wkt_children(datum, "SPHEROID")[0]
+    a, rf = float(sph[1][1]), float(sph[1][2])
+    ell = None
+    for name, (ea, erf) in ELLIPSOIDS.items():
+        if abs(a - ea) < 1e-3 and abs(rf - erf) < 1e-6:
+            ell = name
+            break
+    tail = f"+ellps={ell}" if ell else f"+a={_num(a)} +rf={_num(rf)}"
+    tw = _wkt_children(datum, "TOWGS84")
+    if tw:
+        tail += " +towgs84=" + ",".join(f"{_num(float(x))}" for x in tw[0][1])
+    return ("+proj=placeholder " if projected else "+proj=longlat ") + tail
+
+
+def esri2wkt(esri_wkt: str) -> str:
+    """ESRI .prj contents -> OGC WKT1 (swig/python/scripts/esri2wkt.py)."""
+    return proj4_to_wkt1(wkt1_to_proj4(esri_wkt))
+
+
+def epsg_to_wkt1(code: int) -> str:
+    """EPSG code -> WKT1 for the transcribed well-known subset
+    (epsg_tr.py -wkt analog; the full EPSG database is not shipped)."""
+    if code not in EPSG_PROJ4:
+        raise KeyError(f"EPSG:{code} not in the transcribed subset "
+                       f"({len(EPSG_PROJ4)} codes)")
+    return proj4_to_wkt1(EPSG_PROJ4[code])

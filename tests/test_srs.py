@@ -2,6 +2,7 @@
 values, zone math — pure numpy (no Spark)."""
 
 import numpy as np
+import pytest
 
 from engine import srs
 
@@ -517,3 +518,85 @@ def test_oblique_stereographic_properties():
     xe, ye = eq.forward(np.array([25.0]), np.array([5.0]))
     lo, la = eq.inverse(xe, ye)
     assert abs(float(lo[0]) - 25.0) < 1e-9 and abs(float(la[0]) - 5.0) < 1e-9
+
+
+# ---------------------------------------------------- WKT1 dialect translation
+
+
+_WKT_RT_CASES = [
+    "+proj=longlat +ellps=WGS84",
+    "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 +y_0=-100000 +ellps=airy",
+    "+proj=utm +zone=33 +ellps=WGS84",
+    "+proj=utm +zone=19 +south +ellps=WGS84",
+    "+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 +x_0=700000 +y_0=6600000 +ellps=GRS80",
+    "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +x_0=0 +y_0=0 +ellps=GRS80",
+    "+proj=merc +lat_ts=10 +lon_0=5 +x_0=0 +y_0=0 +ellps=WGS84",
+    "+proj=merc +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
+    "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",
+    "+proj=stere +lat_0=52.15616056 +lon_0=5.38763889 +k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel",
+    "+proj=sinu +lon_0=12 +x_0=0 +y_0=0 +ellps=WGS84",
+    "+proj=eqc +lat_ts=30 +lon_0=7 +x_0=0 +y_0=0 +ellps=WGS84",
+    "+proj=lcc +lat_1=40 +lat_2=43 +lat_0=41 +lon_0=1 +x_0=0 +y_0=0 +ellps=WGS84 +towgs84=1,2,3,4,5,6,7",
+]
+
+
+@pytest.mark.parametrize("p4", _WKT_RT_CASES)
+def test_wkt1_roundtrip_preserves_transform(p4):
+    """proj4 -> WKT1 -> proj4 must produce a transformer with IDENTICAL
+    forward coordinates (the parity criterion, stronger than string
+    equality: utm legitimately re-expresses as explicit tmerc params)."""
+    w = srs.proj4_to_wkt1(p4)
+    back = srs.wkt1_to_proj4(w)
+    lon = np.array([-120.0, -3.0, 0.0, 7.25, 151.2])
+    lat = np.array([-65.0, -10.0, 0.5, 48.85, 70.0])
+    t1, t2 = srs.make_transformer(p4), srs.make_transformer(back)
+    x1, y1 = t1.forward(lon, lat)
+    x2, y2 = t2.forward(lon, lat)
+    assert np.allclose(x1, x2, rtol=0, atol=1e-6)
+    assert np.allclose(y1, y2, rtol=0, atol=1e-6)
+    # and the WKT re-emits identically (writer is canonical)
+    assert srs.proj4_to_wkt1(back) == srs.proj4_to_wkt1(srs.wkt1_to_proj4(w))
+
+
+def test_wkt1_geogcs_roundtrip():
+    w = srs.proj4_to_wkt1("+proj=longlat +ellps=clrk66")
+    assert w.startswith("GEOGCS[")
+    assert srs.wkt1_to_proj4(w) == "+proj=longlat +ellps=clrk66"
+
+
+def test_esri_dialect_morph():
+    """esri2wkt semantics: D_ datum prefix, alias projection/parameter
+    names, GCS_ geogcs — morphed to the OGC form (esri2wkt.py direction)."""
+    esri = (
+        'PROJCS["NAD_1983_Albers",GEOGCS["GCS_North_American_1983",'
+        'DATUM["D_North_American_1983",SPHEROID["GRS_1980",6378137.0,298.257222101]],'
+        'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Albers"],PARAMETER["False_Easting",0.0],'
+        'PARAMETER["False_Northing",0.0],PARAMETER["Central_Meridian",-96.0],'
+        'PARAMETER["Standard_Parallel_1",29.5],PARAMETER["Standard_Parallel_2",45.5],'
+        'PARAMETER["Central_Parallel",23.0],UNIT["Meter",1.0]]'
+    )
+    p4 = srs.wkt1_to_proj4(esri)
+    assert p4.startswith("+proj=aea")
+    t = srs.make_transformer(p4)
+    ref = srs.make_transformer(
+        "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 "
+        "+x_0=0 +y_0=0 +ellps=GRS80")
+    lon, lat = np.array([-100.0, -80.0]), np.array([30.0, 45.0])
+    assert np.allclose(t.forward(lon, lat), ref.forward(lon, lat))
+    ogc = srs.esri2wkt(esri)
+    assert 'PROJECTION["Albers_Conic_Equal_Area"]' in ogc
+    assert 'DATUM["North_American_Datum_1983"' in ogc
+
+
+def test_epsg_subset():
+    """epsg_tr -wkt analog over the transcribed public subset: every code
+    yields a WKT that round-trips to a buildable transformer."""
+    assert len(srs.EPSG_PROJ4) == 128  # 8 named + 120 UTM
+    for code in (4326, 2154, 5070, 3031, 3413, 32633, 32719):
+        w = srs.epsg_to_wkt1(code)
+        p4 = srs.wkt1_to_proj4(w)
+        srs.make_transformer(p4)  # must not raise
+    assert 'UTM Zone 19, Southern Hemisphere' in srs.epsg_to_wkt1(32719)
+    with pytest.raises(KeyError):
+        srs.epsg_to_wkt1(99999)
