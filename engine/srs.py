@@ -825,6 +825,10 @@ def srs_info(proj4: str) -> dict:
     except (ValueError, KeyError) as exc:
         supported = False
         reason = str(exc)
+    try:
+        wkt1 = proj4_to_wkt1(dict(p))
+    except (ValueError, KeyError):
+        wkt1 = None
     return {
         "proj": p["proj"],
         "params": {k: v for k, v in p.items() if k != "proj"},
@@ -832,6 +836,7 @@ def srs_info(proj4: str) -> dict:
         "inverse_flattening": inv_f,
         "supported": supported,
         "reason": reason,
+        "wkt1": wkt1,
     }
 
 
