@@ -2515,7 +2515,16 @@ def _q_warp_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from engine import srs
 
-    lcc = srs.LCCTransformer(**_LCC_PARAMS)
+    # The LCC transformer is deliberately built through a WKT1 ROUND-TRIP
+    # (proj4 -> OGC WKT1 -> proj4 -> make_transformer) so the driver gate
+    # value-checks the dialect-translation layer too: the round-trip is
+    # coordinate-identity-preserving (tests/test_srs.py pins it per
+    # projection), so the oracle's Snyder closed forms stay unchanged.
+    lcc = srs.make_transformer(srs.wkt1_to_proj4(srs.proj4_to_wkt1(
+        f"+proj=lcc +lat_1={_LCC_PARAMS['lat1']} +lat_2={_LCC_PARAMS['lat2']} "
+        f"+lat_0={_LCC_PARAMS['lat0']} +lon_0={_LCC_PARAMS['lon0']} "
+        "+x_0=0 +y_0=0 +ellps=WGS84"
+    )))
     ob = srs.ObliqueStereographicTransformer(
         _STERE_LAT0, _STERE_LON0, _STERE_K0, ellipsoid="clrk66"
     )
