@@ -61,10 +61,10 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def decode_image(buf: bytes, meta) -> np.ndarray:
-    """Real decode path: PNG and baseline JPEG via the pure-numpy codecs
-    (engine/png.py, engine/jpeg.py — always available), any other format
-    via PIL when present; exotic formats without PIL raise (the documented
-    stub path)."""
+    """Real decode path: PNG, baseline+progressive JPEG, and TIFF via the
+    pure-numpy codecs (engine/png.py, engine/jpeg.py, engine/tiff.py —
+    always available), any other format via PIL when present; exotic
+    formats without PIL raise (the documented stub path)."""
     buf = bytes(buf)
     if buf[:8] == _PNG_SIG:
         from engine import png
@@ -75,11 +75,16 @@ def decode_image(buf: bytes, meta) -> np.ndarray:
         from engine import jpeg
 
         return jpeg.decode_jpeg(buf)
+    if buf[:4] in (b"II*\x00", b"MM\x00*"):
+        from engine import tiff
+
+        arr = tiff.decode_tiff(buf)
+        return arr[:, :, None] if arr.ndim == 2 else arr
     if not _HAVE_PIL:
         raise NotImplementedError(
-            "non-PNG/JPEG image codec not available in this runtime; "
-            "encode fixtures as PNG (engine.png) / JPEG (engine.jpeg) "
-            "or use fake_decode"
+            "non-PNG/JPEG/TIFF image codec not available in this runtime; "
+            "encode fixtures as PNG (engine.png) / JPEG (engine.jpeg) / "
+            "TIFF (engine.tiff) or use fake_decode"
         )
     import io
 

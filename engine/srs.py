@@ -19,6 +19,8 @@ by wrapping pixel grids around :class:`UTMTransformer`.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 # WGS84
@@ -726,7 +728,12 @@ def make_transformer(proj4: str | dict):
     ellps = p.get("ellps", "WGS84")
     if isinstance(ellps, str) and ellps not in ELLIPSOIDS:
         raise ValueError(f"unknown ellipsoid {ellps!r}")
-    if "a" in p and "rf" in p:
+    if "a" in p and "b" in p:
+        # +a/+b pair; a == b is a sphere (rf → ∞ ⇒ e² = 0) — the EPSG:3857
+        # web-mercator definition (+proj=merc +a=6378137 +b=6378137)
+        a_, b_ = float(p["a"]), float(p["b"])
+        ellps = (a_, math.inf if a_ == b_ else a_ / (a_ - b_))
+    elif "a" in p and "rf" in p:
         ellps = (float(p["a"]), float(p["rf"]))
 
     if name == "longlat":
@@ -877,6 +884,9 @@ EPSG_PROJ4 = {
            "+x_0=0 +y_0=0 +ellps=WGS84"),
     3413: ("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 "
            "+x_0=0 +y_0=0 +ellps=WGS84"),
+    # WGS 84 / Pseudo-Mercator (web mercator): mercator on the WGS84 SPHERE
+    3857: ("+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 "
+           "+x_0=0 +y_0=0 +k=1 +units=m +no_defs"),
 }
 # UTM north 326xx / south 327xx, zones 1-60 (WGS84)
 EPSG_PROJ4.update({
@@ -898,7 +908,14 @@ def _num(v: float) -> str:
 
 def _geogcs_wkt(p: dict) -> str:
     ellps = p.get("ellps", "WGS84")
-    if "a" in p and "rf" in p:
+    if "a" in p and "b" in p:
+        # sphere (a == b) writes inverse flattening 0 per WKT1 convention
+        a, b = float(p["a"]), float(p["b"])
+        rf = 0.0 if a == b else a / (a - b)
+        sph, datum, gname = (f"Sphere ({_num(a)})" if a == b
+                             else f"Custom ({_num(a)},{_num(b)})",
+                             "Custom_Datum", "Custom")
+    elif "a" in p and "rf" in p:
         a, rf = float(p["a"]), float(p["rf"])
         sph, datum, gname = (f"Custom ({_num(a)},{_num(rf)})", "Custom_Datum", "Custom")
     else:
@@ -1136,7 +1153,12 @@ def _geogcs_to_proj4(node, projected: bool) -> str:
         if abs(a - ea) < 1e-3 and abs(rf - erf) < 1e-6:
             ell = name
             break
-    tail = f"+ellps={ell}" if ell else f"+a={_num(a)} +rf={_num(rf)}"
+    if ell:
+        tail = f"+ellps={ell}"
+    elif rf == 0.0:                       # WKT1 sphere convention (rf = 0)
+        tail = f"+a={_num(a)} +b={_num(a)}"
+    else:
+        tail = f"+a={_num(a)} +rf={_num(rf)}"
     tw = _wkt_children(datum, "TOWGS84")
     if tw:
         tail += " +towgs84=" + ",".join(f"{_num(float(x))}" for x in tw[0][1])

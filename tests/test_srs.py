@@ -592,8 +592,8 @@ def test_esri_dialect_morph():
 def test_epsg_subset():
     """epsg_tr -wkt analog over the transcribed public subset: every code
     yields a WKT that round-trips to a buildable transformer."""
-    assert len(srs.EPSG_PROJ4) == 128  # 8 named + 120 UTM
-    for code in (4326, 2154, 5070, 3031, 3413, 32633, 32719):
+    assert len(srs.EPSG_PROJ4) == 129  # 9 named (incl. 3857) + 120 UTM
+    for code in (4326, 2154, 5070, 3031, 3413, 3857, 32633, 32719):
         w = srs.epsg_to_wkt1(code)
         p4 = srs.wkt1_to_proj4(w)
         srs.make_transformer(p4)  # must not raise

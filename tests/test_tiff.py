@@ -1,0 +1,285 @@
+"""TIFF / GeoTIFF codec (engine/tiff.py) — the reference's flagship raster
+format (frmts/gtiff/geotiff.cpp delegates to libtiff/libgeotiff; here the
+needed subset is re-implemented from the public TIFF 6.0 / TechNote 3 /
+OGC GeoTIFF specs).
+
+Oracles are independent of the encoder wherever possible: hand-crafted
+byte-literal files (both endians), the TIFF 6.0 §9 PackBits worked example,
+and an LZW stream bit-packed directly from a hand-derived code list.
+"""
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from engine import tiff
+
+
+# ---------------------------------------------------------------------------
+# independent decode oracles
+# ---------------------------------------------------------------------------
+
+def _entry(bo, tag, typ, cnt, val_bytes):
+    ent = struct.pack(bo + "HHI", tag, typ, cnt)
+    return ent + val_bytes.ljust(4, b"\0")
+
+
+def _handmade(bo, pixel_bytes, entries):
+    """Minimal single-IFD TIFF assembled by hand (data at offset 8,
+    IFD after the data)."""
+    ifd_off = 8 + len(pixel_bytes)
+    head = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, ifd_off)
+    ifd = struct.pack(bo + "H", len(entries)) + b"".join(entries) + struct.pack(bo + "I", 0)
+    return head + pixel_bytes + ifd
+
+
+def test_handmade_little_endian_gray():
+    # 3x2 uint8, one uncompressed strip, data = [[1,2,3],[4,250,0]]
+    bo = "<"
+    data = bytes([1, 2, 3, 4, 250, 0])
+    entries = [
+        _entry(bo, 256, 3, 1, struct.pack(bo + "H", 3)),    # width
+        _entry(bo, 257, 3, 1, struct.pack(bo + "H", 2)),    # height
+        _entry(bo, 258, 3, 1, struct.pack(bo + "H", 8)),    # bits
+        _entry(bo, 259, 3, 1, struct.pack(bo + "H", 1)),    # no compression
+        _entry(bo, 273, 4, 1, struct.pack(bo + "I", 8)),    # strip offset
+        _entry(bo, 278, 3, 1, struct.pack(bo + "H", 2)),    # rows/strip
+        _entry(bo, 279, 4, 1, struct.pack(bo + "I", 6)),    # strip bytes
+    ]
+    out = tiff.decode_tiff(_handmade(bo, data, entries))
+    assert out.dtype == np.uint8
+    assert np.array_equal(out, np.array([[1, 2, 3], [4, 250, 0]], dtype=np.uint8))
+
+
+def test_handmade_big_endian_uint16_predictor2():
+    # MM byte order, 4x1 uint16 strip, horizontal predictor:
+    # stored deltas (BE) 1000, +23, -5, +70000 wraps → values below
+    bo = ">"
+    vals = np.array([1000, 1023, 1018, 2554], dtype=np.uint16)
+    deltas = np.array([1000, 23, 65531, 1536], dtype=np.uint16)  # mod-2^16 diffs
+    assert np.array_equal(np.cumsum(deltas, dtype=np.uint16), vals)
+    data = deltas.astype(">u2").tobytes()
+    entries = [
+        _entry(bo, 256, 3, 1, struct.pack(bo + "H", 4)),
+        _entry(bo, 257, 3, 1, struct.pack(bo + "H", 1)),
+        _entry(bo, 258, 3, 1, struct.pack(bo + "H", 16)),
+        _entry(bo, 259, 3, 1, struct.pack(bo + "H", 1)),
+        _entry(bo, 273, 4, 1, struct.pack(bo + "I", 8)),
+        _entry(bo, 279, 4, 1, struct.pack(bo + "I", 8)),
+        _entry(bo, 317, 3, 1, struct.pack(bo + "H", 2)),    # predictor 2
+    ]
+    out = tiff.decode_tiff(_handmade(bo, data, entries))
+    assert out.dtype == np.uint16
+    assert np.array_equal(out, vals[None, :])
+
+
+def test_packbits_spec_example():
+    # TIFF 6.0 §9 worked example (packed → unpacked)
+    packed = bytes.fromhex("FEAA0280002AFDAA038000 2A22F7AA".replace(" ", ""))
+    unpacked = bytes.fromhex(
+        "AAAAAA80002AAAAAAAAA80002A22AAAAAAAAAAAAAAAAAAAA")
+    assert tiff._packbits_decode(packed) == unpacked
+    # and our encoder's output must decode to the same bytes
+    assert tiff._packbits_decode(tiff._packbits_encode(unpacked)) == unpacked
+
+
+def test_lzw_decode_hand_packed_codes():
+    """Bit-pack a hand-derived TIFF-LZW code sequence for b'ABABABA' and
+    check the decoder reconstructs it.  Derivation: CLEAR; 'A'(65);
+    'B'(66) adds AB=258; 'AB'(258) adds BA=259; then w='AB'+'A' misses →
+    ABA=260 is added and immediately needed — code 260 arrives while the
+    decoder's table has 260 entries, the KwKwK case; EOI.
+    Codes: 256, 65, 66, 258, 260, 257 → 'A'+'B'+'AB'+'ABA'."""
+    codes = [256, 65, 66, 258, 260, 257]
+    acc = accbits = 0
+    out = bytearray()
+    for c in codes:
+        acc = (acc << 9) | c
+        accbits += 9
+        while accbits >= 8:
+            accbits -= 8
+            out.append((acc >> accbits) & 0xFF)
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    assert tiff._lzw_decode(bytes(out)) == b"ABABABA"
+    # encoder must produce exactly this canonical stream
+    assert tiff._lzw_encode(b"ABABABA") == bytes(out)
+
+
+def test_lzw_table_reset_and_width_growth():
+    rng = np.random.default_rng(3)
+    # low-entropy stream long enough to cross 9→10→11→12 bit widths and
+    # force at least one table reset at 4094 entries
+    data = rng.integers(0, 5, 200_000, dtype=np.uint8).tobytes()
+    enc = tiff._lzw_encode(data)
+    assert tiff._lzw_decode(enc) == data
+    assert len(enc) < len(data)
+
+
+# ---------------------------------------------------------------------------
+# encoder round-trips
+# ---------------------------------------------------------------------------
+
+_ARRAYS = {
+    "gray_u8": np.random.default_rng(1).integers(0, 256, (33, 47), dtype=np.uint8),
+    "rgb_u8": np.random.default_rng(2).integers(0, 256, (40, 31, 3), dtype=np.uint8),
+    "u16": np.random.default_rng(3).integers(0, 65536, (21, 40), dtype=np.uint16),
+    "i32": np.random.default_rng(4).integers(-2**31, 2**31, (17, 19), dtype=np.int32),
+    "f32": np.random.default_rng(5).normal(size=(25, 30)).astype(np.float32),
+    "f64_rgba": np.random.default_rng(6).normal(size=(12, 13, 4)),
+}
+
+
+@pytest.mark.parametrize("comp", ["none", "deflate", "lzw", "packbits"])
+@pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.parametrize("predictor", [False, True])
+def test_roundtrip_matrix(comp, tiled, predictor):
+    for planar in (False, True):
+        for name, arr in _ARRAYS.items():
+            buf = tiff.encode_tiff(arr, compression=comp, tiled=tiled,
+                                   predictor=predictor, planar=planar,
+                                   tile_size=16, rows_per_strip=10)
+            out = tiff.decode_tiff(buf)
+            assert out.shape == arr.shape and out.dtype == arr.dtype, name
+            assert np.array_equal(out, arr), (name, comp, tiled, predictor, planar)
+
+
+def test_multi_ifd_overview_chain():
+    base = _ARRAYS["rgb_u8"]
+    ovr1, ovr2 = base[::2, ::2], base[::4, ::4]
+    buf = tiff.encode_tiff_multi([base, ovr1, ovr2], compression="deflate")
+    outs = tiff.decode_tiff_all(buf)
+    assert len(outs) == 3
+    for got, want in zip(outs, [base, ovr1, ovr2]):
+        assert np.array_equal(got, want)
+    info = tiff.tiff_info(buf)
+    assert info["overviews"] == [(16, 20), (8, 10)]
+
+
+def test_float_predictor_is_byte_split():
+    """Predictor 3's on-disk layout is the TechNote-3 byte split: the
+    first n bytes of a differenced row must be the big-endian MSBs."""
+    row = np.array([[1.0, 1.0, 1.0]], dtype=np.float32)[:, :, None]
+    raw = tiff._apply_predictor(row, 3)
+    be = row.astype(">f4").tobytes()
+    # undiff manually: cumsum of the emitted bytes
+    acc = np.cumsum(np.frombuffer(raw.tobytes(), np.uint8), dtype=np.uint8)
+    planes = acc.reshape(4, 3)
+    rebuilt = bytes(planes.T.reshape(-1))
+    assert rebuilt == be
+
+
+# ---------------------------------------------------------------------------
+# GeoTIFF tags
+# ---------------------------------------------------------------------------
+
+def test_geotiff_tags_roundtrip_projected():
+    geo = {"pixel_scale": (30.0, 30.0),
+           "tiepoint": (0, 0, 0, 600000.0, 5100000.0, 0),
+           "epsg": 32632, "model_type": 1,
+           "citation": "WGS 84 / UTM zone 32N"}
+    buf = tiff.encode_tiff(_ARRAYS["u16"], geo=geo, compression="deflate")
+    info = tiff.tiff_info(buf)
+    assert info["geotransform"] == (600000.0, 30.0, 0.0, 5100000.0, 0.0, -30.0)
+    assert info["epsg"] == 32632
+    assert info["proj4"] == "+proj=utm +zone=32 +ellps=WGS84"
+    assert info["wkt"].startswith("PROJCS[")
+    assert info["geokeys"][tiff.GK_MODEL_TYPE] == 1
+    assert info["geokeys"][tiff.GK_RASTER_TYPE] == 1
+    assert info["geokeys"][tiff.GK_CITATION] == "WGS 84 / UTM zone 32N"
+
+
+def test_geotiff_tags_roundtrip_geographic():
+    geo = {"pixel_scale": (0.05, 0.05), "tiepoint": (0, 0, 0, -180.0, 90.0, 0),
+           "epsg": 4326, "model_type": 2}
+    buf = tiff.encode_tiff(_ARRAYS["gray_u8"], geo=geo)
+    info = tiff.tiff_info(buf)
+    assert info["epsg"] == 4326
+    assert info["geokeys"][tiff.GK_GEOGRAPHIC_TYPE] == 4326
+    assert tiff.GK_PROJECTED_TYPE not in info["geokeys"]
+    assert info["proj4"] == "+proj=longlat +ellps=WGS84"
+    assert info["geotransform"][0] == -180.0 and info["geotransform"][3] == 90.0
+
+
+def test_web_mercator_epsg_resolves_to_tile_math():
+    from engine import srs, tiles
+
+    tr = srs.make_transformer(srs.EPSG_PROJ4[3857])
+    lon = np.array([-179.9, -77.03, 0.0, 12.5, 151.2])
+    lat = np.array([-84.9, 38.9, 0.0, 41.9, -33.87])
+    x, y = tr.forward(lon, lat)
+    mx, my = tiles.lonlat_to_meters(lon, lat)
+    assert np.allclose(x, mx, atol=1e-6) and np.allclose(y, my, atol=1e-6)
+    lo, la = tr.inverse(x, y)
+    assert np.allclose(lo, lon, atol=1e-9) and np.allclose(la, lat, atol=1e-9)
+    # WKT1 writes the sphere as inverse-flattening 0 and round-trips
+    w = srs.epsg_to_wkt1(3857)
+    assert 'SPHEROID["Sphere (6378137)",6378137,0]' in w
+    tr2 = srs.make_transformer(srs.wkt1_to_proj4(w))
+    x2, y2 = tr2.forward(lon, lat)
+    assert np.allclose(x2, x) and np.allclose(y2, y)
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+def _demo_tiles(spark, n=7, zoom=5):
+    from engine import raster
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for k in range(n):
+        grid = rng.integers(0, 1000, (256, 256), dtype=np.int32)
+        rows.append((zoom, int(3 + k), int(9 + (k % 3)), raster.tile_to_bytes(grid)))
+    return spark.createDataFrame(rows, raster.TILE_SCHEMA)
+
+
+def test_tiles_to_geotiff_roundtrip(spark):
+    from engine import raster
+
+    src = _demo_tiles(spark)
+    tiffs = tiff.tiles_to_geotiff(src, compression="deflate")
+    rows = {(r.zoom, r.tx, r.ty): bytes(r.tiff) for r in tiffs.collect()}
+    assert len(rows) == 7
+    # every tile is a valid standalone GeoTIFF with mercator georeferencing
+    info = tiff.tiff_info(rows[(5, 3, 9)])
+    assert info["width"] == info["height"] == 256
+    assert info["epsg"] == 3857 and info["dtype"] == "i4"
+    from engine import tiles as tl
+
+    minx, _, _, maxy = tl.tile_bounds(3, 9, 5)
+    gt = info["geotransform"]
+    assert math.isclose(gt[0], float(minx)) and math.isclose(gt[3], float(maxy))
+    assert math.isclose(gt[1], tl.resolution(5))
+
+    # ingest back — (zoom, tx, ty) derived from the embedded geo tags only
+    back = tiff.geotiff_to_tiles(tiffs.select("tiff"))
+    got = {(r.zoom, r.tx, r.ty): bytes(r.data) for r in back.collect()}
+    want = {(r.zoom, r.tx, r.ty): bytes(r.data) for r in src.collect()}
+    assert got == want
+
+
+def test_geotiff_to_tiles_rejects_non_mercator(spark):
+    import pandas as pd
+
+    geo = {"pixel_scale": (30.0, 30.0), "tiepoint": (0, 0, 0, 0.0, 0.0, 0),
+           "epsg": 32632, "model_type": 1}
+    buf = tiff.encode_tiff(np.zeros((256, 256), np.int32), geo=geo)
+    df = spark.createDataFrame(pd.DataFrame({"tiff": [buf]}))
+    with pytest.raises(Exception, match="not web-mercator"):
+        tiff.geotiff_to_tiles(df).collect()
+
+
+def test_multimodal_decode_image_tiff():
+    from engine import multimodal
+
+    arr = _ARRAYS["rgb_u8"]
+    out = multimodal.decode_image(tiff.encode_tiff(arr, compression="lzw"), None)
+    assert np.array_equal(out, arr)
+    gray = _ARRAYS["gray_u8"]
+    out = multimodal.decode_image(tiff.encode_tiff(gray), None)
+    assert out.shape == gray.shape + (1,)
+    assert np.array_equal(out[:, :, 0], gray)
