@@ -257,6 +257,26 @@ def main():
         ),
         timings,
     )
+    # late round-5 addition: GeoTIFF egress + ingest over the persisted z5
+    # raster — every tile becomes a standalone georeferenced GeoTIFF
+    # (deflate + horizontal predictor), then is ingested back with
+    # (zoom, tx, ty) re-derived from the embedded geo tags only; the
+    # checksum-sum equality against the pre-computed reference pins
+    # bit-identity (gdal_translate GTiff round-trip analog)
+    from engine import tiff as _tiff
+
+    _ck_ref = raster.tile_checksums(base).agg(
+        F.sum("checksum").alias("s"), F.count("*").alias("n")
+    ).collect()[0]
+
+    def _geotiff():
+        got = raster.tile_checksums(
+            _tiff.geotiff_to_tiles(_tiff.tiles_to_geotiff(base).select("tiff"))
+        ).agg(F.sum("checksum").alias("s"), F.count("*").alias("n")).collect()[0]
+        assert (got.s, got.n) == (_ck_ref.s, _ck_ref.n), "GeoTIFF round-trip drift"
+
+    _run("geotiff_codec", _geotiff, timings)
+
     binar.unpersist()
     base.unpersist()
 
