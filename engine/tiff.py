@@ -309,8 +309,32 @@ def _apply_predictor(seg: np.ndarray, predictor: int) -> np.ndarray:
 # IFD parsing
 # ---------------------------------------------------------------------------
 
-def _read_ifds(buf: bytes):
-    """→ (byteorder_char, [ {tag: value} per IFD ])."""
+class _RangeReader:
+    """Lazy byte-range view of a file exposing the slice protocol, so IFD
+    parsing touches only the ranges it needs — the access pattern a COG
+    reader issues as HTTP/S3 range requests (the scale path; locally it is
+    seek+read).  Tracks bytes_read so tests can assert header-only IO."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "rb")
+        self.reads = 0
+        self.bytes_read = 0
+
+    def __getitem__(self, sl: slice) -> bytes:
+        start = sl.start or 0
+        self._f.seek(start)
+        out = self._f.read(max(0, (sl.stop or start) - start))
+        self.reads += 1
+        self.bytes_read += len(out)
+        return out
+
+    def close(self) -> None:
+        self._f.close()
+
+
+def _read_ifds(buf):
+    """→ (byteorder_char, [ {tag: value} per IFD ]).  ``buf`` is bytes or
+    a :class:`_RangeReader` (only slice access is used)."""
     if buf[:2] == b"II":
         bo = "<"
     elif buf[:2] == b"MM":
@@ -385,6 +409,8 @@ def _decode_ifd(buf: bytes, bo: str, t: dict) -> np.ndarray:
     for p in range(planes):
         for s in range(per_plane):
             idx = p * per_plane + s
+            if offs[idx] == 0 or cnts[idx] == 0:
+                continue                  # sparse tile (GDAL SPARSE_OK) → fill
             raw = _decompress(buf[offs[idx] : offs[idx] + cnts[idx]], comp)
             ry, rx = divmod(s, ta)
             rows = min(th, h - ry * th) if not tiled else th
@@ -761,3 +787,264 @@ def geotiff_to_tiles(df, col: str = "tiff"):
                                 "data": ds})
 
     return df.mapInPandas(_dec, raster.TILE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# COG path: one big tiled GeoTIFF ↔ the engine tile table
+#
+# Ingest is the 100-TB-honest shape: the driver lazily parses ONLY the
+# header/IFD byte ranges (a few KB — the same ranges a cloud-optimized
+# reader fetches as S3/HTTP range requests), builds a (tile → byte range)
+# manifest DataFrame, and executors each read+decode just their own
+# segments.  No machine ever holds the whole file.
+# ---------------------------------------------------------------------------
+
+
+def cog_ifd(path: str) -> dict:
+    """Driver-side lazy header parse of a (possibly huge) tiled GeoTIFF.
+    Returns the first IFD's tags plus {'bytes_read'}: how much of the file
+    the parse actually touched (tests pin this ≪ file size)."""
+    r = _RangeReader(path)
+    try:
+        bo, ifds = _read_ifds(r)
+        return {"byteorder": bo, "tags": ifds[0], "n_ifds": len(ifds),
+                "bytes_read": r.bytes_read, "reads": r.reads}
+    finally:
+        r.close()
+
+
+def cog_to_tiles(spark, path: str):
+    """Distributed ingest of one tiled web-mercator GeoTIFF into the engine
+    tile table.  Driver reads only the IFD ranges (:func:`cog_ifd`); a
+    manifest DataFrame of (tx, ty, offset, count) fans the per-tile byte
+    ranges out to executors, which seek+read+decompress just their own
+    256×256 segments (the frmts/gtiff tile-cache read path, re-expressed
+    as a range-request manifest).  Sparse entries (offset 0 — GDAL
+    SPARSE_OK convention) are skipped."""
+    import pandas as pd
+    from pyspark.sql.types import (LongType, StructField, StructType)
+
+    from engine import raster, tiles
+
+    hdr = cog_ifd(path)
+    t = hdr["tags"]
+    if T_TILE_WIDTH not in t:
+        raise ValueError("cog_to_tiles: not a tiled TIFF")
+    tw, th = int(t[T_TILE_WIDTH]), int(t[T_TILE_HEIGHT])
+    if (tw, th) != (raster.TILE_SIZE, raster.TILE_SIZE):
+        raise ValueError("cog_to_tiles: tile size must be 256×256")
+    if int(t.get(T_SPP, 1)) != 1:
+        raise ValueError("cog_to_tiles: single-band only")
+    keys = _parse_geokeys(t)
+    epsg = keys.get(GK_PROJECTED_TYPE)
+    if epsg != WEB_MERCATOR_EPSG:
+        raise ValueError("cog_to_tiles: not web-mercator")
+    sx = t[T_PIXEL_SCALE][0]
+    i, j, _k, x0, y0, _z = t[T_TIEPOINT][:6]
+    gx, gy = x0 - i * sx, y0 + j * sx
+    zoom = round(math.log2(tiles.INITIAL_RESOLUTION / sx))
+    if not math.isclose(sx, tiles.resolution(zoom), rel_tol=1e-9):
+        raise ValueError("cog_to_tiles: off-ladder resolution")
+    span = sx * raster.TILE_SIZE
+    tx0 = (gx + tiles.ORIGIN_SHIFT) / span
+    ty_top = (gy + tiles.ORIGIN_SHIFT) / span       # top edge, tiles from bottom
+    if not (math.isclose(tx0, round(tx0), abs_tol=1e-6)
+            and math.isclose(ty_top, round(ty_top), abs_tol=1e-6)):
+        raise ValueError("cog_to_tiles: origin not tile-grid aligned")
+    w, h = int(t[T_WIDTH]), int(t[T_HEIGHT])
+    if w % tw or h % th:
+        raise ValueError("cog_to_tiles: dimensions not multiples of the tile size")
+    ta = w // tw
+    bits = _as_list(t.get(T_BITS, 8))[0]
+    fmt = _as_list(t.get(T_SAMPLE_FORMAT, 1))[0]
+    dtype_str = hdr["byteorder"] + _DTYPES[(int(fmt) if int(fmt) != 4 else 1, int(bits))]
+    comp = int(t.get(T_COMPRESSION, 1))
+    pred = int(t.get(T_PREDICTOR, 1))
+
+    offs, cnts = _as_list(t[T_TILE_OFFSETS]), _as_list(t[T_TILE_COUNTS])
+    rows = []
+    for s, (o, c) in enumerate(zip(offs, cnts)):
+        if o == 0:                                   # sparse (absent) tile
+            continue
+        ry, rx = divmod(s, ta)
+        rows.append((int(round(tx0)) + rx, int(round(ty_top)) - 1 - ry, int(o), int(c)))
+    manifest = spark.createDataFrame(
+        rows,
+        StructType([StructField("tx", LongType()), StructField("ty", LongType()),
+                    StructField("offset", LongType()), StructField("count", LongType())]),
+    ).repartition(max(spark.sparkContext.defaultParallelism, 1))
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        with open(path, "rb") as f:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ds = []
+                for o, c in zip(pdf["offset"], pdf["count"]):
+                    f.seek(int(o))
+                    raw = _decompress(f.read(int(c)), comp)
+                    seg = np.frombuffer(raw, dtype=np.dtype(dtype_str),
+                                        count=th * tw).reshape(th, tw, 1).copy()
+                    seg = _undo_predictor(seg, pred)
+                    ds.append(raster.tile_to_bytes(seg[:, :, 0].astype(np.int32)))
+                yield pd.DataFrame({
+                    "zoom": pd.array([zoom] * len(ds), dtype="int32"),
+                    "tx": pdf["tx"], "ty": pdf["ty"], "data": ds})
+
+    return manifest.mapInPandas(_fetch, raster.TILE_SCHEMA)
+
+
+def write_cog(tile_df, path: str, compression: str = "deflate",
+              predictor: bool = True, overview_levels: int = 0) -> dict:
+    """Stream the engine tile table into ONE tiled web-mercator GeoTIFF.
+
+    Two bounded-memory phases: executors compress every 256×256 tile to
+    its final segment bytes (distributed CPU work), then the driver
+    STREAMS the segments to disk with ``toLocalIterator`` — it never holds
+    more than one partition — recording offsets as it goes, and appends
+    the IFD chain at the end (the classic TIFF trailing-IFD layout; the
+    header's first-IFD pointer is patched last).  Absent grid positions
+    get offset 0 / count 0 — GDAL's SPARSE_OK convention.  With
+    ``overview_levels`` > 0, AVERAGE pyramid levels are appended as
+    overview IFDs (gt_overview.cpp layout).  Returns a manifest dict."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from engine import raster, tiles
+
+    comp_id = _COMP_IDS[compression]
+    levels = [tile_df]
+    for _ in range(overview_levels):
+        levels.append(raster.pyramid_reduce(levels[-1]))
+
+    def _compress_level(df):
+        def _cmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                segs = []
+                for d in pdf["data"]:
+                    grid = raster.bytes_to_tile(d)[:, :, None]
+                    pred = 2 if predictor else 1
+                    segs.append(_compress(
+                        np.ascontiguousarray(
+                            _apply_predictor(grid.astype("<i4"), pred)).tobytes(),
+                        comp_id))
+                yield pd.DataFrame({"zoom": pdf["zoom"], "tx": pdf["tx"],
+                                    "ty": pdf["ty"], "seg": segs})
+
+        from pyspark.sql.types import (BinaryType, IntegerType, LongType,
+                                       StructField, StructType)
+
+        seg_schema = StructType([
+            StructField("zoom", IntegerType()), StructField("tx", LongType()),
+            StructField("ty", LongType()), StructField("seg", BinaryType()),
+        ])
+        return df.mapInPandas(_cmp, seg_schema)
+
+    manifest: dict = {"levels": []}
+    per_level = []
+    with open(path, "wb") as f:
+        f.write(struct.pack("<2sHI", b"II", 42, 0))   # IFD pointer patched below
+        pos = 8
+        for li, df in enumerate(levels):
+            ext = df.agg(
+                F.min("zoom").alias("z0"), F.max("zoom").alias("z1"),
+                F.min("tx").alias("x0"), F.max("tx").alias("x1"),
+                F.min("ty").alias("y0"), F.max("ty").alias("y1"),
+            ).collect()[0]
+            if ext.z0 != ext.z1:
+                raise ValueError("write_cog: one zoom per level required")
+            zoom = int(ext.z0)
+            x0, y1 = int(ext.x0), int(ext.y1)
+            ta, td = int(ext.x1) - x0 + 1, y1 - int(ext.y0) + 1
+            offs = [0] * (ta * td)
+            cnts = [0] * (ta * td)
+            # row-major segment order; sortWithinPartitions keeps each
+            # streamed partition ordered, the global order comes from the
+            # range partitioning of the sort
+            it = (_compress_level(df)
+                  .select("tx", "ty", "seg")
+                  .sort((F.lit(y1) - F.col("ty")) * ta + (F.col("tx") - F.lit(x0)))
+                  .toLocalIterator())
+            for r in it:
+                s = (y1 - r.ty) * ta + (r.tx - x0)
+                b = bytes(r.seg)
+                offs[s], cnts[s] = pos, len(b)
+                f.write(b)
+                pos += len(b)
+                if pos >= 2**32:
+                    raise ValueError("write_cog: classic TIFF 4 GiB limit "
+                                     "exceeded (BigTIFF not implemented)")
+            per_level.append((zoom, x0, y1, ta, td, offs, cnts))
+            manifest["levels"].append({"zoom": zoom, "grid": (ta, td),
+                                       "tiles": sum(1 for c in cnts if c)})
+
+        # trailing IFD chain
+        ifd_offsets = []
+        for li, (zoom, x0, y1, ta, td, offs, cnts) in enumerate(per_level):
+            res = tiles.resolution(zoom)
+            minx, _, _, maxy = tiles.tile_bounds(x0, y1, zoom)
+            entries = [
+                (T_WIDTH, 4, [ta * 256]),
+                (T_HEIGHT, 4, [td * 256]),
+                (T_BITS, 3, [32]),
+                (T_COMPRESSION, 3, [comp_id]),
+                (T_PHOTOMETRIC, 3, [1]),
+                (T_SPP, 3, [1]),
+                (T_PLANAR, 3, [1]),
+                (T_SAMPLE_FORMAT, 3, [2]),
+                (T_TILE_WIDTH, 3, [256]),
+                (T_TILE_HEIGHT, 3, [256]),
+                (T_TILE_OFFSETS, 4, offs),
+                (T_TILE_COUNTS, 4, cnts),
+            ]
+            if predictor:
+                entries.append((T_PREDICTOR, 3, [2]))
+            if li == 0:
+                entries.append((T_PIXEL_SCALE, 12, [res, res, 0.0]))
+                entries.append((T_TIEPOINT, 12,
+                                [0.0, 0.0, 0.0, float(minx), float(maxy), 0.0]))
+                head, _dbl, ascii_blob = _geokey_entries(
+                    {"model_type": 1, "epsg": WEB_MERCATOR_EPSG,
+                     "citation": "WGS 84 / Pseudo-Mercator"})
+                entries.append((T_GEO_KEYS, 3, head))
+                entries.append((T_GEO_ASCII, 2, [ascii_blob.encode("ascii")]))
+            entries.sort(key=lambda e: e[0])
+            packed = []
+            for tag, typ, vals in entries:
+                if typ == 2:
+                    packed.append(vals[0] + (b"" if vals[0].endswith(b"\0") else b"\0"))
+                else:
+                    packed.append(struct.pack("<" + _TYPE_FMT[typ] * len(vals), *vals))
+            ifd_off = pos
+            ifd_offsets.append((ifd_off, len(entries)))
+            n = len(entries)
+            extra_off = ifd_off + 2 + 12 * n + 4
+            ifd = bytearray(struct.pack("<H", n))
+            extra = bytearray()
+            for (tag, typ, vals), b in zip(entries, packed):
+                cnt = len(b) if typ == 2 else len(vals)
+                ent = struct.pack("<HHI", tag, typ, cnt)
+                if len(b) <= 4:
+                    ent += b.ljust(4, b"\0")
+                else:
+                    ent += struct.pack("<I", extra_off + len(extra))
+                    extra += b
+                ifd += ent
+            # next-IFD pointer patched after the chain is laid out:
+            # reserve 0 now, fix below if another level follows
+            ifd += struct.pack("<I", 0)
+            f.write(ifd + extra)
+            pos = extra_off + len(extra)
+
+        # chain the IFDs and patch the header pointer (the next-IFD pointer
+        # sits right after each IFD's 12-byte entry block)
+        for (off, n), (nxt, _n2) in zip(ifd_offsets, ifd_offsets[1:]):
+            f.seek(off + 2 + 12 * n)
+            f.write(struct.pack("<I", nxt))
+        f.seek(4)
+        f.write(struct.pack("<I", ifd_offsets[0][0]))
+    manifest["path"] = path
+    manifest["bytes"] = pos
+    return manifest

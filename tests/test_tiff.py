@@ -283,3 +283,59 @@ def test_multimodal_decode_image_tiff():
     out = multimodal.decode_image(tiff.encode_tiff(gray), None)
     assert out.shape == gray.shape + (1,)
     assert np.array_equal(out[:, :, 0], gray)
+
+
+# ---------------------------------------------------------------------------
+# COG path: streamed single-file sink + distributed byte-range ingest
+# ---------------------------------------------------------------------------
+
+def test_write_cog_and_range_ingest(tmp_path, spark):
+    from engine import raster
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for tx in range(4, 9):
+        for ty in range(10, 14):
+            if (tx, ty) == (6, 12):      # hole → sparse entry
+                continue
+            rows.append((6, tx, ty, raster.tile_to_bytes(
+                rng.integers(0, 5000, (256, 256), dtype=np.int32))))
+    src = spark.createDataFrame(rows, raster.TILE_SCHEMA)
+    path = str(tmp_path / "mosaic.tif")
+    man = tiff.write_cog(src, path, overview_levels=1)
+    assert man["levels"][0] == {"zoom": 6, "grid": (5, 4), "tiles": 19}
+
+    # the driver-side parse must touch only header/IFD ranges, not the file
+    import os
+
+    hdr = tiff.cog_ifd(path)
+    assert hdr["bytes_read"] < 4096 < os.path.getsize(path)
+
+    # distributed ingest: every tile comes back bit-identical, the hole
+    # yields no row
+    back = tiff.cog_to_tiles(spark, path)
+    got = {(r.zoom, r.tx, r.ty): bytes(r.data) for r in back.collect()}
+    want = {(r.zoom, r.tx, r.ty): bytes(r.data) for r in src.collect()}
+    assert got == want
+
+    # whole-file decode sees the mosaic with the hole zero-filled, and the
+    # overview IFD equals pyramid_reduce of the source
+    full = open(path, "rb").read()
+    imgs = tiff.decode_tiff_all(full)
+    assert [im.shape for im in imgs] == [(1024, 1280), (512, 768)]
+    assert np.array_equal(imgs[0][:256, :256], raster.bytes_to_tile(want[(6, 4, 13)]))
+    assert not imgs[0][256:512, 512:768].any()
+    ovr = {(r.tx, r.ty): raster.bytes_to_tile(bytes(r.data))
+           for r in raster.pyramid_reduce(src).collect()}
+    assert np.array_equal(imgs[1][:256, :256], ovr[(2, 6)])
+    info = tiff.tiff_info(full)
+    assert info["epsg"] == 3857 and info["overviews"] == [(768, 512)]
+
+
+def test_cog_to_tiles_rejects_stripped(tmp_path, spark):
+    path = str(tmp_path / "stripped.tif")
+    geo = {"pixel_scale": (2445.98490512564, 2445.98490512564),
+           "tiepoint": (0, 0, 0, 0.0, 0.0, 0), "epsg": 3857, "model_type": 1}
+    open(path, "wb").write(tiff.encode_tiff(np.zeros((256, 256), np.int32), geo=geo))
+    with pytest.raises(ValueError, match="not a tiled TIFF"):
+        tiff.cog_to_tiles(spark, path)
