@@ -141,13 +141,49 @@ def _sql_tile_assign() -> str:
     """
 
 
-def _q_tile_density_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_tile_density_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points(spark, sf_dir)
     return (
         joins.with_tile(pts, zoom=5)
         .groupBy("tx", "ty")
         .agg(F.count(F.lit(1)).alias("page_count"))
     )
+
+
+def _q_tile_density_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density per z5 tile, routed through the GeoTIFF codec: burn the
+    points into 256×256 ADD tiles, round-trip every tile through a
+    standalone georeferenced GeoTIFF (engine/tiff.py — deflate +
+    horizontal predictor, (zoom, tx, ty) re-derived from the embedded geo
+    tags only), then sum pixels per tile.  The per-tile pixel sum equals
+    the relational COUNT(*) (the DuckDB oracle) iff the codec round-trip
+    is bit-exact — so the TIFF layer is value-checked at the correctness
+    gate, not just in pytest.  Bench times the relational form and the
+    codec separately (`geotiff_codec`)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from engine import raster, tiff as _tiff
+
+    pts = _points(spark, sf_dir)
+    base = raster.burn_base_tiles(pts, zoom=5)
+    rt = _tiff.geotiff_to_tiles(_tiff.tiles_to_geotiff(base).select("tiff"))
+
+    out_schema = StructType([
+        StructField("tx", LongType()),
+        StructField("ty", LongType()),
+        StructField("page_count", LongType()),
+    ])
+
+    def _sum(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            counts = [int(raster.bytes_to_tile(d).sum()) for d in pdf["data"]]
+            yield pd.DataFrame({"tx": pdf["tx"], "ty": pdf["ty"],
+                                "page_count": counts})
+
+    return rt.mapInPandas(_sum, out_schema)
 
 
 def _sql_tile_density_z5() -> str:

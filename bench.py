@@ -192,7 +192,10 @@ def main():
     flagship_wall = time.time() - t0
 
     _run("tile_assign", lambda: _force(q["tile_assign"](spark, sf_dir)), timings)
-    _run("tile_density_z5", lambda: _force(q["tile_density_z5"](spark, sf_dir)), timings)
+    # relational form: the registry row routes through the GeoTIFF codec
+    # for the correctness gate; the codec is timed separately (geotiff_codec)
+    _run("tile_density_z5", lambda: _force(
+        entrymod._q_tile_density_relational(spark, sf_dir)), timings)
     _run("knn", lambda: _force(q["knn"](spark, sf_dir)), timings)
     _run("point_pixel_lookup", lambda: _force(q["point_pixel_lookup"](spark, sf_dir)), timings)
     _run("pip_shuffle_plan", lambda: _force(
