@@ -78,8 +78,12 @@ def decode_image(buf: bytes, meta) -> np.ndarray:
     if buf[:4] in (b"II*\x00", b"MM\x00*"):
         from engine import tiff
 
-        arr = tiff.decode_tiff(buf)
-        return arr[:, :, None] if arr.ndim == 2 else arr
+        try:
+            arr = tiff.decode_tiff(buf, expand_palette=True)
+            return arr[:, :, None] if arr.ndim == 2 else arr
+        except ValueError:
+            if not _HAVE_PIL:     # TIFF variants outside the codec subset
+                raise             # (1-bit/CCITT, JPEG-in-TIFF, YCbCr, ...)
     if not _HAVE_PIL:
         raise NotImplementedError(
             "non-PNG/JPEG/TIFF image codec not available in this runtime; "

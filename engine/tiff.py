@@ -52,6 +52,7 @@ T_HEIGHT = 257
 T_BITS = 258
 T_COMPRESSION = 259
 T_PHOTOMETRIC = 262
+T_COLORMAP = 320
 T_STRIP_OFFSETS = 273
 T_SPP = 277
 T_ROWS_PER_STRIP = 278
@@ -346,7 +347,11 @@ def _read_ifds(buf):
         raise ValueError("not a TIFF (bad magic)")
     (off,) = struct.unpack(bo + "I", buf[4:8])
     ifds = []
+    seen: set = set()
     while off:
+        if off in seen or len(ifds) >= 64:
+            raise ValueError("corrupt TIFF: IFD pointer cycle or > 64 IFDs")
+        seen.add(off)
         (n,) = struct.unpack(bo + "H", buf[off : off + 2])
         tags: dict = {}
         for i in range(n):
@@ -426,11 +431,31 @@ def _decode_ifd(buf: bytes, bo: str, t: dict) -> np.ndarray:
     return out[:, :, 0] if spp == 1 else out
 
 
-def decode_tiff(buf: bytes, ifd: int = 0) -> np.ndarray:
-    """TIFF bytes → (h, w) or (h, w, samples) numpy array (native order)."""
+def _expand_palette(t: dict, arr: np.ndarray) -> np.ndarray:
+    """Photometric 3: indices → RGB via the ColorMap tag (16-bit per
+    channel, high byte kept — GDAL exposes the same table as its color
+    table; raster values stay the indices, this is the display form)."""
+    cmap = np.asarray(_as_list(t[T_COLORMAP]), dtype=np.uint16)
+    n = cmap.shape[0] // 3
+    lut = (cmap.reshape(3, n).T >> 8).astype(np.uint8)
+    return lut[arr]
+
+
+def decode_tiff(buf: bytes, ifd: int = 0, expand_palette: bool = False) -> np.ndarray:
+    """TIFF bytes → (h, w) or (h, w, samples) numpy array (native order).
+
+    Palette-color files (Photometric=3) return the raw index grid — the
+    reference's behavior (GTiff returns the index band plus a color
+    table) — unless ``expand_palette`` maps them through the ColorMap to
+    RGB.  MinIsWhite (Photometric=0) values are likewise returned
+    unchanged; ``tiff_info``'s ``photometric`` field carries the intent."""
     buf = bytes(buf)
     bo, ifds = _read_ifds(buf)
-    return _decode_ifd(buf, bo, ifds[ifd])
+    t = ifds[ifd]
+    out = _decode_ifd(buf, bo, t)
+    if expand_palette and int(t.get(T_PHOTOMETRIC, 1)) == 3 and T_COLORMAP in t:
+        out = _expand_palette(t, out)
+    return out
 
 
 def decode_tiff_all(buf: bytes) -> list:
@@ -476,6 +501,7 @@ def tiff_info(buf: bytes) -> dict:
         "samples": int(t.get(T_SPP, 1)),
         "dtype": _DTYPES.get((int(fmts[0]) if int(fmts[0]) != 4 else 1, int(bits[0]))),
         "compression": int(t.get(T_COMPRESSION, 1)),
+        "photometric": int(t.get(T_PHOTOMETRIC, 1)),
         "tiled": T_TILE_WIDTH in t,
         "byteorder": "little" if bo == "<" else "big",
         "overviews": [(int(x[T_WIDTH]), int(x[T_HEIGHT])) for x in ifds[1:]],
@@ -540,6 +566,58 @@ def _geokey_entries(geo: dict):
     for e in shorts:
         head.extend(e)
     return head, [], "".join(ascii_parts)
+
+
+def _even(n: int) -> int:
+    return n + (n % 2)
+
+
+def _pack_entry_values(entries) -> list:
+    """Sorted (tag, type, values) → packed value bytes per entry (ASCII
+    values NUL-terminated)."""
+    packed: list[bytes] = []
+    for tag, typ, vals in entries:
+        if typ == 2:
+            packed.append(vals[0] + (b"" if vals[0].endswith(b"\0") else b"\0"))
+        else:
+            packed.append(struct.pack("<" + _TYPE_FMT[typ] * len(vals), *vals))
+    return packed
+
+
+def _ifd_block_len(entries) -> int:
+    """Byte length of the IFD block _pack_ifd will emit (entry table +
+    next-IFD pointer + word-aligned out-of-line value area).  Offsets-array
+    entries may still hold placeholder values — only sizes matter."""
+    ex = 0
+    for b in _pack_entry_values(entries):
+        if len(b) > 4:
+            ex = _even(ex) + len(b)
+    return 2 + 12 * len(entries) + 4 + ex
+
+
+def _pack_ifd(entries, ifd_off: int, next_ifd: int = 0) -> bytes:
+    """Final sorted entries (all offsets resolved) → the complete IFD block
+    at ifd_off: entry table, next-IFD pointer, then out-of-line values,
+    each starting on a word boundary.  Shared by encode_tiff_multi and
+    write_cog so the packing invariants live once."""
+    packed = _pack_entry_values(entries)
+    n = len(entries)
+    extra_off = ifd_off + 2 + 12 * n + 4
+    ifd = bytearray(struct.pack("<H", n))
+    extra = bytearray()
+    for (tag, typ, vals), b in zip(entries, packed):
+        cnt = len(b) if typ == 2 else len(vals)
+        ent = struct.pack("<HHI", tag, typ, cnt)
+        if len(b) <= 4:
+            ent += b.ljust(4, b"\0")
+        else:
+            if len(extra) % 2:
+                extra += b"\0"
+            ent += struct.pack("<I", extra_off + len(extra))
+            extra += b
+        ifd += ent
+    ifd += struct.pack("<I", next_ifd)
+    return bytes(ifd + extra)
 
 
 def _encode_one_ifd(arr: np.ndarray, compression: str, tiled: bool,
@@ -625,7 +703,9 @@ def encode_tiff_multi(arrays: list, compression: str = "deflate",
                       tile_size: int = 256, rows_per_strip: int = 64) -> bytes:
     """Encode arrays[0] as the base IFD and the rest as the overview chain
     (gt_overview.cpp's multi-IFD layout).  geo applies to the base only.
-    Little-endian; values area then segment data after each IFD."""
+    Little-endian; values area then segment data after each IFD; IFDs,
+    out-of-line values, and segments all start on word boundaries (TIFF
+    6.0 alignment requirement)."""
     out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
     per_image = []
     for i, arr in enumerate(arrays):
@@ -636,47 +716,25 @@ def encode_tiff_multi(arrays: list, compression: str = "deflate",
     pos = 8
     for i, (entries, segments) in enumerate(per_image):
         entries = sorted(entries, key=lambda e: e[0])
-        n = len(entries)
-        ifd_size = 2 + 12 * n + 4
-
-        # pack each entry's value bytes
-        packed: list[bytes] = []
-        for tag, typ, vals in entries:
-            if typ == 2:
-                b = vals[0] + (b"" if vals[0].endswith(b"\0") else b"\0")
-            else:
-                b = struct.pack("<" + _TYPE_FMT[typ] * len(vals), *vals)
-            packed.append(b)
-        extra_off = pos + ifd_size
-        extra_len = sum(len(b) for b in packed if len(b) > 4)
-        data_off = extra_off + extra_len
+        block_len = _ifd_block_len(entries)
+        data_off = _even(pos + block_len)
 
         # segment offsets now known → repack the offsets entry
         seg_offs, o = [], data_off
         for s in segments:
             seg_offs.append(o)
-            o += len(s)
+            o = _even(o + len(s))
         for k, (tag, typ, vals) in enumerate(entries):
             if tag in (T_STRIP_OFFSETS, T_TILE_OFFSETS):
                 entries[k] = (tag, typ, seg_offs)
-                packed[k] = struct.pack("<" + "I" * len(seg_offs), *seg_offs)
 
-        ifd = bytearray(struct.pack("<H", n))
-        extra = bytearray()
-        for (tag, typ, vals), b in zip(entries, packed):
-            cnt = len(b) if typ == 2 else len(vals)
-            ent = struct.pack("<HHI", tag, typ, cnt)
-            if len(b) <= 4:
-                ent += b.ljust(4, b"\0")
-            else:
-                ent += struct.pack("<I", extra_off + len(extra))
-                extra += b
-            ifd += ent
-        next_ifd = o if i + 1 < len(per_image) else 0
-        ifd += struct.pack("<I", next_ifd)
-        out += ifd + extra
+        next_ifd = _even(o) if i + 1 < len(per_image) else 0
+        block = _pack_ifd(entries, pos, next_ifd)
+        assert len(block) == block_len
+        out += block + b"\0" * (data_off - pos - block_len)
         for s in segments:
-            out += s
+            out += s + b"\0" * (len(s) % 2)
+        assert len(out) == o
         pos = o
     return bytes(out)
 
@@ -764,22 +822,37 @@ def geotiff_to_tiles(df, col: str = "tiff"):
                 continue
             zs, xs, ys, ds = [], [], [], []
             for buf in pdf[col]:
-                info = tiff_info(buf)
-                if info.get("epsg") != WEB_MERCATOR_EPSG:
+                buf = bytes(buf)
+                bo, ifds = _read_ifds(buf)          # one parse per file
+                t = ifds[0]
+                keys = _parse_geokeys(t)
+                if keys.get(GK_PROJECTED_TYPE) != WEB_MERCATOR_EPSG:
                     raise ValueError("geotiff_to_tiles: not web-mercator")
-                gt = info["geotransform"]
-                zoom = round(math.log2(tiles.INITIAL_RESOLUTION / gt[1]))
-                if not math.isclose(gt[1], tiles.resolution(zoom), rel_tol=1e-9):
+                if T_PIXEL_SCALE not in t or T_TIEPOINT not in t:
+                    raise ValueError("geotiff_to_tiles: no georeferencing tags")
+                sx, sy = t[T_PIXEL_SCALE][0], t[T_PIXEL_SCALE][1]
+                if not math.isclose(sx, sy, rel_tol=1e-9):
+                    raise ValueError("geotiff_to_tiles: non-square pixels")
+                i, j, _k, x0, y0, _z = t[T_TIEPOINT][:6]
+                gx, gy = x0 - i * sx, y0 + j * sy
+                zoom = round(math.log2(tiles.INITIAL_RESOLUTION / sx))
+                if not math.isclose(sx, tiles.resolution(zoom), rel_tol=1e-9):
                     raise ValueError("geotiff_to_tiles: off-ladder resolution")
-                span = gt[1] * raster.TILE_SIZE
-                tx = round((gt[0] + tiles.ORIGIN_SHIFT) / span)
-                ty = round((gt[3] + tiles.ORIGIN_SHIFT) / span) - 1
-                grid = decode_tiff(buf)
+                span = sx * raster.TILE_SIZE
+                fx = (gx + tiles.ORIGIN_SHIFT) / span
+                fy = (gy + tiles.ORIGIN_SHIFT) / span
+                if not (math.isclose(fx, round(fx), abs_tol=1e-6)
+                        and math.isclose(fy, round(fy), abs_tol=1e-6)):
+                    raise ValueError("geotiff_to_tiles: origin not tile-grid aligned")
+                grid = _decode_ifd(buf, bo, t)
                 if grid.shape != (raster.TILE_SIZE, raster.TILE_SIZE):
                     raise ValueError("geotiff_to_tiles: not a 256×256 single band")
+                if grid.dtype.kind not in "iu":
+                    raise ValueError("geotiff_to_tiles: engine tile payloads are "
+                                     "int32 — float rasters would truncate")
                 zs.append(zoom)
-                xs.append(tx)
-                ys.append(ty)
+                xs.append(int(round(fx)))
+                ys.append(int(round(fy)) - 1)
                 ds.append(raster.tile_to_bytes(grid.astype(np.int32)))
             yield pd.DataFrame({"zoom": pd.array(zs, dtype="int32"),
                                 "tx": pd.array(xs, dtype="int64"),
@@ -839,9 +912,13 @@ def cog_to_tiles(spark, path: str):
     epsg = keys.get(GK_PROJECTED_TYPE)
     if epsg != WEB_MERCATOR_EPSG:
         raise ValueError("cog_to_tiles: not web-mercator")
-    sx = t[T_PIXEL_SCALE][0]
+    if T_PIXEL_SCALE not in t or T_TIEPOINT not in t:
+        raise ValueError("cog_to_tiles: no georeferencing tags")
+    sx, sy = t[T_PIXEL_SCALE][0], t[T_PIXEL_SCALE][1]
+    if not math.isclose(sx, sy, rel_tol=1e-9):
+        raise ValueError("cog_to_tiles: non-square pixels")
     i, j, _k, x0, y0, _z = t[T_TIEPOINT][:6]
-    gx, gy = x0 - i * sx, y0 + j * sx
+    gx, gy = x0 - i * sx, y0 + j * sy
     zoom = round(math.log2(tiles.INITIAL_RESOLUTION / sx))
     if not math.isclose(sx, tiles.resolution(zoom), rel_tol=1e-9):
         raise ValueError("cog_to_tiles: off-ladder resolution")
@@ -858,6 +935,9 @@ def cog_to_tiles(spark, path: str):
     bits = _as_list(t.get(T_BITS, 8))[0]
     fmt = _as_list(t.get(T_SAMPLE_FORMAT, 1))[0]
     dtype_str = hdr["byteorder"] + _DTYPES[(int(fmt) if int(fmt) != 4 else 1, int(bits))]
+    if "f" in dtype_str:
+        raise ValueError("cog_to_tiles: engine tile payloads are int32 — "
+                         "float rasters would truncate")
     comp = int(t.get(T_COMPRESSION, 1))
     pred = int(t.get(T_PREDICTOR, 1))
 
@@ -971,8 +1051,8 @@ def write_cog(tile_df, path: str, compression: str = "deflate",
                 s = (y1 - r.ty) * ta + (r.tx - x0)
                 b = bytes(r.seg)
                 offs[s], cnts[s] = pos, len(b)
-                f.write(b)
-                pos += len(b)
+                f.write(b + b"\0" * (len(b) % 2))    # word-aligned segments
+                pos += _even(len(b))
                 if pos >= 2**32:
                     raise ValueError("write_cog: classic TIFF 4 GiB limit "
                                      "exceeded (BigTIFF not implemented)")
@@ -1011,32 +1091,16 @@ def write_cog(tile_df, path: str, compression: str = "deflate",
                 entries.append((T_GEO_KEYS, 3, head))
                 entries.append((T_GEO_ASCII, 2, [ascii_blob.encode("ascii")]))
             entries.sort(key=lambda e: e[0])
-            packed = []
-            for tag, typ, vals in entries:
-                if typ == 2:
-                    packed.append(vals[0] + (b"" if vals[0].endswith(b"\0") else b"\0"))
-                else:
-                    packed.append(struct.pack("<" + _TYPE_FMT[typ] * len(vals), *vals))
+            if pos % 2:                              # word-align the IFD
+                f.write(b"\0")
+                pos += 1
             ifd_off = pos
             ifd_offsets.append((ifd_off, len(entries)))
-            n = len(entries)
-            extra_off = ifd_off + 2 + 12 * n + 4
-            ifd = bytearray(struct.pack("<H", n))
-            extra = bytearray()
-            for (tag, typ, vals), b in zip(entries, packed):
-                cnt = len(b) if typ == 2 else len(vals)
-                ent = struct.pack("<HHI", tag, typ, cnt)
-                if len(b) <= 4:
-                    ent += b.ljust(4, b"\0")
-                else:
-                    ent += struct.pack("<I", extra_off + len(extra))
-                    extra += b
-                ifd += ent
-            # next-IFD pointer patched after the chain is laid out:
-            # reserve 0 now, fix below if another level follows
-            ifd += struct.pack("<I", 0)
-            f.write(ifd + extra)
-            pos = extra_off + len(extra)
+            # next-IFD pointer reserved as 0, patched below if another
+            # level follows
+            block = _pack_ifd(entries, ifd_off, 0)
+            f.write(block)
+            pos = ifd_off + len(block)
 
         # chain the IFDs and patch the header pointer (the next-IFD pointer
         # sits right after each IFD's 12-byte entry block)

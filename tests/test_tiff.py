@@ -339,3 +339,126 @@ def test_cog_to_tiles_rejects_stripped(tmp_path, spark):
     open(path, "wb").write(tiff.encode_tiff(np.zeros((256, 256), np.int32), geo=geo))
     with pytest.raises(ValueError, match="not a tiled TIFF"):
         tiff.cog_to_tiles(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions: validation gaps, alignment, palette, cycle guard
+# ---------------------------------------------------------------------------
+
+def _z5_geo(tx=3, ty=9, res_scale=1.0, origin_shift=0.0):
+    from engine import tiles
+
+    res = tiles.resolution(5)
+    minx, _, _, maxy = tiles.tile_bounds(tx, ty, 5)
+    return {"pixel_scale": (res, res * res_scale),
+            "tiepoint": (0, 0, 0, float(minx) + origin_shift, float(maxy), 0),
+            "epsg": 3857, "model_type": 1}
+
+
+def test_geotiff_to_tiles_rejects_misaligned_origin(spark):
+    import pandas as pd
+    from engine import tiles
+
+    span = tiles.resolution(5) * 256
+    buf = tiff.encode_tiff(np.zeros((256, 256), np.int32),
+                           geo=_z5_geo(origin_shift=0.4 * span))
+    df = spark.createDataFrame(pd.DataFrame({"tiff": [buf]}))
+    with pytest.raises(Exception, match="not tile-grid aligned"):
+        tiff.geotiff_to_tiles(df).collect()
+
+
+def test_geotiff_to_tiles_rejects_non_square_pixels(spark):
+    import pandas as pd
+
+    buf = tiff.encode_tiff(np.zeros((256, 256), np.int32),
+                           geo=_z5_geo(res_scale=2.0))
+    df = spark.createDataFrame(pd.DataFrame({"tiff": [buf]}))
+    with pytest.raises(Exception, match="non-square pixels"):
+        tiff.geotiff_to_tiles(df).collect()
+
+
+def test_geotiff_to_tiles_rejects_float_and_missing_geo(spark):
+    import pandas as pd
+
+    fbuf = tiff.encode_tiff(np.zeros((256, 256), np.float32), geo=_z5_geo())
+    df = spark.createDataFrame(pd.DataFrame({"tiff": [fbuf]}))
+    with pytest.raises(Exception, match="would truncate"):
+        tiff.geotiff_to_tiles(df).collect()
+    nogeo = tiff.encode_tiff(np.zeros((256, 256), np.int32),
+                             geo={"epsg": 3857, "model_type": 1})
+    df = spark.createDataFrame(pd.DataFrame({"tiff": [nogeo]}))
+    with pytest.raises(Exception, match="no georeferencing tags"):
+        tiff.geotiff_to_tiles(df).collect()
+
+
+def test_ifd_pointer_cycle_rejected():
+    buf = bytearray(tiff.encode_tiff(np.zeros((4, 4), np.uint8)))
+    # patch the header's first-IFD pointer chain into a self-loop: point the
+    # next-IFD pointer of IFD 0 back at IFD 0
+    (ifd_off,) = struct.unpack("<I", bytes(buf[4:8]))
+    (n,) = struct.unpack("<H", bytes(buf[ifd_off : ifd_off + 2]))
+    p = ifd_off + 2 + 12 * n
+    buf[p : p + 4] = struct.pack("<I", ifd_off)
+    with pytest.raises(ValueError, match="cycle"):
+        tiff.decode_tiff(bytes(buf))
+
+
+def test_word_alignment_of_ifds_and_values():
+    # odd-sized image + compression makes odd segment lengths likely;
+    # every IFD offset and out-of-line value offset must be even
+    arr = np.random.default_rng(9).integers(0, 256, (33, 33), dtype=np.uint8)
+    buf = tiff.encode_tiff_multi([arr, arr[::2, ::2]], compression="packbits",
+                                 geo=_z5_geo(), rows_per_strip=7)
+    bo = "<"
+    (off,) = struct.unpack(bo + "I", buf[4:8])
+    while off:
+        assert off % 2 == 0
+        (n,) = struct.unpack(bo + "H", buf[off : off + 2])
+        for i in range(n):
+            ent = buf[off + 2 + 12 * i : off + 14 + 12 * i]
+            tag, typ, cnt = struct.unpack(bo + "HHI", ent[:8])
+            size = tiff._TYPE_SIZE.get(typ, 1) * cnt
+            if size > 4:
+                (voff,) = struct.unpack(bo + "I", ent[8:12])
+                assert voff % 2 == 0, (tag, voff)
+        (off,) = struct.unpack(bo + "I", buf[off + 2 + 12 * n : off + 6 + 12 * n])
+    # decodes identically despite padding
+    assert np.array_equal(tiff.decode_tiff(buf), arr)
+
+
+def test_palette_expansion():
+    # hand-build a palette TIFF: 2x2 indices {0,1,2,3}, ColorMap maps each
+    # index to a distinct primary
+    bo = "<"
+    data = bytes([0, 1, 2, 3])
+    n = 256
+    cmap = np.zeros((3, n), dtype=np.uint16)
+    cmap[0, 1] = 0xFFFF        # index 1 → red
+    cmap[1, 2] = 0xFFFF        # index 2 → green
+    cmap[2, 3] = 0xFFFF        # index 3 → blue
+    cmap_bytes = cmap.astype("<u2").tobytes()
+    entries = [
+        _entry(bo, 256, 3, 1, struct.pack(bo + "H", 2)),
+        _entry(bo, 257, 3, 1, struct.pack(bo + "H", 2)),
+        _entry(bo, 258, 3, 1, struct.pack(bo + "H", 8)),
+        _entry(bo, 259, 3, 1, struct.pack(bo + "H", 1)),
+        _entry(bo, 262, 3, 1, struct.pack(bo + "H", 3)),   # palette photometric
+        _entry(bo, 273, 4, 1, struct.pack(bo + "I", 8)),
+        _entry(bo, 279, 4, 1, struct.pack(bo + "I", 4)),
+        _entry(bo, 320, 3, 3 * n, struct.pack(bo + "I", 12 + 2 + 8 * 12 + 4)),
+    ]
+    head = struct.pack(bo + "2sHI", b"II", 42, 12)
+    ifd = struct.pack(bo + "H", len(entries)) + b"".join(entries) + struct.pack(bo + "I", 0)
+    buf = head + data + ifd + cmap_bytes
+    raw = tiff.decode_tiff(buf)
+    assert np.array_equal(raw, np.array([[0, 1], [2, 3]], dtype=np.uint8))
+    assert tiff.tiff_info(buf)["photometric"] == 3
+    rgb = tiff.decode_tiff(buf, expand_palette=True)
+    assert rgb.shape == (2, 2, 3)
+    assert tuple(rgb[0, 1]) == (255, 0, 0)
+    assert tuple(rgb[1, 0]) == (0, 255, 0)
+    assert tuple(rgb[1, 1]) == (0, 0, 255)
+    # multimodal decode path uses the expanded form
+    from engine import multimodal
+
+    assert multimodal.decode_image(buf, None).shape == (2, 2, 3)
