@@ -9,8 +9,10 @@ reference code involved (same from-scratch approach as engine/png.py and
 engine/jpeg.py).
 
 Decode
-    * both byte orders (II little / MM big), IFD chains (overview levels,
-      gt_overview.cpp's layout) via :func:`decode_tiff_all`;
+    * both byte orders (II little / MM big), classic AND BigTIFF (magic
+      43, 8-byte offsets — the >4 GiB layout) headers, IFD chains
+      (overview levels, gt_overview.cpp's layout) via
+      :func:`decode_tiff_all`;
     * stripped and tiled layouts, chunky (PlanarConfiguration=1) and
       planar (=2) sample storage;
     * uint8/16/32, int8/16/32, float32/64 via BitsPerSample+SampleFormat;
@@ -78,9 +80,11 @@ GK_CITATION = 1026
 GK_GEOGRAPHIC_TYPE = 2048
 GK_PROJECTED_TYPE = 3072
 
-# field type → struct char / size (subset used)
-_TYPE_FMT = {1: "B", 2: "s", 3: "H", 4: "I", 5: "II", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+# field type → struct char / size (subset used; 16-18 are BigTIFF LONG8s)
+_TYPE_FMT = {1: "B", 2: "s", 3: "H", 4: "I", 5: "II", 6: "b", 8: "h", 9: "i",
+             11: "f", 12: "d", 16: "Q", 17: "q", 18: "Q"}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+              11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
 
 _DTYPES = {
     (1, 8): "u1", (1, 16): "u2", (1, 32): "u4",
@@ -335,7 +339,10 @@ class _RangeReader:
 
 def _read_ifds(buf):
     """→ (byteorder_char, [ {tag: value} per IFD ]).  ``buf`` is bytes or
-    a :class:`_RangeReader` (only slice access is used)."""
+    a :class:`_RangeReader` (only slice access is used).  Handles both
+    classic TIFF (magic 42: 12-byte entries, 4-byte offsets) and BigTIFF
+    (magic 43: 20-byte entries, 8-byte counts/offsets, LONG8 types —
+    the >4 GiB format per the public BigTIFF specification)."""
     if buf[:2] == b"II":
         bo = "<"
     elif buf[:2] == b"MM":
@@ -343,25 +350,41 @@ def _read_ifds(buf):
     else:
         raise ValueError("not a TIFF (bad byte-order mark)")
     (magic,) = struct.unpack(bo + "H", buf[2:4])
-    if magic != 42:
+    if magic == 42:
+        big = False
+        (off,) = struct.unpack(bo + "I", buf[4:8])
+    elif magic == 43:
+        big = True
+        osz, pad = struct.unpack(bo + "HH", buf[4:8])
+        if osz != 8 or pad != 0:
+            raise ValueError("BigTIFF: unsupported offset size")
+        (off,) = struct.unpack(bo + "Q", buf[8:16])
+    else:
         raise ValueError("not a TIFF (bad magic)")
-    (off,) = struct.unpack(bo + "I", buf[4:8])
+    # (count bytes, entry bytes, inline value bytes, offset struct char)
+    csz, esz, inl, ofmt = (8, 20, 8, "Q") if big else (2, 12, 4, "I")
+    cfmt = "Q" if big else "H"
     ifds = []
     seen: set = set()
     while off:
         if off in seen or len(ifds) >= 64:
             raise ValueError("corrupt TIFF: IFD pointer cycle or > 64 IFDs")
         seen.add(off)
-        (n,) = struct.unpack(bo + "H", buf[off : off + 2])
+        (n,) = struct.unpack(bo + cfmt, buf[off : off + csz])
+        if n > 4096:
+            raise ValueError("corrupt TIFF: oversized IFD")
         tags: dict = {}
         for i in range(n):
-            ent = buf[off + 2 + 12 * i : off + 14 + 12 * i]
-            tag, typ, cnt = struct.unpack(bo + "HHI", ent[:8])
-            size = _TYPE_SIZE.get(typ, 1) * cnt
-            if size <= 4:
-                raw = ent[8 : 8 + size]
+            ent = buf[off + csz + esz * i : off + csz + esz * (i + 1)]
+            if big:
+                tag, typ, cnt = struct.unpack(bo + "HHQ", ent[:12])
             else:
-                (voff,) = struct.unpack(bo + "I", ent[8:12])
+                tag, typ, cnt = struct.unpack(bo + "HHI", ent[:8])
+            size = _TYPE_SIZE.get(typ, 1) * cnt
+            if size <= inl:
+                raw = ent[esz - inl : esz - inl + size]
+            else:
+                (voff,) = struct.unpack(bo + ofmt, ent[esz - inl : esz])
                 raw = buf[voff : voff + size]
             if typ == 2:
                 tags[tag] = raw.rstrip(b"\0").decode("ascii", "replace")
@@ -372,7 +395,7 @@ def _read_ifds(buf):
                 vals = list(struct.unpack(bo + _TYPE_FMT[typ] * cnt, raw))
                 tags[tag] = vals[0] if cnt == 1 else vals
             # unknown types: skipped
-        (off,) = struct.unpack(bo + "I", buf[off + 2 + 12 * n : off + 6 + 12 * n])
+        (off,) = struct.unpack(bo + ofmt, buf[off + csz + esz * n : off + csz + esz * n + inl])
         ifds.append(tags)
     return bo, ifds
 
@@ -584,39 +607,42 @@ def _pack_entry_values(entries) -> list:
     return packed
 
 
-def _ifd_block_len(entries) -> int:
+def _ifd_block_len(entries, big: bool = False) -> int:
     """Byte length of the IFD block _pack_ifd will emit (entry table +
     next-IFD pointer + word-aligned out-of-line value area).  Offsets-array
     entries may still hold placeholder values — only sizes matter."""
+    csz, esz, inl = (8, 20, 8) if big else (2, 12, 4)
     ex = 0
     for b in _pack_entry_values(entries):
-        if len(b) > 4:
+        if len(b) > inl:
             ex = _even(ex) + len(b)
-    return 2 + 12 * len(entries) + 4 + ex
+    return csz + esz * len(entries) + inl + ex
 
 
-def _pack_ifd(entries, ifd_off: int, next_ifd: int = 0) -> bytes:
+def _pack_ifd(entries, ifd_off: int, next_ifd: int = 0, big: bool = False) -> bytes:
     """Final sorted entries (all offsets resolved) → the complete IFD block
     at ifd_off: entry table, next-IFD pointer, then out-of-line values,
     each starting on a word boundary.  Shared by encode_tiff_multi and
-    write_cog so the packing invariants live once."""
+    write_cog so the packing invariants live once.  ``big`` emits the
+    BigTIFF layout (8-byte counts/offsets, 20-byte entries)."""
     packed = _pack_entry_values(entries)
     n = len(entries)
-    extra_off = ifd_off + 2 + 12 * n + 4
-    ifd = bytearray(struct.pack("<H", n))
+    csz, esz, inl, ofmt = (8, 20, 8, "Q") if big else (2, 12, 4, "I")
+    extra_off = ifd_off + csz + esz * n + inl
+    ifd = bytearray(struct.pack("<" + ("Q" if big else "H"), n))
     extra = bytearray()
     for (tag, typ, vals), b in zip(entries, packed):
         cnt = len(b) if typ == 2 else len(vals)
-        ent = struct.pack("<HHI", tag, typ, cnt)
-        if len(b) <= 4:
-            ent += b.ljust(4, b"\0")
+        ent = struct.pack("<HH" + ("Q" if big else "I"), tag, typ, cnt)
+        if len(b) <= inl:
+            ent += b.ljust(inl, b"\0")
         else:
             if len(extra) % 2:
                 extra += b"\0"
-            ent += struct.pack("<I", extra_off + len(extra))
+            ent += struct.pack("<" + ofmt, extra_off + len(extra))
             extra += b
         ifd += ent
-    ifd += struct.pack("<I", next_ifd)
+    ifd += struct.pack("<" + ofmt, next_ifd)
     return bytes(ifd + extra)
 
 
@@ -975,7 +1001,8 @@ def cog_to_tiles(spark, path: str):
 
 
 def write_cog(tile_df, path: str, compression: str = "deflate",
-              predictor: bool = True, overview_levels: int = 0) -> dict:
+              predictor: bool = True, overview_levels: int = 0,
+              bigtiff: bool | str = "auto") -> dict:
     """Stream the engine tile table into ONE tiled web-mercator GeoTIFF.
 
     Two bounded-memory phases: executors compress every 256×256 tile to
@@ -986,7 +1013,14 @@ def write_cog(tile_df, path: str, compression: str = "deflate",
     header's first-IFD pointer is patched last).  Absent grid positions
     get offset 0 / count 0 — GDAL's SPARSE_OK convention.  With
     ``overview_levels`` > 0, AVERAGE pyramid levels are appended as
-    overview IFDs (gt_overview.cpp layout).  Returns a manifest dict."""
+    overview IFDs (gt_overview.cpp layout).
+
+    ``bigtiff``: True forces the BigTIFF layout (magic 43, 8-byte
+    offsets — the >4 GiB format a 100-TB mosaic needs), False forces
+    classic (raises past 4 GiB), "auto" (default) decides after the data
+    is streamed — possible because the IFD chain TRAILS the data, so the
+    choice is made before any offset is written.  Returns a manifest
+    dict (incl. the chosen ``bigtiff`` flag)."""
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -1025,8 +1059,8 @@ def write_cog(tile_df, path: str, compression: str = "deflate",
     manifest: dict = {"levels": []}
     per_level = []
     with open(path, "wb") as f:
-        f.write(struct.pack("<2sHI", b"II", 42, 0))   # IFD pointer patched below
-        pos = 8
+        f.write(b"\0" * 16)    # header written last (classic: 8B + 8B pad)
+        pos = 16
         for li, df in enumerate(levels):
             ext = df.agg(
                 F.min("zoom").alias("z0"), F.max("zoom").alias("z1"),
@@ -1053,12 +1087,16 @@ def write_cog(tile_df, path: str, compression: str = "deflate",
                 offs[s], cnts[s] = pos, len(b)
                 f.write(b + b"\0" * (len(b) % 2))    # word-aligned segments
                 pos += _even(len(b))
-                if pos >= 2**32:
+                if bigtiff is False and pos >= 2**32:
                     raise ValueError("write_cog: classic TIFF 4 GiB limit "
-                                     "exceeded (BigTIFF not implemented)")
+                                     "exceeded — pass bigtiff=True/'auto'")
             per_level.append((zoom, x0, y1, ta, td, offs, cnts))
             manifest["levels"].append({"zoom": zoom, "grid": (ta, td),
                                        "tiles": sum(1 for c in cnts if c)})
+
+        # data streamed → every offset is known, so the classic-vs-BigTIFF
+        # choice happens NOW, before any offset is serialized
+        big = bigtiff is True or (bigtiff == "auto" and pos + (1 << 24) >= 1 << 32)
 
         # trailing IFD chain
         ifd_offsets = []
@@ -1076,7 +1114,7 @@ def write_cog(tile_df, path: str, compression: str = "deflate",
                 (T_SAMPLE_FORMAT, 3, [2]),
                 (T_TILE_WIDTH, 3, [256]),
                 (T_TILE_HEIGHT, 3, [256]),
-                (T_TILE_OFFSETS, 4, offs),
+                (T_TILE_OFFSETS, 16 if big else 4, offs),
                 (T_TILE_COUNTS, 4, cnts),
             ]
             if predictor:
@@ -1098,17 +1136,22 @@ def write_cog(tile_df, path: str, compression: str = "deflate",
             ifd_offsets.append((ifd_off, len(entries)))
             # next-IFD pointer reserved as 0, patched below if another
             # level follows
-            block = _pack_ifd(entries, ifd_off, 0)
+            block = _pack_ifd(entries, ifd_off, 0, big=big)
             f.write(block)
             pos = ifd_off + len(block)
 
-        # chain the IFDs and patch the header pointer (the next-IFD pointer
-        # sits right after each IFD's 12-byte entry block)
+        # chain the IFDs, then write the real header (the next-IFD pointer
+        # sits right after each IFD's entry block)
+        csz, esz, ofmt = (8, 20, "Q") if big else (2, 12, "I")
         for (off, n), (nxt, _n2) in zip(ifd_offsets, ifd_offsets[1:]):
-            f.seek(off + 2 + 12 * n)
-            f.write(struct.pack("<I", nxt))
-        f.seek(4)
-        f.write(struct.pack("<I", ifd_offsets[0][0]))
+            f.seek(off + csz + esz * n)
+            f.write(struct.pack("<" + ofmt, nxt))
+        f.seek(0)
+        if big:
+            f.write(struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_offsets[0][0]))
+        else:
+            f.write(struct.pack("<2sHI", b"II", 42, ifd_offsets[0][0]))
     manifest["path"] = path
     manifest["bytes"] = pos
+    manifest["bigtiff"] = big
     return manifest

@@ -462,3 +462,57 @@ def test_palette_expansion():
     from engine import multimodal
 
     assert multimodal.decode_image(buf, None).shape == (2, 2, 3)
+
+
+# ---------------------------------------------------------------------------
+# BigTIFF (magic 43, 8-byte offsets — the >4 GiB layout)
+# ---------------------------------------------------------------------------
+
+def test_bigtiff_handmade_decode():
+    """Hand-assembled BigTIFF per the public spec: 16-byte header
+    (II, 43, offsetsize 8, pad 0, first-IFD u64), u64 entry counts,
+    20-byte entries with 8-byte inline values, LONG8 strip offsets."""
+    bo = "<"
+    data = bytes([7, 8, 9, 10])
+    ifd_off = 16 + len(data)
+
+    def ent(tag, typ, cnt, val8):
+        return struct.pack(bo + "HHQ", tag, typ, cnt) + val8.ljust(8, b"\0")
+
+    entries = [
+        ent(256, 3, 1, struct.pack(bo + "H", 4)),
+        ent(257, 3, 1, struct.pack(bo + "H", 1)),
+        ent(258, 3, 1, struct.pack(bo + "H", 8)),
+        ent(259, 3, 1, struct.pack(bo + "H", 1)),
+        ent(273, 16, 1, struct.pack(bo + "Q", 16)),   # LONG8 strip offset
+        ent(279, 16, 1, struct.pack(bo + "Q", 4)),
+    ]
+    head = struct.pack(bo + "2sHHHQ", b"II", 43, 8, 0, ifd_off)
+    ifd = struct.pack(bo + "Q", len(entries)) + b"".join(entries) + struct.pack(bo + "Q", 0)
+    out = tiff.decode_tiff(head + data + ifd)
+    assert np.array_equal(out, np.array([[7, 8, 9, 10]], dtype=np.uint8))
+
+
+def test_write_cog_bigtiff_roundtrip(tmp_path, spark):
+    from engine import raster
+
+    rng = np.random.default_rng(8)
+    rows = [(4, 2 + k, 7, raster.tile_to_bytes(
+        rng.integers(0, 99, (256, 256), dtype=np.int32))) for k in range(3)]
+    src = spark.createDataFrame(rows, raster.TILE_SCHEMA)
+    path = str(tmp_path / "big.tif")
+    man = tiff.write_cog(src, path, bigtiff=True)
+    assert man["bigtiff"] is True
+    raw = open(path, "rb").read()
+    assert struct.unpack("<H", raw[2:4])[0] == 43
+    got = {(r.tx, r.ty): bytes(r.data) for r in tiff.cog_to_tiles(spark, path).collect()}
+    want = {(r.tx, r.ty): bytes(r.data) for r in src.collect()}
+    assert got == want
+    # auto on a small file stays classic and yields the identical tile set
+    path2 = str(tmp_path / "classic.tif")
+    man2 = tiff.write_cog(src, path2)
+    assert man2["bigtiff"] is False
+    raw2 = open(path2, "rb").read()
+    assert struct.unpack("<H", raw2[2:4])[0] == 42
+    got2 = {(r.tx, r.ty): bytes(r.data) for r in tiff.cog_to_tiles(spark, path2).collect()}
+    assert got2 == want
