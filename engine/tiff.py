@@ -66,6 +66,7 @@ T_TILE_HEIGHT = 323
 T_TILE_OFFSETS = 324
 T_TILE_COUNTS = 325
 T_SAMPLE_FORMAT = 339
+T_JPEG_TABLES = 347
 T_PIXEL_SCALE = 33550
 T_TIEPOINT = 33922
 T_TRANSFORM = 34264
@@ -242,7 +243,43 @@ def _decompress(data: bytes, compression: int) -> bytes:
     raise ValueError(f"unsupported TIFF compression {compression}")
 
 
-_COMP_IDS = {"none": 1, "deflate": 8, "lzw": 5, "packbits": 32773}
+_COMP_IDS = {"none": 1, "deflate": 8, "lzw": 5, "packbits": 32773, "jpeg": 7}
+
+
+def _split_jpeg_tables(stream: bytes):
+    """Full JPEG stream → (tables-only stream, abbreviated stream): the
+    DQT/DHT segments move to a JPEGTables-style stream (SOI tables EOI,
+    TIFF TechNote 2 / T.81 abbreviated format); everything else keeps its
+    order.  The inverse is plain splicing after SOI."""
+    tabs = bytearray(b"\xFF\xD8")
+    rest = bytearray(b"\xFF\xD8")
+    i = 2
+    while i < len(stream) - 1:
+        if stream[i] != 0xFF:
+            raise ValueError("corrupt JPEG stream")
+        m = stream[i + 1]
+        if m == 0xDA:                      # SOS: scan data through EOI
+            rest += stream[i:]
+            break
+        seglen = int.from_bytes(stream[i + 2 : i + 4], "big")
+        chunk = stream[i : i + 2 + seglen]
+        (tabs if m in (0xDB, 0xC4) else rest).extend(chunk)
+        i += 2 + seglen
+    tabs += b"\xFF\xD9"
+    return bytes(tabs), bytes(rest)
+
+
+def _decode_jpeg_segment(raw: bytes, tables: bytes | None) -> np.ndarray:
+    """Compression-7 segment → (h, w, c) uint8.  Abbreviated streams get
+    the shared JPEGTables spliced in after SOI (frmts/gtiff JPEGTABLESMODE
+    semantics)."""
+    from engine import jpeg
+
+    buf = bytes(raw)
+    if tables and len(tables) > 4:
+        buf = buf[:2] + bytes(tables)[2:-2] + buf[2:]
+    out = jpeg.decode_jpeg(buf)
+    return out[:, :, None] if out.ndim == 2 else out
 
 
 def _compress(data: bytes, compression: int) -> bytes:
@@ -388,6 +425,8 @@ def _read_ifds(buf):
                 raw = buf[voff : voff + size]
             if typ == 2:
                 tags[tag] = raw.rstrip(b"\0").decode("ascii", "replace")
+            elif typ == 7:                     # UNDEFINED → raw bytes
+                tags[tag] = bytes(raw)
             elif typ == 5:                     # RATIONAL → float
                 vals = struct.unpack(bo + "I" * (2 * cnt), raw)
                 tags[tag] = [vals[2 * k] / max(vals[2 * k + 1], 1) for k in range(cnt)]
@@ -419,6 +458,8 @@ def _decode_ifd(buf: bytes, bo: str, t: dict) -> np.ndarray:
     pred = int(t.get(T_PREDICTOR, 1))
     planar = int(t.get(T_PLANAR, 1))
     tiled = T_TILE_WIDTH in t
+    if comp == 7 and (planar == 2 or dtype.itemsize != 1):
+        raise ValueError("JPEG compression: chunky uint8 only")
 
     out = np.zeros((h, w, spp), dtype=dtype.newbyteorder("="))
     if tiled:
@@ -439,12 +480,19 @@ def _decode_ifd(buf: bytes, bo: str, t: dict) -> np.ndarray:
             idx = p * per_plane + s
             if offs[idx] == 0 or cnts[idx] == 0:
                 continue                  # sparse tile (GDAL SPARSE_OK) → fill
-            raw = _decompress(buf[offs[idx] : offs[idx] + cnts[idx]], comp)
             ry, rx = divmod(s, ta)
             rows = min(th, h - ry * th) if not tiled else th
-            seg = np.frombuffer(raw, dtype=dtype, count=rows * tw * spp_seg)
-            seg = seg.reshape(rows, tw, spp_seg).copy()
-            seg = _undo_predictor(seg, pred)
+            if comp == 7:
+                dec = _decode_jpeg_segment(
+                    buf[offs[idx] : offs[idx] + cnts[idx]], t.get(T_JPEG_TABLES))
+                if dec.shape[0] < rows or dec.shape[1] < tw or dec.shape[2] != spp_seg:
+                    raise ValueError("JPEG segment smaller than its tile")
+                seg = dec[:rows, :tw, :].astype(dtype.newbyteorder("="))
+            else:
+                raw = _decompress(buf[offs[idx] : offs[idx] + cnts[idx]], comp)
+                seg = np.frombuffer(raw, dtype=dtype, count=rows * tw * spp_seg)
+                seg = seg.reshape(rows, tw, spp_seg).copy()
+                seg = _undo_predictor(seg, pred)
             y0, x0 = ry * th, rx * tw
             vy, vx = min(rows, h - y0), min(tw, w - x0)
             if planar == 2:
@@ -597,11 +645,13 @@ def _even(n: int) -> int:
 
 def _pack_entry_values(entries) -> list:
     """Sorted (tag, type, values) → packed value bytes per entry (ASCII
-    values NUL-terminated)."""
+    values NUL-terminated, UNDEFINED kept verbatim)."""
     packed: list[bytes] = []
     for tag, typ, vals in entries:
         if typ == 2:
             packed.append(vals[0] + (b"" if vals[0].endswith(b"\0") else b"\0"))
+        elif typ == 7:
+            packed.append(bytes(vals[0]))
         else:
             packed.append(struct.pack("<" + _TYPE_FMT[typ] * len(vals), *vals))
     return packed
@@ -632,7 +682,7 @@ def _pack_ifd(entries, ifd_off: int, next_ifd: int = 0, big: bool = False) -> by
     ifd = bytearray(struct.pack("<" + ("Q" if big else "H"), n))
     extra = bytearray()
     for (tag, typ, vals), b in zip(entries, packed):
-        cnt = len(b) if typ == 2 else len(vals)
+        cnt = len(b) if typ in (2, 7) else len(vals)
         ent = struct.pack("<HH" + ("Q" if big else "I"), tag, typ, cnt)
         if len(b) <= inl:
             ent += b.ljust(inl, b"\0")
@@ -648,15 +698,28 @@ def _pack_ifd(entries, ifd_off: int, next_ifd: int = 0, big: bool = False) -> by
 
 def _encode_one_ifd(arr: np.ndarray, compression: str, tiled: bool,
                     predictor: bool, planar: bool, geo: dict | None,
-                    tile_size: int, rows_per_strip: int):
+                    tile_size: int, rows_per_strip: int,
+                    jpeg_quality: int = 90, jpeg_shared_tables: bool = True):
     """→ (entries [(tag, type, values)], segments [bytes]) for one image."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, spp = arr.shape
     fmt, bits = _np_to_sample(arr.dtype)
     comp_id = _COMP_IDS[compression]
-    pred = (3 if arr.dtype.kind == "f" else 2) if predictor else 1
+    is_jpeg = comp_id == 7
+    if is_jpeg and (planar or arr.dtype != np.uint8 or spp not in (1, 3)):
+        raise ValueError("JPEG compression: chunky uint8, 1 or 3 samples")
+    pred = 1 if is_jpeg else ((3 if arr.dtype.kind == "f" else 2) if predictor else 1)
     arr_le = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder("<"))
+
+    def _seg(block: np.ndarray) -> bytes:
+        if is_jpeg:
+            from engine import jpeg
+
+            img = block[:, :, 0] if spp == 1 else block
+            return jpeg.encode_jpeg(np.ascontiguousarray(img), quality=jpeg_quality)
+        return _compress(
+            np.ascontiguousarray(_apply_predictor(block, pred)).tobytes(), comp_id)
 
     segments: list[bytes] = []
     planes = spp if planar else 1
@@ -671,8 +734,7 @@ def _encode_one_ifd(arr: np.ndarray, compression: str, tiled: bool,
                 pad = np.zeros((th, tw, spp_seg), dtype=arr_le.dtype)
                 blk = plane[ry * th : ry * th + th, rx * tw : rx * tw + tw, :]
                 pad[: blk.shape[0], : blk.shape[1], :] = blk
-                segments.append(_compress(
-                    np.ascontiguousarray(_apply_predictor(pad, pred)).tobytes(), comp_id))
+                segments.append(_seg(pad))
     else:
         th = rows_per_strip
         td = -(-h // th)
@@ -680,19 +742,27 @@ def _encode_one_ifd(arr: np.ndarray, compression: str, tiled: bool,
             plane = arr_le[:, :, p : p + 1] if planar else arr_le
             for s in range(td):
                 blk = plane[s * th : s * th + th, :, :]
-                segments.append(_compress(
-                    np.ascontiguousarray(_apply_predictor(blk, pred)).tobytes(), comp_id))
+                segments.append(_seg(blk))
+
+    jpeg_tables = None
+    if is_jpeg and jpeg_shared_tables and segments:
+        # JPEGTABLESMODE: identical DQT/DHT move to one JPEGTables tag,
+        # segments become abbreviated streams (TIFF TechNote 2)
+        jpeg_tables, _ = _split_jpeg_tables(segments[0])
+        segments = [_split_jpeg_tables(s)[1] for s in segments]
 
     entries: list[tuple[int, int, list]] = [
         (T_WIDTH, 4, [w]),
         (T_HEIGHT, 4, [h]),
         (T_BITS, 3, [bits] * spp),
         (T_COMPRESSION, 3, [comp_id]),
-        (T_PHOTOMETRIC, 3, [2 if spp >= 3 else 1]),
+        (T_PHOTOMETRIC, 3, [(6 if is_jpeg else 2) if spp >= 3 else 1]),
         (T_SPP, 3, [spp]),
         (T_PLANAR, 3, [2 if planar else 1]),
         (T_SAMPLE_FORMAT, 3, [fmt] * spp),
     ]
+    if jpeg_tables:
+        entries.append((T_JPEG_TABLES, 7, [jpeg_tables]))
     if pred != 1:
         entries.append((T_PREDICTOR, 3, [pred]))
     if tiled:
@@ -726,7 +796,9 @@ def _encode_one_ifd(arr: np.ndarray, compression: str, tiled: bool,
 def encode_tiff_multi(arrays: list, compression: str = "deflate",
                       tiled: bool = False, predictor: bool = False,
                       planar: bool = False, geo: dict | None = None,
-                      tile_size: int = 256, rows_per_strip: int = 64) -> bytes:
+                      tile_size: int = 256, rows_per_strip: int = 64,
+                      jpeg_quality: int = 90,
+                      jpeg_shared_tables: bool = True) -> bytes:
     """Encode arrays[0] as the base IFD and the rest as the overview chain
     (gt_overview.cpp's multi-IFD layout).  geo applies to the base only.
     Little-endian; values area then segment data after each IFD; IFDs,
@@ -737,7 +809,8 @@ def encode_tiff_multi(arrays: list, compression: str = "deflate",
     for i, arr in enumerate(arrays):
         per_image.append(_encode_one_ifd(
             np.asarray(arr), compression, tiled, predictor, planar,
-            geo if i == 0 else None, tile_size, rows_per_strip))
+            geo if i == 0 else None, tile_size, rows_per_strip,
+            jpeg_quality, jpeg_shared_tables))
 
     pos = 8
     for i, (entries, segments) in enumerate(per_image):
@@ -768,14 +841,17 @@ def encode_tiff_multi(arrays: list, compression: str = "deflate",
 def encode_tiff(arr: np.ndarray, compression: str = "deflate",
                 tiled: bool = False, predictor: bool = False,
                 planar: bool = False, geo: dict | None = None,
-                tile_size: int = 256, rows_per_strip: int = 64) -> bytes:
+                tile_size: int = 256, rows_per_strip: int = 64,
+                jpeg_quality: int = 90, jpeg_shared_tables: bool = True) -> bytes:
     """numpy (h, w[, samples]) → little-endian TIFF bytes.
 
     geo: {"pixel_scale": (sx, sy), "tiepoint": (i, j, k, x, y, z),
     "epsg": int, "model_type": 1 projected | 2 geographic,
-    "citation": str} → GeoTIFF tags."""
+    "citation": str} → GeoTIFF tags.  compression "jpeg" (lossy, chunky
+    uint8 1/3-sample) shares DQT/DHT via a JPEGTables tag by default."""
     return encode_tiff_multi([arr], compression, tiled, predictor, planar,
-                             geo, tile_size, rows_per_strip)
+                             geo, tile_size, rows_per_strip,
+                             jpeg_quality, jpeg_shared_tables)
 
 
 # ---------------------------------------------------------------------------

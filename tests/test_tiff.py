@@ -516,3 +516,65 @@ def test_write_cog_bigtiff_roundtrip(tmp_path, spark):
     assert struct.unpack("<H", raw2[2:4])[0] == 42
     got2 = {(r.tx, r.ty): bytes(r.data) for r in tiff.cog_to_tiles(spark, path2).collect()}
     assert got2 == want
+
+
+# ---------------------------------------------------------------------------
+# JPEG-in-TIFF (compression 7 + JPEGTables, frmts/gtiff JPEG profile)
+# ---------------------------------------------------------------------------
+
+def _smooth_rgb():
+    x = np.linspace(0, 4 * np.pi, 96)
+    img = (127 + 100 * np.sin(x)[None, :] * np.cos(x)[:, None]).astype(np.uint8)
+    return np.stack([img, img[::-1], np.full_like(img, 60)], axis=2)
+
+
+@pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.parametrize("shared", [True, False])
+def test_jpeg_in_tiff_roundtrip(tiled, shared):
+    rgb = _smooth_rgb()
+    gray = rgb[:, :, 0]
+    for arr in (gray, rgb):
+        buf = tiff.encode_tiff(arr, compression="jpeg", tiled=tiled,
+                               tile_size=32, rows_per_strip=24,
+                               jpeg_quality=92, jpeg_shared_tables=shared)
+        info = tiff.tiff_info(buf)
+        assert info["compression"] == 7
+        assert info["photometric"] == (6 if arr.ndim == 3 else 1)
+        out = tiff.decode_tiff(buf)
+        assert out.shape == arr.shape and out.dtype == np.uint8
+        assert np.abs(out.astype(int) - arr.astype(int)).max() <= 12
+
+
+def test_jpeg_in_tiff_single_tile_matches_raw_codec():
+    """With one 96×96 tile the segment IS a full JPEG of the image — the
+    TIFF wrapper must decode bit-identically to engine.jpeg itself."""
+    from engine import jpeg
+
+    rgb = _smooth_rgb()
+    buf = tiff.encode_tiff(rgb, compression="jpeg", tiled=True, tile_size=96,
+                           jpeg_quality=92, jpeg_shared_tables=True)
+    direct = jpeg.decode_jpeg(jpeg.encode_jpeg(rgb, quality=92))
+    assert np.array_equal(tiff.decode_tiff(buf), direct)
+
+
+def test_jpeg_tables_actually_shared():
+    rgb = _smooth_rgb()
+    shared = tiff.encode_tiff(rgb, compression="jpeg", tiled=True, tile_size=32,
+                              jpeg_shared_tables=True)
+    inline = tiff.encode_tiff(rgb, compression="jpeg", tiled=True, tile_size=32,
+                              jpeg_shared_tables=False)
+    assert len(shared) < len(inline)          # DQT/DHT deduplicated
+    bo, ifds = tiff._read_ifds(shared)
+    tables = ifds[0][tiff.T_JPEG_TABLES]
+    assert tables[:2] == b"\xFF\xD8" and tables[-2:] == b"\xFF\xD9"
+    assert b"\xFF\xDB" in tables              # DQT lives in the shared stream
+    bo, ifds = tiff._read_ifds(inline)
+    assert tiff.T_JPEG_TABLES not in ifds[0]
+
+
+def test_jpeg_rejects_unsupported_shapes():
+    with pytest.raises(ValueError, match="chunky uint8"):
+        tiff.encode_tiff(np.zeros((16, 16), np.uint16), compression="jpeg")
+    with pytest.raises(ValueError, match="chunky uint8"):
+        tiff.encode_tiff(np.zeros((16, 16, 3), np.uint8), compression="jpeg",
+                         planar=True)
