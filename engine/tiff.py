@@ -988,20 +988,29 @@ def cog_ifd(path: str) -> dict:
         r.close()
 
 
-def cog_to_tiles(spark, path: str):
+def cog_to_tiles(spark, path: str, level: int = 0):
     """Distributed ingest of one tiled web-mercator GeoTIFF into the engine
     tile table.  Driver reads only the IFD ranges (:func:`cog_ifd`); a
     manifest DataFrame of (tx, ty, offset, count) fans the per-tile byte
     ranges out to executors, which seek+read+decompress just their own
     256×256 segments (the frmts/gtiff tile-cache read path, re-expressed
     as a range-request manifest).  Sparse entries (offset 0 — GDAL
-    SPARSE_OK convention) are skipped."""
+    SPARSE_OK convention) are skipped.  ``level`` selects an overview IFD
+    (gdaladdo read path); write_cog stamps georeferencing on every level,
+    so each ingests standalone."""
     import pandas as pd
     from pyspark.sql.types import (LongType, StructField, StructType)
 
     from engine import raster, tiles
 
-    hdr = cog_ifd(path)
+    r = _RangeReader(path)
+    try:
+        _bo, ifds = _read_ifds(r)
+        if level >= len(ifds):
+            raise ValueError(f"cog_to_tiles: level {level} of {len(ifds)} IFDs")
+        hdr = {"byteorder": _bo, "tags": ifds[level]}
+    finally:
+        r.close()
     t = hdr["tags"]
     if T_TILE_WIDTH not in t:
         raise ValueError("cog_to_tiles: not a tiled TIFF")
@@ -1195,15 +1204,17 @@ def write_cog(tile_df, path: str, compression: str = "deflate",
             ]
             if predictor:
                 entries.append((T_PREDICTOR, 3, [2]))
-            if li == 0:
-                entries.append((T_PIXEL_SCALE, 12, [res, res, 0.0]))
-                entries.append((T_TIEPOINT, 12,
-                                [0.0, 0.0, 0.0, float(minx), float(maxy), 0.0]))
-                head, _dbl, ascii_blob = _geokey_entries(
-                    {"model_type": 1, "epsg": WEB_MERCATOR_EPSG,
-                     "citation": "WGS 84 / Pseudo-Mercator"})
-                entries.append((T_GEO_KEYS, 3, head))
-                entries.append((T_GEO_ASCII, 2, [ascii_blob.encode("ascii")]))
+            # every level carries its OWN georeferencing (an overview grid's
+            # extent can differ from base/2^k), so any IFD is ingestable
+            # standalone — cog_to_tiles(level=k) needs no base-IFD math
+            entries.append((T_PIXEL_SCALE, 12, [res, res, 0.0]))
+            entries.append((T_TIEPOINT, 12,
+                            [0.0, 0.0, 0.0, float(minx), float(maxy), 0.0]))
+            head, _dbl, ascii_blob = _geokey_entries(
+                {"model_type": 1, "epsg": WEB_MERCATOR_EPSG,
+                 "citation": "WGS 84 / Pseudo-Mercator"})
+            entries.append((T_GEO_KEYS, 3, head))
+            entries.append((T_GEO_ASCII, 2, [ascii_blob.encode("ascii")]))
             entries.sort(key=lambda e: e[0])
             if pos % 2:                              # word-align the IFD
                 f.write(b"\0")

@@ -578,3 +578,23 @@ def test_jpeg_rejects_unsupported_shapes():
     with pytest.raises(ValueError, match="chunky uint8"):
         tiff.encode_tiff(np.zeros((16, 16, 3), np.uint8), compression="jpeg",
                          planar=True)
+
+
+def test_cog_overview_level_ingest(tmp_path, spark):
+    """cog_to_tiles(level=1) ingests the overview IFD standalone and
+    matches pyramid_reduce of the source exactly (gdaladdo read path)."""
+    from engine import raster
+
+    rng = np.random.default_rng(13)
+    rows = [(6, 8 + k, 20 + (k % 2), raster.tile_to_bytes(
+        rng.integers(0, 400, (256, 256), dtype=np.int32))) for k in range(6)]
+    src = spark.createDataFrame(rows, raster.TILE_SCHEMA)
+    path = str(tmp_path / "ovr.tif")
+    tiff.write_cog(src, path, overview_levels=1)
+    got = {(r.zoom, r.tx, r.ty): bytes(r.data)
+           for r in tiff.cog_to_tiles(spark, path, level=1).collect()}
+    want = {(r.zoom, r.tx, r.ty): bytes(r.data)
+            for r in raster.pyramid_reduce(src).collect()}
+    assert got == want and len(got) > 0
+    with pytest.raises(ValueError, match="level 5 of"):
+        tiff.cog_to_tiles(spark, path, level=5)
