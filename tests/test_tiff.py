@@ -598,3 +598,46 @@ def test_cog_overview_level_ingest(tmp_path, spark):
     assert got == want and len(got) > 0
     with pytest.raises(ValueError, match="level 5 of"):
         tiff.cog_to_tiles(spark, path, level=5)
+
+
+# ---------------------------------------------------------------------------
+# property-based fuzz (mirrors tests/test_properties.py's strategy style)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as hst
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=hst.integers(1, 40),
+    w=hst.integers(1, 40),
+    spp=hst.sampled_from([1, 3, 4]),
+    dt=hst.sampled_from(["u1", "u2", "i2", "u4", "i4", "f4", "f8"]),
+    comp=hst.sampled_from(["none", "deflate", "lzw", "packbits"]),
+    tiled=hst.booleans(),
+    predictor=hst.booleans(),
+    planar=hst.booleans(),
+    seed=hst.integers(0, 2**31 - 1),
+)
+def test_property_roundtrip(h, w, spp, dt, comp, tiled, predictor, planar, seed):
+    rng = np.random.default_rng(seed)
+    dtype = np.dtype(dt)
+    shape = (h, w) if spp == 1 else (h, w, spp)
+    if dtype.kind == "f":
+        arr = rng.normal(size=shape).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        arr = rng.integers(info.min, int(info.max) + 1, shape, dtype=dtype)
+    buf = tiff.encode_tiff(arr, compression=comp, tiled=tiled,
+                           predictor=predictor, planar=planar,
+                           tile_size=16, rows_per_strip=7)
+    out = tiff.decode_tiff(buf)
+    assert out.shape == arr.shape and out.dtype == arr.dtype
+    assert np.array_equal(out, arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=hst.binary(min_size=0, max_size=5000))
+def test_property_lzw_packbits_lossless(data):
+    assert tiff._lzw_decode(tiff._lzw_encode(data)) == data
+    assert tiff._packbits_decode(tiff._packbits_encode(data)) == data
