@@ -458,7 +458,7 @@ def _decode_ifd(buf: bytes, bo: str, t: dict) -> np.ndarray:
     pred = int(t.get(T_PREDICTOR, 1))
     planar = int(t.get(T_PLANAR, 1))
     tiled = T_TILE_WIDTH in t
-    if comp == 7 and (planar == 2 or dtype.itemsize != 1):
+    if comp == 7 and (planar == 2 or dtype.kind != "u" or dtype.itemsize != 1):
         raise ValueError("JPEG compression: chunky uint8 only")
 
     out = np.zeros((h, w, spp), dtype=dtype.newbyteorder("="))
@@ -657,16 +657,17 @@ def _pack_entry_values(entries) -> list:
     return packed
 
 
-def _ifd_block_len(entries, big: bool = False) -> int:
-    """Byte length of the IFD block _pack_ifd will emit (entry table +
-    next-IFD pointer + word-aligned out-of-line value area).  Offsets-array
-    entries may still hold placeholder values — only sizes matter."""
-    csz, esz, inl = (8, 20, 8) if big else (2, 12, 4)
+def _ifd_block_len(entries) -> int:
+    """Byte length of the CLASSIC-layout IFD block _pack_ifd will emit
+    (entry table + next-IFD pointer + word-aligned out-of-line value
+    area).  Offsets-array entries may still hold placeholder values — only
+    sizes matter.  encode_tiff_multi is classic-only (in-memory files);
+    write_cog sizes its BigTIFF IFDs from the grid directly."""
     ex = 0
     for b in _pack_entry_values(entries):
-        if len(b) > inl:
+        if len(b) > 4:
             ex = _even(ex) + len(b)
-    return csz + esz * len(entries) + inl + ex
+    return 2 + 12 * len(entries) + 4 + ex
 
 
 def _pack_ifd(entries, ifd_off: int, next_ifd: int = 0, big: bool = False) -> bytes:
@@ -884,6 +885,11 @@ def tiles_to_geotiff(tile_df, compression: str = "deflate", predictor: bool = Tr
     from pyspark.sql.types import (BinaryType, IntegerType, LongType,
                                    StructField, StructType)
 
+    if compression == "jpeg":
+        raise ValueError("tiles_to_geotiff: int32 tile payloads cannot be "
+                         "JPEG — use none/deflate/lzw/packbits")
+    _COMP_IDS[compression]          # fail fast on unknown codecs, driver-side
+
     out_schema = StructType([
         StructField("zoom", IntegerType()),
         StructField("tx", LongType()),
@@ -975,14 +981,16 @@ def geotiff_to_tiles(df, col: str = "tiff"):
 # ---------------------------------------------------------------------------
 
 
-def cog_ifd(path: str) -> dict:
+def cog_ifd(path: str, level: int = 0) -> dict:
     """Driver-side lazy header parse of a (possibly huge) tiled GeoTIFF.
-    Returns the first IFD's tags plus {'bytes_read'}: how much of the file
+    Returns IFD ``level``'s tags plus {'bytes_read'}: how much of the file
     the parse actually touched (tests pin this ≪ file size)."""
     r = _RangeReader(path)
     try:
         bo, ifds = _read_ifds(r)
-        return {"byteorder": bo, "tags": ifds[0], "n_ifds": len(ifds),
+        if level >= len(ifds):
+            raise ValueError(f"cog_ifd: level {level} of {len(ifds)} IFDs")
+        return {"byteorder": bo, "tags": ifds[level], "n_ifds": len(ifds),
                 "bytes_read": r.bytes_read, "reads": r.reads}
     finally:
         r.close()
@@ -1003,14 +1011,7 @@ def cog_to_tiles(spark, path: str, level: int = 0):
 
     from engine import raster, tiles
 
-    r = _RangeReader(path)
-    try:
-        _bo, ifds = _read_ifds(r)
-        if level >= len(ifds):
-            raise ValueError(f"cog_to_tiles: level {level} of {len(ifds)} IFDs")
-        hdr = {"byteorder": _bo, "tags": ifds[level]}
-    finally:
-        r.close()
+    hdr = cog_ifd(path, level)
     t = hdr["tags"]
     if T_TILE_WIDTH not in t:
         raise ValueError("cog_to_tiles: not a tiled TIFF")
@@ -1051,6 +1052,9 @@ def cog_to_tiles(spark, path: str, level: int = 0):
                          "float rasters would truncate")
     comp = int(t.get(T_COMPRESSION, 1))
     pred = int(t.get(T_PREDICTOR, 1))
+    jpeg_tables = t.get(T_JPEG_TABLES)
+    if comp == 7 and dtype_str[1:] != "u1":
+        raise ValueError("cog_to_tiles: JPEG compression implies uint8")
 
     offs, cnts = _as_list(t[T_TILE_OFFSETS]), _as_list(t[T_TILE_COUNTS])
     rows = []
@@ -1073,11 +1077,15 @@ def cog_to_tiles(spark, path: str, level: int = 0):
                 ds = []
                 for o, c in zip(pdf["offset"], pdf["count"]):
                     f.seek(int(o))
-                    raw = _decompress(f.read(int(c)), comp)
-                    seg = np.frombuffer(raw, dtype=np.dtype(dtype_str),
-                                        count=th * tw).reshape(th, tw, 1).copy()
-                    seg = _undo_predictor(seg, pred)
-                    ds.append(raster.tile_to_bytes(seg[:, :, 0].astype(np.int32)))
+                    raw = f.read(int(c))
+                    if comp == 7:
+                        grid = _decode_jpeg_segment(raw, jpeg_tables)[:th, :tw, 0]
+                    else:
+                        seg = np.frombuffer(_decompress(raw, comp),
+                                            dtype=np.dtype(dtype_str),
+                                            count=th * tw).reshape(th, tw, 1).copy()
+                        grid = _undo_predictor(seg, pred)[:, :, 0]
+                    ds.append(raster.tile_to_bytes(grid.astype(np.int32)))
                 yield pd.DataFrame({
                     "zoom": pd.array([zoom] * len(ds), dtype="int32"),
                     "tx": pdf["tx"], "ty": pdf["ty"], "data": ds})
@@ -1111,6 +1119,12 @@ def write_cog(tile_df, path: str, compression: str = "deflate",
 
     from engine import raster, tiles
 
+    if bigtiff not in (True, False, "auto"):
+        raise ValueError(f"write_cog: bigtiff must be True/False/'auto', "
+                         f"got {bigtiff!r}")
+    if compression == "jpeg":
+        raise ValueError("write_cog: int32 tile payloads cannot be JPEG — "
+                         "use none/deflate/lzw/packbits")
     comp_id = _COMP_IDS[compression]
     levels = [tile_df]
     for _ in range(overview_levels):
@@ -1180,8 +1194,17 @@ def write_cog(tile_df, path: str, compression: str = "deflate",
                                        "tiles": sum(1 for c in cnts if c)})
 
         # data streamed → every offset is known, so the classic-vs-BigTIFF
-        # choice happens NOW, before any offset is serialized
-        big = bigtiff is True or (bigtiff == "auto" and pos + (1 << 24) >= 1 << 32)
+        # choice happens NOW, before any offset is serialized.  The trailing
+        # IFDs scale with grid area (8 B/cell of offsets+counts in classic
+        # layout, plus fixed tags), so size them into the decision — a
+        # mostly-sparse multi-megacell grid can overflow 2^32 on the IFD
+        # alone even when the segment data fits
+        ifd_est = sum(8 * ta * td + 2048 for (_z, _x, _y, ta, td, _o, _c) in per_level)
+        big = bigtiff is True or (
+            bigtiff == "auto" and pos + ifd_est + (1 << 20) >= 1 << 32)
+        if not big and pos + ifd_est >= 1 << 32:
+            raise ValueError("write_cog: classic TIFF 4 GiB limit exceeded "
+                             "by the trailing IFD — pass bigtiff=True")
 
         # trailing IFD chain
         ifd_offsets = []

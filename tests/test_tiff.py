@@ -641,3 +641,59 @@ def test_property_roundtrip(h, w, spp, dt, comp, tiled, predictor, planar, seed)
 def test_property_lzw_packbits_lossless(data):
     assert tiff._lzw_decode(tiff._lzw_encode(data)) == data
     assert tiff._packbits_decode(tiff._packbits_encode(data)) == data
+
+
+# ---------------------------------------------------------------------------
+# second review pass regressions
+# ---------------------------------------------------------------------------
+
+def test_jpeg_cog_external_ingest(tmp_path, spark):
+    """An external single-band uint8 JPEG-compressed tiled web-mercator
+    GeoTIFF ingests through the byte-range path, JPEGTables included."""
+    from engine import tiles
+
+    x = np.linspace(0, 6 * np.pi, 256)
+    grid = (120 + 90 * np.sin(x)[None, :] * np.cos(x)[:, None]).astype(np.uint8)
+    buf = tiff.encode_tiff(grid, compression="jpeg", tiled=True, tile_size=256,
+                           jpeg_quality=95, geo=_z5_geo(tx=4, ty=11))
+    path = str(tmp_path / "jpeg_cog.tif")
+    open(path, "wb").write(buf)
+    out = tiff.cog_to_tiles(spark, path).collect()
+    assert len(out) == 1 and (out[0].zoom, out[0].tx, out[0].ty) == (5, 4, 11)
+    from engine import raster
+
+    got = raster.bytes_to_tile(bytes(out[0].data))
+    # lossy codec: values near, not equal
+    assert np.abs(got - grid.astype(np.int64)).max() <= 12
+    # and identical to what decode_tiff itself produces
+    assert np.array_equal(got, tiff.decode_tiff(buf).astype(np.int32))
+
+
+def test_write_cog_rejects_jpeg_and_bad_bigtiff(tmp_path, spark):
+    from engine import raster
+
+    src = spark.createDataFrame(
+        [(4, 1, 1, raster.tile_to_bytes(np.zeros((256, 256), np.int32)))],
+        raster.TILE_SCHEMA)
+    with pytest.raises(ValueError, match="cannot be JPEG"):
+        tiff.write_cog(src, str(tmp_path / "x.tif"), compression="jpeg")
+    with pytest.raises(ValueError, match="bigtiff must be"):
+        tiff.write_cog(src, str(tmp_path / "x.tif"), bigtiff="Auto")
+    with pytest.raises(ValueError, match="cannot be JPEG"):
+        tiff.tiles_to_geotiff(src, compression="jpeg")
+
+
+def test_jpeg_int8_sample_format_rejected():
+    buf = bytearray(tiff.encode_tiff(
+        np.zeros((16, 16), np.uint8), compression="jpeg", jpeg_shared_tables=False))
+    # patch SampleFormat (339) from 1 (unsigned) to 2 (signed) in place
+    bo, ifds = tiff._read_ifds(bytes(buf))
+    (ifd_off,) = struct.unpack("<I", bytes(buf[4:8]))
+    (n,) = struct.unpack("<H", bytes(buf[ifd_off:ifd_off + 2]))
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack("<HHI", bytes(buf[e:e + 8]))
+        if tag == 339:
+            buf[e + 8:e + 10] = struct.pack("<H", 2)
+    with pytest.raises(ValueError, match="chunky uint8"):
+        tiff.decode_tiff(bytes(buf))
