@@ -74,3 +74,66 @@ def kml_superoverlay(tile_df: DataFrame, max_zoom: int | None = None) -> DataFra
             yield pd.DataFrame({"path": paths, "kml": docs})
 
     return tile_df.select("zoom", "tx", "ty").mapInPandas(_ser, "path string, kml string")
+
+
+def png_tiles(tile_df: DataFrame, ramp: list | None = None) -> DataFrame:
+    """Render the tile table into the z/x/y.png images the superoverlay
+    (and any gdal2tiles-layout viewer) references — the tile-render step
+    of swig/python/scripts/gdal2tiles.py (its per-tile gdal_translate →
+    PNG path), which :func:`kml_superoverlay` assumes exists.
+
+    With ``ramp`` (list of (value, r, g, b)), colors come from
+    engine.focal.color_relief (the gdaldem interpolation, quirks
+    included); without, a grayscale clamp min(value, 255).  Alpha is the
+    gdal2tiles nodata transparency: 0 where the SOURCE pixel is 0, else
+    255.  Relief tiles co-join back to their source tile on (zoom,tx,ty)
+    — a co-partitioned equi-join, no wide shuffle at scale.
+
+    Output: (path string 'z/x/y.png', png binary) — engine.png encodes,
+    so the sink is PIL-free like the rest of the media layer."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                   StructType)
+
+    from . import png as _png
+    from .raster import bytes_to_tile
+
+    if ramp is not None:
+        # color_relief keeps (tx, ty, data) of a single-zoom table; join the
+        # packed-RGB tiles back to the source on the tile key
+        from .focal import color_relief
+
+        colored = color_relief(tile_df, ramp).select(
+            "tx", "ty", F.col("data").alias("rgb"))
+        src = tile_df.join(colored, on=["tx", "ty"])
+    else:
+        src = tile_df.withColumn("rgb", F.lit(None).cast("binary"))
+
+    out_schema = StructType([
+        StructField("path", StringType()),
+        StructField("png", BinaryType()),
+    ])
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            paths, blobs = [], []
+            for r in pdf.itertuples():
+                grid = bytes_to_tile(r.data)
+                rgba = np.zeros(grid.shape + (4,), dtype=np.uint8)
+                if r.rgb is not None:
+                    packed = bytes_to_tile(r.rgb)
+                    rgba[:, :, 0] = (packed >> 16) & 0xFF
+                    rgba[:, :, 1] = (packed >> 8) & 0xFF
+                    rgba[:, :, 2] = packed & 0xFF
+                else:
+                    g = np.minimum(grid, 255).astype(np.uint8)
+                    rgba[:, :, 0] = rgba[:, :, 1] = rgba[:, :, 2] = g
+                rgba[:, :, 3] = np.where(grid != 0, 255, 0)
+                paths.append(f"{int(r.zoom)}/{int(r.tx)}/{int(r.ty)}.png")
+                blobs.append(_png.encode_png(rgba))
+            yield pd.DataFrame({"path": paths, "png": blobs})
+
+    return src.mapInPandas(_render, out_schema)

@@ -275,3 +275,34 @@ def test_pyramid_delta_update_matches_full_recompute(spark):
         assert ch == anc, f"zoom {z}"
     full_n = expect[bz].count()
     assert len(delta_keys) < full_n  # the fixture actually exercises reuse
+
+
+def test_png_tiles_sink(spark):
+    """gdal2tiles' tile-render step: the z/x/y.png images the superoverlay
+    hrefs point at.  Grayscale clamp + nodata alpha; ramp mode must equal
+    the gdaldem color_relief interpolation channel-for-channel."""
+    import numpy as np
+
+    from engine import png, sinks
+    from engine.focal import color_relief
+    from engine.raster import TILE_SCHEMA, bytes_to_tile, tile_to_bytes
+
+    rng = np.random.default_rng(6)
+    g = rng.integers(0, 300, (256, 256)).astype(np.int32)
+    g[:10, :10] = 0
+    df = spark.createDataFrame([(5, 3, 9, tile_to_bytes(g))], TILE_SCHEMA)
+
+    rows = sinks.png_tiles(df).collect()
+    assert rows[0].path == "5/3/9.png"
+    img = png.decode_png(bytes(rows[0].png))
+    assert img.shape == (256, 256, 4)
+    assert (img[:10, :10, 3] == 0).all()                     # nodata alpha
+    assert (img[:, :, 0] == np.minimum(g, 255).astype(np.uint8)).all()
+
+    ramp = [(0, 0, 0, 255), (150, 0, 255, 0), (300, 255, 0, 0)]
+    img2 = png.decode_png(bytes(sinks.png_tiles(df, ramp=ramp).collect()[0].png))
+    packed = bytes_to_tile(bytes(color_relief(df, ramp).collect()[0].data))
+    assert (img2[:, :, 0] == ((packed >> 16) & 255)).all()
+    assert (img2[:, :, 1] == ((packed >> 8) & 255)).all()
+    assert (img2[:, :, 2] == (packed & 255)).all()
+    assert (img2[:10, :10, 3] == 0).all()
