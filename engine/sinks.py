@@ -76,7 +76,8 @@ def kml_superoverlay(tile_df: DataFrame, max_zoom: int | None = None) -> DataFra
     return tile_df.select("zoom", "tx", "ty").mapInPandas(_ser, "path string, kml string")
 
 
-def png_tiles(tile_df: DataFrame, ramp: list | None = None) -> DataFrame:
+def png_tiles(tile_df: DataFrame, ramp: list | None = None,
+              tile_format: str = "png") -> DataFrame:
     """Render the tile table into the z/x/y.png images the superoverlay
     (and any gdal2tiles-layout viewer) references — the tile-render step
     of swig/python/scripts/gdal2tiles.py (its per-tile gdal_translate →
@@ -89,8 +90,11 @@ def png_tiles(tile_df: DataFrame, ramp: list | None = None) -> DataFrame:
     255.  Relief tiles co-join back to their source tile on (zoom,tx,ty)
     — a co-partitioned equi-join, no wide shuffle at scale.
 
-    Output: (path string 'z/x/y.png', png binary) — engine.png encodes,
-    so the sink is PIL-free like the rest of the media layer."""
+    ``tile_format``: "png" (RGBA) or "jpeg" (RGB — gdal2tiles
+    --tile-format jpeg; JPEG has no alpha so nodata renders black).
+
+    Output: (path string 'z/x/y.png', png binary) — engine.png/jpeg
+    encode, so the sink is PIL-free like the rest of the media layer."""
     import numpy as np
     from pyspark.sql import functions as F
     from pyspark.sql.types import (BinaryType, StringType, StructField,
@@ -132,8 +136,45 @@ def png_tiles(tile_df: DataFrame, ramp: list | None = None) -> DataFrame:
                     g = np.minimum(grid, 255).astype(np.uint8)
                     rgba[:, :, 0] = rgba[:, :, 1] = rgba[:, :, 2] = g
                 rgba[:, :, 3] = np.where(grid != 0, 255, 0)
-                paths.append(f"{int(r.zoom)}/{int(r.tx)}/{int(r.ty)}.png")
-                blobs.append(_png.encode_png(rgba))
+                z, x, y = int(r.zoom), int(r.tx), int(r.ty)
+                if tile_format == "jpeg":
+                    from . import jpeg as _jpeg
+
+                    paths.append(f"{z}/{x}/{y}.jpg")
+                    blobs.append(_jpeg.encode_jpeg(
+                        np.ascontiguousarray(rgba[:, :, :3]), quality=90))
+                else:
+                    paths.append(f"{z}/{x}/{y}.png")
+                    blobs.append(_png.encode_png(rgba))
             yield pd.DataFrame({"path": paths, "png": blobs})
 
     return src.mapInPandas(_render, out_schema)
+
+
+def write_tile_directory(img_df: DataFrame, root: str) -> int:
+    """Materialize (path, bytes) rows — :func:`png_tiles` or
+    :func:`kml_superoverlay` output — into a gdal2tiles-style z/x/y
+    directory tree under ``root``.  Executor-side writes (foreachPartition
+    against a shared filesystem, the gdal2tiles output layout); returns
+    the row count.  Paths must be relative."""
+    import os
+
+    cols = img_df.columns
+    data_col = [c for c in cols if c != "path"][0]
+    acc = img_df.sparkSession.sparkContext.accumulator(0)
+
+    def _write(rows) -> None:
+        for r in rows:
+            rel = r["path"]
+            if os.path.isabs(rel) or ".." in rel.split("/"):
+                raise ValueError(f"write_tile_directory: unsafe path {rel!r}")
+            dst = os.path.join(root, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            payload = r[data_col]
+            mode = "wb" if isinstance(payload, (bytes, bytearray)) else "w"
+            with open(dst, mode) as f:
+                f.write(payload)
+            acc.add(1)
+
+    img_df.foreachPartition(_write)      # one pass: render + write + count
+    return acc.value

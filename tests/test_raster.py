@@ -306,3 +306,32 @@ def test_png_tiles_sink(spark):
     assert (img2[:, :, 1] == ((packed >> 8) & 255)).all()
     assert (img2[:, :, 2] == (packed & 255)).all()
     assert (img2[:10, :10, 3] == 0).all()
+
+
+def test_write_tile_directory_and_jpeg_format(tmp_path, spark):
+    """End-to-end gdal2tiles output: PNG + KML trees on disk, plus the
+    --tile-format jpeg variant decoded back by the engine's own codec."""
+    import os
+
+    import numpy as np
+
+    from engine import jpeg, sinks
+    from engine.raster import TILE_SCHEMA, tile_to_bytes
+
+    x = np.linspace(0, 4 * np.pi, 256)
+    g = (60 + 50 * np.sin(x)[None, :] * np.cos(x)[:, None]).astype(np.int32)
+    df = spark.createDataFrame(
+        [(5, 3, 9, tile_to_bytes(g)), (5, 4, 9, tile_to_bytes(g))], TILE_SCHEMA)
+
+    root = str(tmp_path / "tiles")
+    n = sinks.write_tile_directory(sinks.png_tiles(df), root)
+    n += sinks.write_tile_directory(sinks.kml_superoverlay(df), root)
+    assert n == 4
+    assert os.path.exists(os.path.join(root, "5/3/9.png"))
+    assert os.path.exists(os.path.join(root, "5/4/9.kml"))
+
+    rows = sinks.png_tiles(df, tile_format="jpeg").collect()
+    assert rows[0].path.endswith(".jpg")
+    img = jpeg.decode_jpeg(bytes(rows[0].png))
+    assert img.shape == (256, 256, 3)
+    assert np.abs(img[:, :, 0].astype(int) - np.minimum(g, 255)).max() <= 12
