@@ -1166,6 +1166,8 @@ def write_cog(tile_df, path: str, compression: str = "deflate",
                 F.min("tx").alias("x0"), F.max("tx").alias("x1"),
                 F.min("ty").alias("y0"), F.max("ty").alias("y1"),
             ).collect()[0]
+            if ext.z0 is None:
+                raise ValueError("write_cog: empty tile table")
             if ext.z0 != ext.z1:
                 raise ValueError("write_cog: one zoom per level required")
             zoom = int(ext.z0)

@@ -114,3 +114,18 @@ def test_empty_pq_train(spark):
     cb = ann.pq_train(emb, m=4, ksub=4, max_iters=2)
     assert cb.count() == 0
     assert [f.name for f in cb.schema.fields] == ["sub", "code", "cvec"]
+
+
+def test_empty_tiff_operators(spark, empty_tiles, tmp_path):
+    from engine import tiff
+
+    assert sinks.png_tiles(empty_tiles).count() == 0
+    assert sinks.png_tiles(empty_tiles, ramp=[(0, 0, 0, 0), (1, 255, 255, 255)]).count() == 0
+    assert sinks.write_tile_directory(sinks.png_tiles(empty_tiles), str(tmp_path)) == 0
+    tiffs = tiff.tiles_to_geotiff(empty_tiles)
+    assert tiffs.count() == 0
+    assert tiff.geotiff_to_tiles(tiffs.select("tiff")).count() == 0
+    # a COG has a mandatory extent — an empty table is a clear error, not
+    # a crash deep in the layout math
+    with pytest.raises(ValueError, match="empty tile table"):
+        tiff.write_cog(empty_tiles, str(tmp_path / "empty.tif"))
