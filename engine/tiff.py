@@ -700,7 +700,8 @@ def _pack_ifd(entries, ifd_off: int, next_ifd: int = 0, big: bool = False) -> by
 def _encode_one_ifd(arr: np.ndarray, compression: str, tiled: bool,
                     predictor: bool, planar: bool, geo: dict | None,
                     tile_size: int, rows_per_strip: int,
-                    jpeg_quality: int = 90, jpeg_shared_tables: bool = True):
+                    jpeg_quality: int = 90, jpeg_shared_tables: bool = True,
+                    colormap: np.ndarray | None = None):
     """→ (entries [(tag, type, values)], segments [bytes]) for one image."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -710,6 +711,8 @@ def _encode_one_ifd(arr: np.ndarray, compression: str, tiled: bool,
     is_jpeg = comp_id == 7
     if is_jpeg and (planar or arr.dtype != np.uint8 or spp not in (1, 3)):
         raise ValueError("JPEG compression: chunky uint8, 1 or 3 samples")
+    if colormap is not None and (spp != 1 or arr.dtype != np.uint8 or is_jpeg):
+        raise ValueError("colormap: single-band uint8 indices, non-JPEG only")
     pred = 1 if is_jpeg else ((3 if arr.dtype.kind == "f" else 2) if predictor else 1)
     arr_le = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder("<"))
 
@@ -752,16 +755,30 @@ def _encode_one_ifd(arr: np.ndarray, compression: str, tiled: bool,
         jpeg_tables, _ = _split_jpeg_tables(segments[0])
         segments = [_split_jpeg_tables(s)[1] for s in segments]
 
+    if colormap is not None:
+        photometric = 3
+    elif spp >= 3:
+        photometric = 6 if is_jpeg else 2
+    else:
+        photometric = 1
     entries: list[tuple[int, int, list]] = [
         (T_WIDTH, 4, [w]),
         (T_HEIGHT, 4, [h]),
         (T_BITS, 3, [bits] * spp),
         (T_COMPRESSION, 3, [comp_id]),
-        (T_PHOTOMETRIC, 3, [(6 if is_jpeg else 2) if spp >= 3 else 1]),
+        (T_PHOTOMETRIC, 3, [photometric]),
         (T_SPP, 3, [spp]),
         (T_PLANAR, 3, [2 if planar else 1]),
         (T_SAMPLE_FORMAT, 3, [fmt] * spp),
     ]
+    if colormap is not None:
+        # TIFF colormaps are 16-bit per channel, all reds then greens then
+        # blues; 8-bit values scale by 257 so 255 → 65535 (the libtiff /
+        # GDAL convention _expand_palette inverts with >> 8)
+        cm = np.zeros((256, 3), dtype=np.uint16)
+        cm8 = np.asarray(colormap, dtype=np.uint16)
+        cm[: cm8.shape[0], :] = cm8 * 257
+        entries.append((T_COLORMAP, 3, [int(v) for v in cm.T.reshape(-1)]))
     if jpeg_tables:
         entries.append((T_JPEG_TABLES, 7, [jpeg_tables]))
     if pred != 1:
@@ -799,7 +816,8 @@ def encode_tiff_multi(arrays: list, compression: str = "deflate",
                       planar: bool = False, geo: dict | None = None,
                       tile_size: int = 256, rows_per_strip: int = 64,
                       jpeg_quality: int = 90,
-                      jpeg_shared_tables: bool = True) -> bytes:
+                      jpeg_shared_tables: bool = True,
+                      colormap: np.ndarray | None = None) -> bytes:
     """Encode arrays[0] as the base IFD and the rest as the overview chain
     (gt_overview.cpp's multi-IFD layout).  geo applies to the base only.
     Little-endian; values area then segment data after each IFD; IFDs,
@@ -811,7 +829,7 @@ def encode_tiff_multi(arrays: list, compression: str = "deflate",
         per_image.append(_encode_one_ifd(
             np.asarray(arr), compression, tiled, predictor, planar,
             geo if i == 0 else None, tile_size, rows_per_strip,
-            jpeg_quality, jpeg_shared_tables))
+            jpeg_quality, jpeg_shared_tables, colormap))
 
     pos = 8
     for i, (entries, segments) in enumerate(per_image):
@@ -843,16 +861,20 @@ def encode_tiff(arr: np.ndarray, compression: str = "deflate",
                 tiled: bool = False, predictor: bool = False,
                 planar: bool = False, geo: dict | None = None,
                 tile_size: int = 256, rows_per_strip: int = 64,
-                jpeg_quality: int = 90, jpeg_shared_tables: bool = True) -> bytes:
+                jpeg_quality: int = 90, jpeg_shared_tables: bool = True,
+                colormap: np.ndarray | None = None) -> bytes:
     """numpy (h, w[, samples]) → little-endian TIFF bytes.
 
     geo: {"pixel_scale": (sx, sy), "tiepoint": (i, j, k, x, y, z),
     "epsg": int, "model_type": 1 projected | 2 geographic,
     "citation": str} → GeoTIFF tags.  compression "jpeg" (lossy, chunky
-    uint8 1/3-sample) shares DQT/DHT via a JPEGTables tag by default."""
+    uint8 1/3-sample) shares DQT/DHT via a JPEGTables tag by default.
+    colormap: (n≤256, 3) uint8 palette for single-band uint8 indices —
+    written as Photometric=3 + a 16-bit ColorMap (the rgb2pct output
+    form; engine.quantize.median_cut palettes plug in directly)."""
     return encode_tiff_multi([arr], compression, tiled, predictor, planar,
                              geo, tile_size, rows_per_strip,
-                             jpeg_quality, jpeg_shared_tables)
+                             jpeg_quality, jpeg_shared_tables, colormap)
 
 
 # ---------------------------------------------------------------------------

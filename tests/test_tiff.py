@@ -697,3 +697,30 @@ def test_jpeg_int8_sample_format_rejected():
             buf[e + 8:e + 10] = struct.pack("<H", 2)
     with pytest.raises(ValueError, match="chunky uint8"):
         tiff.decode_tiff(bytes(buf))
+
+
+def test_palette_write_roundtrip_with_quantize():
+    """rgb2pct → palette GeoTIFF: median-cut palette + index grid written
+    as Photometric=3 + 16-bit ColorMap, read back raw and expanded."""
+    from engine import quantize
+
+    rng = np.random.default_rng(21)
+    # few distinct colors so the median-cut palette is exact
+    colors = np.array([[250, 10, 10], [10, 250, 10], [10, 10, 250], [200, 200, 0]],
+                      dtype=np.uint8)
+    idx = rng.integers(0, 4, (40, 50)).astype(np.uint8)
+    buf = tiff.encode_tiff(idx, compression="lzw", colormap=colors)
+    info = tiff.tiff_info(buf)
+    assert info["photometric"] == 3
+    raw = tiff.decode_tiff(buf)
+    assert np.array_equal(raw, idx)                    # GDAL: index band
+    rgb = tiff.decode_tiff(buf, expand_palette=True)
+    assert np.array_equal(rgb, colors[idx])            # 257-scale survives >>8
+    # median_cut output plugs in directly
+    hist = sorted([(int(r) // 8 * 1024 + int(g) // 8 * 32 + int(b) // 8, 10)
+                   for r, g, b in colors])
+    pal = quantize.median_cut(hist, 4)
+    buf2 = tiff.encode_tiff(idx, colormap=pal)
+    assert tiff.tiff_info(buf2)["photometric"] == 3
+    with pytest.raises(ValueError, match="single-band uint8"):
+        tiff.encode_tiff(np.zeros((8, 8, 3), np.uint8), colormap=colors)
