@@ -191,6 +191,19 @@ def main():
     )
     flagship_wall = time.time() - t0
 
+    # fused single-Arrow-boundary PIP→density (engine/raster.py
+    # burn_base_tiles_pip): the scaling-sweep flagship path.  Timed against
+    # pip_tile_join + tiling_pyramid above, its plan metrics record ONE
+    # python-runner stage where the composed chain runs two — the worker
+    # halving behind the §1 sweep gain (BENCH/BASELINE.md).
+    _run(
+        "pip_density_fused",
+        lambda: _force(
+            raster.burn_base_tiles_pip(pts, entrymod._grid_polygons_pdf(), 5)
+        ),
+        timings,
+    )
+
     _run("tile_assign", lambda: _force(q["tile_assign"](spark, sf_dir)), timings)
     # relational form: the registry row routes through the GeoTIFF codec
     # for the correctness gate; the codec is timed separately (geotiff_codec)

@@ -62,16 +62,27 @@ def make_points(spark, sf_dir: str, k: int):
     )
 
 
-def flagship(spark, pts):
+def flagship(spark, pts, fused: bool = True):
     """PIP join vs 10° grid → density burn z5 (tile+pixel assignment inside)
     → 2-level pyramid; returns xor of tile checksums (forces full execution
     AND pins determinism).  Columns are pruned to what each stage needs —
     dragging a per-row quadkey string through the Arrow boundary costs more
-    than the geometry math (measured)."""
-    matched = joins.pip_join_broadcast(
-        pts, entrymod._grid_polygons_pdf(), keep_cols=("event_id",)
-    )
-    base = raster.burn_base_tiles(matched, 5).persist()
+    than the geometry math (measured).
+
+    ``fused=True`` (default) runs the per-point path through
+    raster.burn_base_tiles_pip — ONE Arrow boundary with below-the-boundary
+    partial counting — instead of the composed pip_join_broadcast →
+    burn_base_tiles chain (two python workers per task).  Result-identical
+    by construction (pinned by test_burn_base_tiles_pip_fused_identity and
+    by the checksum tuple this protocol records across rounds);
+    ``fused=False`` keeps the composed two-boundary plan for A/B evidence."""
+    if fused:
+        base = raster.burn_base_tiles_pip(pts, entrymod._grid_polygons_pdf(), 5).persist()
+    else:
+        matched = joins.pip_join_broadcast(
+            pts, entrymod._grid_polygons_pdf(), keep_cols=("event_id",)
+        )
+        base = raster.burn_base_tiles(matched, 5).persist()
     try:
         pyr = raster.pyramid_reduce(raster.pyramid_reduce(base))
         # persist: base feeds both the pyramid and its own checksum pass —

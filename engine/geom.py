@@ -462,12 +462,31 @@ class VectorPIPIndex:
         self.ey1 = np.full((width, self.n_dense), np.nan)
         self.ex2 = np.full((width, self.n_dense), np.nan)
         self.ey2 = np.full((width, self.n_dense), np.nan)
+        # per-polygon bbox columns + exact-rectangle flag.  A polygon whose
+        # single 4-edge ring is axis-parallel with |shoelace area| == bbox
+        # area IS its bbox, so intersects == bbox containment — the same
+        # rectangle shortcut GEOS prepared geometries take.  Grid/tile
+        # layers (the common dimension shape) then skip the ray-cast
+        # entirely, and every other pair gets a bbox pre-filter before the
+        # edge loop — both cut the per-pair temporary allocations that
+        # dominate this kernel's cost at scale.
+        self.bminx = np.array([b[0] for b in dense_bbox], dtype=np.float64)
+        self.bminy = np.array([b[1] for b in dense_bbox], dtype=np.float64)
+        self.bmaxx = np.array([b[2] for b in dense_bbox], dtype=np.float64)
+        self.bmaxy = np.array([b[3] for b in dense_bbox], dtype=np.float64)
+        self.is_rect = np.zeros(max(self.n_dense, 1), dtype=bool)[: self.n_dense]
         for i, prep in enumerate(dense_raw):
             n = prep.x1.shape[0]
             self.ex1[:n, i] = prep.x1
             self.ey1[:n, i] = prep.y1
             self.ex2[:n, i] = prep.x2
             self.ey2[:n, i] = prep.y2
+            if n == 4 and np.all((prep.x1 == prep.x2) | (prep.y1 == prep.y2)):
+                area2 = abs(float(np.sum(prep.x1 * prep.y2 - prep.x2 * prep.y1)))
+                bw = dense_bbox[i][2] - dense_bbox[i][0]
+                bh = dense_bbox[i][3] - dense_bbox[i][1]
+                if area2 == 2.0 * bw * bh:
+                    self.is_rect[i] = True
         # dense edges also as (n_dense, width, 4) for the per-cell overflow path
         self.edges = np.stack(
             [self.ex1.T, self.ey1.T, self.ex2.T, self.ey2.T], axis=2
@@ -515,31 +534,48 @@ class VectorPIPIndex:
                 pl = pair_poly[s : s + pair_chunk]
                 px = lon[pt]
                 py = lat[pt]
-                # per-edge-slot loop over (chunk,) vectors: every operand
-                # stays L2-resident; parity accumulates by XOR and boundary
-                # by OR in place (the (chunk, width) tensor formulation was
-                # DRAM-bandwidth-bound and collapsed under multi-worker load)
-                parity = np.zeros(pt.shape[0], dtype=bool)
-                on_seg = np.zeros(pt.shape[0], dtype=bool)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    for e in range(self.edge_width):
-                        x1 = self.ex1[e][pl]
-                        y1 = self.ey1[e][pl]
-                        x2 = self.ex2[e][pl]
-                        y2 = self.ey2[e][pl]
-                        straddle = (y1 > py) != (y2 > py)
-                        xin = x1 + (py - y1) / (y2 - y1) * (x2 - x1)
-                        np.logical_xor(parity, straddle & (px < xin), out=parity)
-                        cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
-                        on_e = (
-                            (cross == 0.0)
-                            & (px >= np.minimum(x1, x2))
-                            & (px <= np.maximum(x1, x2))
-                            & (py >= np.minimum(y1, y2))
-                            & (py <= np.maximum(y1, y2))
-                        )
-                        np.logical_or(on_seg, on_e, out=on_seg)
-                hit = parity | on_seg
+                # bbox gate first: candidates come from coarse index cells,
+                # so most pairs die on 4 compares instead of the edge loop;
+                # exact rectangles (is_rect) are fully DECIDED by it
+                inbox = (
+                    (px >= self.bminx[pl])
+                    & (px <= self.bmaxx[pl])
+                    & (py >= self.bminy[pl])
+                    & (py <= self.bmaxy[pl])
+                )
+                rect = self.is_rect[pl]
+                hit = inbox & rect
+                need = np.nonzero(inbox & ~rect)[0]
+                if need.size:
+                    px2 = px[need]
+                    py2 = py[need]
+                    pl2 = pl[need]
+                    # per-edge-slot loop over (chunk,) vectors: every operand
+                    # stays L2-resident; parity accumulates by XOR and
+                    # boundary by OR in place (the (chunk, width) tensor
+                    # formulation was DRAM-bandwidth-bound and collapsed
+                    # under multi-worker load)
+                    parity = np.zeros(need.size, dtype=bool)
+                    on_seg = np.zeros(need.size, dtype=bool)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        for e in range(self.edge_width):
+                            x1 = self.ex1[e][pl2]
+                            y1 = self.ey1[e][pl2]
+                            x2 = self.ex2[e][pl2]
+                            y2 = self.ey2[e][pl2]
+                            straddle = (y1 > py2) != (y2 > py2)
+                            xin = x1 + (py2 - y1) / (y2 - y1) * (x2 - x1)
+                            np.logical_xor(parity, straddle & (px2 < xin), out=parity)
+                            cross = (x2 - x1) * (py2 - y1) - (y2 - y1) * (px2 - x1)
+                            on_e = (
+                                (cross == 0.0)
+                                & (px2 >= np.minimum(x1, x2))
+                                & (px2 <= np.maximum(x1, x2))
+                                & (py2 >= np.minimum(y1, y2))
+                                & (py2 <= np.maximum(y1, y2))
+                            )
+                            np.logical_or(on_seg, on_e, out=on_seg)
+                    hit[need] = parity | on_seg
                 if hit.any():
                     out_pt.append(pt[hit])
                     out_pid.append(self.pid[pl[hit]])
