@@ -78,6 +78,12 @@ def submit_command(
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
         "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=262144",
         "--conf", f"spark.python.factory.idleWorkerMaxPoolSize={executor_cores}",
+        # glibc malloc tuning for executor python workers: without it every
+        # >128 KB numpy temporary is an mmap/munmap round-trip through the
+        # kernel page-fault path (measured 5.5x on the PIP kernel — see
+        # engine/session.py); the trim threshold bounds worker RSS growth
+        "--conf", "spark.executorEnv.MALLOC_MMAP_THRESHOLD_=1073741824",
+        "--conf", "spark.executorEnv.MALLOC_TRIM_THRESHOLD_=268435456",
     ]
     if executors is not None:
         cmd += ["--num-executors", str(executors)]
