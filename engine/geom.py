@@ -337,7 +337,7 @@ class PreparedPolygon:
     contains() call is pure vectorized numpy over the point arrays.
     """
 
-    __slots__ = ("x1", "y1", "x2", "y2", "minx", "miny", "maxx", "maxy")
+    __slots__ = ("x1", "y1", "x2", "y2", "minx", "miny", "maxx", "maxy", "is_rect")
 
     def __init__(self, wkb_buf: bytes):
         rings = polygon_rings(wkb_buf)
@@ -353,6 +353,18 @@ class PreparedPolygon:
         self.maxx = float(max(self.x1.max(), self.x2.max()))
         self.miny = float(min(self.y1.min(), self.y2.min()))
         self.maxy = float(max(self.y1.max(), self.y2.max()))
+        # exact-rectangle flag (the GEOS prepared-geometry shortcut): a
+        # single 4-edge axis-parallel ring with |shoelace area| == bbox area
+        # IS its bbox, so intersects == the bbox test — contains() then
+        # skips the ray cast entirely.  Grid/tile dimension layers are the
+        # common case.
+        self.is_rect = False
+        if self.x1.shape[0] == 4 and bool(
+            np.all((self.x1 == self.x2) | (self.y1 == self.y2))
+        ):
+            area2 = abs(float(np.sum(self.x1 * self.y2 - self.x2 * self.y1)))
+            if area2 == 2.0 * (self.maxx - self.minx) * (self.maxy - self.miny):
+                self.is_rect = True
 
     def contains(self, px: np.ndarray, py: np.ndarray, chunk: int = 65536) -> np.ndarray:
         """Vectorized intersects test: True for interior OR boundary points
@@ -361,6 +373,10 @@ class PreparedPolygon:
         even-odd ray cast + on-segment check on survivors only."""
         px = np.asarray(px, dtype=np.float64)
         py = np.asarray(py, dtype=np.float64)
+        if self.is_rect:
+            # interior-or-boundary of an axis-aligned rectangle IS the bbox
+            # test — identical truth table to parity|on_seg
+            return (px >= self.minx) & (px <= self.maxx) & (py >= self.miny) & (py <= self.maxy)
         # small batches: the exact test is correct for any point (ray parity
         # is 0 outside), so skip the bbox-mask machinery — its fixed numpy
         # overhead dominates when called once per (cell, polygon) group
@@ -481,12 +497,8 @@ class VectorPIPIndex:
             self.ey1[:n, i] = prep.y1
             self.ex2[:n, i] = prep.x2
             self.ey2[:n, i] = prep.y2
-            if n == 4 and np.all((prep.x1 == prep.x2) | (prep.y1 == prep.y2)):
-                area2 = abs(float(np.sum(prep.x1 * prep.y2 - prep.x2 * prep.y1)))
-                bw = dense_bbox[i][2] - dense_bbox[i][0]
-                bh = dense_bbox[i][3] - dense_bbox[i][1]
-                if area2 == 2.0 * bw * bh:
-                    self.is_rect[i] = True
+            if prep.is_rect:
+                self.is_rect[i] = True
         # dense edges also as (n_dense, width, 4) for the per-cell overflow path
         self.edges = np.stack(
             [self.ex1.T, self.ey1.T, self.ex2.T, self.ey2.T], axis=2

@@ -98,3 +98,34 @@ def test_multipolygon_pip():
     prep = geom.PreparedPolygon(buf)
     got = prep.contains(np.array([5.0, 25.0, 15.0]), np.array([5.0, 25.0, 15.0]))
     assert list(got) == [True, True, False]
+
+
+def test_rectangle_fast_path_flag_and_parity():
+    """The exact-rectangle shortcut: flag set only for true axis-aligned
+    rectangles, and contains() is bit-identical to the ray-cast (forced via
+    _test) on interior / boundary / corner / outside points."""
+    rect = geom.PreparedPolygon(geom.wkb_polygon(SQUARE))
+    assert rect.is_rect
+    # diamond: 4 edges, none axis-parallel -> not a rect
+    diamond = geom.PreparedPolygon(
+        geom.wkb_polygon([[(5.0, 0.0), (10.0, 5.0), (5.0, 10.0), (0.0, 5.0)]])
+    )
+    assert not diamond.is_rect
+    # rect WITH a hole: >4 edges -> not flagged (bbox test would be wrong)
+    assert not geom.PreparedPolygon(geom.wkb_polygon(HOLED)).is_rect
+    # multipolygon of two squares: 8 edges -> not flagged
+    assert not geom.PreparedPolygon(
+        geom.wkb_multipolygon([SQUARE, [[(20.0, 20.0), (30.0, 20.0), (30.0, 30.0), (20.0, 30.0)]]])
+    ).is_rect
+    rng = np.random.default_rng(13)
+    px = np.concatenate([rng.uniform(-2, 12, 3000), np.array([0.0, 10.0, 5.0, 0.0, 10.0, -1e-12])])
+    py = np.concatenate([rng.uniform(-2, 12, 3000), np.array([0.0, 10.0, 0.0, 5.0, 10.0, 5.0])])
+    fast = rect.contains(px, py)
+    exact = rect._test(px, py)
+    assert np.array_equal(fast, exact)
+    # zero-area degenerate (a segment) also flags and equals its bbox test
+    seg = geom.PreparedPolygon(geom.wkb_polygon([[(0.0, 0.0), (10.0, 0.0)]]))
+    if seg.is_rect:
+        assert np.array_equal(
+            seg.contains(px, py), seg._test(px, py)
+        )
