@@ -131,16 +131,65 @@ def with_pixel(points: DataFrame, zoom: int, lon_col: str = "lon", lat_col: str 
 def burn_base_tiles(points: DataFrame, zoom: int, lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
     """Points → base-zoom density tile table (MERGE_ALG=ADD).
 
-    Plan: pixel-encode (pandas UDF) → ``groupBy(tx,ty,ix,iy).count()``
-    (JVM hash agg with map-side combine — the hot path never touches
-    Python per point) → ``groupBy(tx,ty)`` grouped-map UDF that scatters
-    ≤65536 (pixel,count) rows into the 256×256 grid.
+    Plan: one mapInArrow pass that pixel-encodes AND partially counts each
+    batch below the Arrow boundary (per-batch ``np.unique`` over a packed
+    (tx,ty,ix,iy) int64 key — the map-side combine the JVM hash aggregate
+    would do anyway, moved to where it shrinks the IPC stream itself) →
+    ``groupBy(tx,ty,ix,iy).sum`` over the already-tiny partials →
+    ``groupBy(tx,ty)`` grouped-map UDF that scatters ≤65536 (pixel,count)
+    rows into the 256×256 grid.  Result-identical to the former
+    with_pixel → count() plan (pinned by the tile_density_z5 oracle row
+    and the composed-vs-fused identity test); with_pixel remains the
+    general per-row encoder for callers that keep attributes.
     """
-    counts = (
-        with_pixel(points.select(lon_col, lat_col), zoom, lon_col, lat_col)
-        .groupBy("tx", "ty", "ix", "iy")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    import pyarrow as pa
+
+    if not 0 <= zoom <= 20:
+        # packed-key width: tx,ty < 2^20, ix,iy < 2^9
+        counts = (
+            with_pixel(points.select(lon_col, lat_col), zoom, lon_col, lat_col)
+            .groupBy("tx", "ty", "ix", "iy")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return _assemble_density(counts, zoom)
+
+    out_schema = StructType(
+        [
+            StructField("tx", LongType()),
+            StructField("ty", LongType()),
+            StructField("ix", IntegerType()),
+            StructField("iy", IntegerType()),
+            StructField("cnt", LongType()),
+        ]
     )
+
+    def _kern(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            lon = batch.column(0).to_numpy(zero_copy_only=False)
+            lat = batch.column(1).to_numpy(zero_copy_only=False)
+            if lon.shape[0] == 0:
+                continue
+            px, py = tiles.lonlat_to_pixels(lon, lat, zoom)
+            gx = np.floor(px).astype(np.int64)
+            gy = np.floor(py).astype(np.int64)
+            tx, ty = tiles.pixels_to_tile(px, py)
+            ix = np.clip(gx - tx * TILE_SIZE, 0, TILE_SIZE - 1)
+            iy = TILE_SIZE - 1 - np.clip(gy - ty * TILE_SIZE, 0, TILE_SIZE - 1)
+            key = (tx << 38) | (ty << 18) | (ix << 9) | iy
+            uk, cnt = np.unique(key, return_counts=True)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(uk >> 38, type=pa.int64()),
+                    pa.array((uk >> 18) & 0xFFFFF, type=pa.int64()),
+                    pa.array(((uk >> 9) & 0x1FF).astype(np.int32), type=pa.int32()),
+                    pa.array((uk & 0x1FF).astype(np.int32), type=pa.int32()),
+                    pa.array(cnt.astype(np.int64), type=pa.int64()),
+                ],
+                names=["tx", "ty", "ix", "iy", "cnt"],
+            )
+
+    partial = points.select(lon_col, lat_col).mapInArrow(_kern, out_schema)
+    counts = partial.groupBy("tx", "ty", "ix", "iy").agg(F.sum("cnt").alias("cnt"))
     return _assemble_density(counts, zoom)
 
 

@@ -401,3 +401,37 @@ def test_burn_base_tiles_pip_empty(spark):
     assert raster.burn_base_tiles_pip(pts.limit(0), polys, 5).count() == 0
     # no matches at all → empty tile table, not an error
     assert raster.burn_base_tiles_pip(pts, polys, 5).count() == 0
+
+
+def test_burn_base_tiles_fused_partial_identity(spark):
+    """The below-boundary partial-count plan in burn_base_tiles must be
+    bit-identical to the composed with_pixel → JVM count() plan it
+    replaced, including edge clamping and the top-origin row flip."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(23)
+    pdf = pd.DataFrame(
+        {
+            "lon": np.concatenate([rng.uniform(-180, 180, 30000), [-180.0, 180.0, 0.0]]),
+            "lat": np.concatenate([rng.uniform(-85, 85, 30000), [-85.0, 85.0, 0.0]]),
+        }
+    )
+    pts = spark.createDataFrame(pdf)
+    for zoom in (2, 7):
+        fused = {
+            (r.tx, r.ty): raster.bytes_to_tile(r.data)
+            for r in raster.burn_base_tiles(pts, zoom).collect()
+        }
+        composed_counts = (
+            raster.with_pixel(pts.select("lon", "lat"), zoom)
+            .groupBy("tx", "ty", "ix", "iy")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        composed = {
+            (r.tx, r.ty): raster.bytes_to_tile(r.data)
+            for r in raster._assemble_density(composed_counts, zoom).collect()
+        }
+        assert set(fused) == set(composed)
+        for key in composed:
+            assert np.array_equal(fused[key], composed[key]), f"z{zoom} tile {key}"
