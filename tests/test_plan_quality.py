@@ -184,3 +184,38 @@ def test_ngram_jaccard_row_has_no_cartesian_product(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_fused_density_single_python_boundary(spark):
+    """The fused density paths must run exactly ONE python-runner stage
+    before the (tiny) partial-count aggregate — the worker-halving claim
+    behind BENCH/BASELINE.md §1.  The composed with_pixel chain would show
+    a second MapInArrow/ArrowEvalPython node feeding the aggregate."""
+    import re
+
+    import __spark_entry__ as entrymod
+    from engine import raster
+
+    pts = entrymod._points(spark, SF)
+
+    def _python_nodes(plan: str) -> int:
+        # per-row python boundaries feeding the count (the grouped-map tile
+        # assembly at the end is shared by both formulations — exclude it);
+        # count numbered plan nodes, not mentions (each node appears in the
+        # tree AND in the detail section)
+        return len(re.findall(r"\(\d+\) (?:MapInArrow|ArrowEvalPython|BatchEvalPython)\b", plan))
+
+    plan_plain = _plan(raster.burn_base_tiles(pts, 5))
+    # one mapInArrow kernel + one FlatMapGroupsInPandas assembly, nothing else
+    assert _python_nodes(plan_plain) == 1, plan_plain
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas\b", plan_plain)) == 1
+
+    plan_pip = _plan(
+        raster.burn_base_tiles_pip(pts, entrymod._grid_polygons_pdf(), 5)
+    )
+    assert _python_nodes(plan_pip) == 1, plan_pip
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas\b", plan_pip)) == 1
+
+    # the partial count must aggregate BELOW a hash aggregate (JVM sum of
+    # the already-unique per-batch rows), not a per-row count
+    assert "HashAggregate" in plan_plain and "sum" in plan_plain.lower()
